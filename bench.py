@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Per-round benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a cheap terminal action (count) so the full plan
+runs but driver-side materialization cost is excluded. A warmup query runs
+first so JVM/codegen startup is not billed to the first headline query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from doc2dataset_spark.queries import REGISTRY  # noqa: E402
+from doc2dataset_spark.session import get_spark, load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward shuffle-heavy plans.
+HEADLINE = [
+    "q01_project_filter",   # scan + pushdown
+    "q08_join_chain",       # multi-join + agg
+    "q12_range_join",       # non-equi join
+    "q14_tpch_q1",          # wide hash aggregate
+    "q19_topk",             # agg + TakeOrdered
+    "q22_frame_windows",    # window frames
+    "q31_sessionize",       # lag + cumsum
+    "q32_asof_join",        # range join + window
+    # north-star ops (registered in later phases; skipped when absent)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    # warmup: JVM + parquet footer reads
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        n = spec.builder(spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
