@@ -1,0 +1,64 @@
+"""Sharding and key assignment (reference P1/P3/P4).
+
+The reference slices the url table into contiguous 10k-row shards written as
+feather files (`reader.py:125-145`) and builds a global sample key
+``(10^oom)*shard_id + row_in_shard`` zero-padded to
+``oom_sample_per_shard + oom_shard_count`` digits
+(`downloader.py:69-75,293,308`).
+
+Spark mapping: the shard is a *logical* key, not a materialized file — the
+shuffle plays the ``_tmp`` role. Global contiguity is not semantically
+required (only key uniqueness and the digit layout are observable), so at
+scale we derive ``shard_id`` from a monotonic id without a global sort; a
+``row_number`` path exists for small inputs where byte-parity with the
+reference's contiguous slicing matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.config import DownloadConfig
+
+
+def assign_keys(
+    df: DataFrame, cfg: DownloadConfig, contiguous: bool = True
+) -> DataFrame:
+    """Add ``shard_id`` and the zero-padded ``key`` string.
+
+    contiguous=True reproduces the reference's row layout exactly via a
+    global row_number (single-pass window — fine up to ~10^8 rows;
+    correctness/test path). contiguous=False uses
+    ``monotonically_increasing_id`` — fully parallel, unique but not dense;
+    the 100 TB path (key layout preserved, shard sizes approximate)."""
+    n_per_shard = cfg.number_sample_per_shard
+    width = cfg.oom_sample_per_shard + cfg.oom_shard_count
+    if contiguous:
+        w = Window.orderBy("url")
+        rid = F.row_number().over(w) - 1
+    else:
+        rid = F.monotonically_increasing_id()
+    df = df.withColumn("_rid", rid)
+    df = df.withColumn(
+        "shard_id", (F.col("_rid") / n_per_shard).cast("long")
+    ).withColumn(
+        "key",
+        F.format_string(
+            f"%0{width}d",
+            F.col("shard_id") * (10 ** cfg.oom_sample_per_shard)
+            + F.col("_rid") % n_per_shard,
+        ),
+    )
+    return df.drop("_rid")
+
+
+def filter_done_shards(df: DataFrame, done_manifest: DataFrame | None) -> DataFrame:
+    """Incremental resume (reference P4, `main.py:138-151`): drop rows whose
+    shard already has a stats record. The reference re-derives done shards
+    by globbing ``*.json`` filenames; here it is a left-anti join against
+    the ``_stats`` manifest — same semantics, no filename parsing."""
+    if done_manifest is None:
+        return df
+    done = done_manifest.select("shard_id").distinct()
+    return df.join(done, "shard_id", "left_anti")

@@ -1,0 +1,126 @@
+"""The end-to-end document pipeline (reference `main.py:66-237` ``download``)
+as ONE declarative DataFrame lineage:
+
+    read url list (S1-S8)
+      → key/shard assignment (P1/P3)
+      → incremental-resume anti-join (P4)
+      → fetch mapInPandas + thread pool (S9-S11)
+      → hash verify/compute as native sha2/md5 (F4/F5)
+      → per-page extraction flatMap (T1-T5, T12, T14)
+      → native page transforms + filters (F6-F10, T6-T10)
+      → language enrichment on page 0, propagated per doc (T11)
+      → final schema assembly (key+page concat, exif placeholder)
+      → sink (W1-W7) + stats manifest (A1-A5, W8)
+
+One Spark job replaces the reference's reader-pool / worker-pool / monitor
+three-process architecture (`main.py:119-233`); the shuffle replaces the
+``_tmp`` feather files; task retries replace the shard retrier
+(`distributor.py:10-21`).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.config import DownloadConfig
+from doc2dataset_spark.functions.text import detect_language
+from doc2dataset_spark.operators.extract import extract_pages
+from doc2dataset_spark.operators.filters import apply_page_filters
+from doc2dataset_spark.operators.sharding import assign_keys, filter_done_shards
+from doc2dataset_spark.operators.stats import global_rollup, shard_stats
+from doc2dataset_spark.sinks.writer import write_output
+from doc2dataset_spark.sources.fetch import compute_hash, fetch_documents, verify_hash
+from doc2dataset_spark.sources.reader import read_url_list
+
+
+def _stats_path(cfg: DownloadConfig) -> str:
+    return os.path.join(cfg.output_folder, "_stats")
+
+
+def _load_done_manifest(spark: SparkSession, cfg: DownloadConfig):
+    path = _stats_path(cfg)
+    if cfg.incremental_mode == "incremental" and os.path.exists(path):
+        try:
+            return spark.read.parquet(path)
+        except Exception:  # noqa: BLE001 — corrupt/empty manifest = no resume
+            return None
+    return None
+
+
+def add_language(df: DataFrame, cfg: DownloadConfig) -> DataFrame:
+    """T11: detect on page 0 only (`downloader.py:152-160`), propagate to
+    the whole document via a window — one UDF call per doc, not per page."""
+    if not cfg.get_language:
+        return df.withColumn("language", F.lit(None).cast("string"))
+    import pandas as pd  # noqa: F401
+
+    @F.pandas_udf("string")
+    def lang_udf(texts):
+        return texts.map(lambda t: detect_language(t) if t else None)
+
+    page0_lang = F.when(
+        (F.col("page_no") == 0) & F.col("text").isNotNull(),
+        lang_udf(F.col("text")),
+    )
+    w = Window.partitionBy("key")
+    return df.withColumn("_l0", page0_lang).withColumn(
+        "language", F.first("_l0", ignorenulls=True).over(w)
+    ).drop("_l0")
+
+
+def build_pipeline(spark: SparkSession, cfg: DownloadConfig) -> DataFrame:
+    """Assemble the full lineage; nothing executes until an action runs."""
+    cfg.validate()
+    urls = read_url_list(spark, cfg)
+    keyed = assign_keys(urls, cfg)
+    keyed = filter_done_shards(keyed, _load_done_manifest(spark, cfg))
+    fetched = fetch_documents(keyed, cfg)
+    fetched = verify_hash(fetched, cfg)
+    fetched = compute_hash(fetched, cfg)
+    pages = extract_pages(fetched, cfg)
+    pages = apply_page_filters(pages, cfg)
+    pages = add_language(pages, cfg)
+    if cfg.extract_exif:
+        # T13: schema-parity placeholder, always null (`downloader.py:239-240`)
+        pages = pages.withColumn("exif", F.lit(None).cast("string"))
+    # the observable page key is doc key + page number concatenated without
+    # separator — ambiguous but part of the reference's output contract
+    # (`downloader.py:212`)
+    pages = pages.withColumn("doc_key", F.col("key")).withColumn(
+        "key",
+        F.when(
+            F.col("page_no").isNotNull(),
+            F.concat(F.col("key"), F.col("page_no").cast("string")),
+        ).otherwise(F.col("key")),
+    )
+    return pages
+
+
+def download(
+    spark: SparkSession, cfg: DownloadConfig, return_frames: bool = False
+):
+    """Run the pipeline: write samples via the configured sink, then write
+    the ``_stats`` manifest (which doubles as the resume commit log)."""
+    cfg.validate()
+    if cfg.incremental_mode == "overwrite" and os.path.exists(cfg.output_folder):
+        shutil.rmtree(cfg.output_folder)
+    os.makedirs(cfg.output_folder, exist_ok=True)
+
+    pages = build_pipeline(spark, cfg)
+    # one materialization feeds both the sink and the stats agg — without
+    # this the whole fetch+extract lineage would run twice
+    pages = pages.persist()
+    try:
+        write_output(pages, cfg)
+        stats = shard_stats(pages)
+        stats.write.mode("append").parquet(_stats_path(cfg))
+    finally:
+        pages.unpersist()
+    summary = global_rollup(spark.read.parquet(_stats_path(cfg)))
+    if return_frames:
+        return pages, spark.read.parquet(_stats_path(cfg)), summary
+    return summary.collect()[0].asDict()

@@ -28,3 +28,7 @@ try:
     from doc2dataset_spark.queries import udfs  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from doc2dataset_spark.queries import pipeline_demo  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,282 @@
+"""Output sinks (reference W1-W8, `writer.py:13-323`).
+
+Native Spark writers where a format exists (parquet, jsonl.gz, noop);
+``foreachPartition`` writers for the sample-per-file formats Spark has no
+sink for (webdataset tars, one-file-per-sample, tfrecord). Partition writes
+are idempotent under task retry: content is written to a temp path keyed by
+partition id and renamed on success.
+
+The reference buffers 100 rows per flush by hand (`writer.py:16-45`);
+Spark's writers buffer natively. TFRecord needs no TensorFlow: the record
+framing (length + masked CRC-32C) is ~30 lines of stdlib (the reference
+lazily imports TF for this, `writer.py:166-267`).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import tarfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.config import DownloadConfig
+
+META_COLUMNS = (
+    "key",
+    "status",
+    "error_message",
+    "exif",
+    "language",
+    "total_words",
+    "images_per_page",
+)
+
+
+# ---------------------------------------------------------------------------
+# CRC-32C (Castagnoli) — needed for TFRecord framing; stdlib-only
+# ---------------------------------------------------------------------------
+_CRC32C_TABLE = []
+
+
+def _crc32c_table():
+    global _CRC32C_TABLE
+    if not _CRC32C_TABLE:
+        poly = 0x82F63B78
+        table = []
+        for i in range(256):
+            crc = i
+            for _ in range(8):
+                crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+            table.append(crc)
+        _CRC32C_TABLE = table
+    return _CRC32C_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    table = _crc32c_table()
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return ((((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
+
+
+def tfrecord_frame(payload: bytes) -> bytes:
+    """One TFRecord: len + masked_crc(len) + payload + masked_crc(payload)."""
+    length = struct.pack("<Q", len(payload))
+    return (
+        length
+        + struct.pack("<I", _masked_crc(length))
+        + payload
+        + struct.pack("<I", _masked_crc(payload))
+    )
+
+
+def _tf_example(text: bytes, meta: dict) -> bytes:
+    """Minimal tf.train.Example proto encoding (bytes/int64 features only) —
+    hand-rolled protobuf wire format, no TF import."""
+
+    def _varint(n: int) -> bytes:
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    def _bytes_feature(value: bytes) -> bytes:
+        # Feature{ bytes_list: BytesList{ value: [v] } }
+        inner = b"\x0a" + _varint(len(value)) + value  # BytesList.value
+        blist = b"\x0a" + _varint(len(inner)) + inner  # Feature.bytes_list
+        return blist
+
+    def _int64_feature(value: int) -> bytes:
+        inner = b"\x08" + _varint(value)  # Int64List.value (non-negative)
+        ilist = b"\x12" + _varint(len(inner)) + inner  # Feature.int64_list
+        return ilist
+
+    feats = b""
+    entries = {"text": _bytes_feature(text)}
+    for k, v in meta.items():
+        if v is None:
+            continue
+        if isinstance(v, int):
+            entries[k] = _int64_feature(v)
+        else:
+            entries[k] = _bytes_feature(str(v).encode("utf-8"))
+    for name, feat in entries.items():
+        kbytes = name.encode()
+        entry = (
+            b"\x0a" + _varint(len(kbytes)) + kbytes
+            + b"\x12" + _varint(len(feat)) + feat
+        )
+        feats += b"\x0a" + _varint(len(entry)) + entry
+    features = b"\x0a" + _varint(len(feats)) + feats
+    return features
+
+
+def _meta_of(row, extra_cols: list[str]) -> dict:
+    d = row.asDict()
+    meta = {c: d[c] for c in META_COLUMNS if c in d}
+    for c in extra_cols:
+        meta[c] = d.get(c)
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# sinks
+# ---------------------------------------------------------------------------
+def _samples_frame(df: DataFrame, cfg: DownloadConfig) -> DataFrame:
+    """Successful samples with the text payload as binary, named by
+    encode_format (reference `writer.py:68`, `main.py:101`)."""
+    return (
+        df.filter(F.col("status") == "success")
+        .withColumn("_payload", F.col("text").cast("binary"))
+        .drop("text")
+        .withColumnRenamed("_payload", cfg.encode_format)
+    )
+
+
+def write_parquet(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
+    """W1/W2: sample parquet partitioned by shard (file-per-shard parity
+    comes from partitionBy, not manual writer management)."""
+    # append: incremental resume filters done shards upstream, so each run
+    # contributes only new shard partitions (overwrite would clobber them)
+    _samples_frame(df, cfg).write.mode("append").partitionBy(
+        "shard_id"
+    ).parquet(os.path.join(out, "samples"))
+
+
+def write_jsonl(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
+    """W4: gzipped jsonl; the binary payload column goes out as utf-8."""
+    frame = df.filter(F.col("status") == "success").withColumnRenamed(
+        "text", cfg.encode_format
+    )
+    frame.write.mode("append").option("compression", "gzip").json(
+        os.path.join(out, "samples")
+    )
+
+
+def write_files(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
+    """W6: <out>/<shard>/<key>.text + <key>.json per sample."""
+    frame = _samples_frame(df, cfg)
+    extra = [
+        c for c in frame.columns
+        if c not in (*META_COLUMNS, cfg.encode_format, "shard_id")
+    ]
+    enc = cfg.encode_format
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            d = os.path.join(out, f"{int(row['shard_id']):05d}")
+            os.makedirs(d, exist_ok=True)
+            key = row["key"]
+            payload = bytes(row[enc]) if row[enc] is not None else b""
+            with open(os.path.join(d, f"{key}.text"), "wb") as fh:
+                fh.write(payload)
+            with open(os.path.join(d, f"{key}.json"), "w") as fh:
+                json.dump(_meta_of(row, extra), fh, default=str)
+
+    frame.foreachPartition(write_partition)
+
+
+def write_webdataset(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
+    """W3: one tar per shard partition with <key>.text + <key>.json members
+    (stdlib tarfile — no webdataset dependency needed to *write* the
+    format) + a parquet meta sidecar."""
+    frame = _samples_frame(df, cfg).repartition("shard_id")
+    extra = [
+        c for c in frame.columns
+        if c not in (*META_COLUMNS, cfg.encode_format, "shard_id")
+    ]
+    enc = cfg.encode_format
+    os.makedirs(out, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(out, f"._tmp_{pid}.tar")
+        final = os.path.join(out, f"{pid:05d}.tar")
+        n = 0
+        with tarfile.open(tmp, "w") as tar:
+            for row in rows:
+                key = row["key"]
+                payload = bytes(row[enc]) if row[enc] is not None else b""
+                ti = tarfile.TarInfo(name=f"{key}.text")
+                ti.size = len(payload)
+                tar.addfile(ti, io.BytesIO(payload))
+                mbytes = json.dumps(_meta_of(row, extra), default=str).encode()
+                tj = tarfile.TarInfo(name=f"{key}.json")
+                tj.size = len(mbytes)
+                tar.addfile(tj, io.BytesIO(mbytes))
+                n += 1
+        if n:
+            os.replace(tmp, final)
+        else:
+            os.unlink(tmp)
+
+    frame.foreachPartition(write_partition)
+    # parquet meta sidecar (reference writes one per tar, `writer.py:88-126`)
+    frame.drop(enc).write.mode("overwrite").parquet(os.path.join(out, "_meta"))
+
+
+def write_tfrecord(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
+    """W5: TFRecord files with tf.train.Example payloads (stdlib framing +
+    hand-rolled proto — TensorFlow is not required)."""
+    frame = _samples_frame(df, cfg).repartition("shard_id")
+    extra = [
+        c for c in frame.columns
+        if c not in (*META_COLUMNS, cfg.encode_format, "shard_id")
+    ]
+    enc = cfg.encode_format
+    os.makedirs(out, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        tmp = os.path.join(out, f"._tmp_{pid}.tfrecord")
+        final = os.path.join(out, f"{pid:05d}.tfrecord")
+        n = 0
+        with open(tmp, "wb") as fh:
+            for row in rows:
+                payload = bytes(row[enc]) if row[enc] is not None else b""
+                example = _tf_example(payload, _meta_of(row, extra))
+                fh.write(tfrecord_frame(example))
+                n += 1
+        if n:
+            os.replace(tmp, final)
+        else:
+            os.unlink(tmp)
+
+    frame.foreachPartition(write_partition)
+    frame.drop(enc).write.mode("overwrite").parquet(os.path.join(out, "_meta"))
+
+
+def write_dummy(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
+    """W7: no-op sink (benchmark fetch/extract alone) — still runs the plan."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+SINKS = {
+    "parquet": write_parquet,
+    "jsonl": write_jsonl,
+    "files": write_files,
+    "webdataset": write_webdataset,
+    "tfrecord": write_tfrecord,
+    "dummy": write_dummy,
+}
+
+
+def write_output(df: DataFrame, cfg: DownloadConfig) -> None:
+    SINKS[cfg.output_format](df, cfg, cfg.output_folder)

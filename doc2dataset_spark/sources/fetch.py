@@ -1,0 +1,171 @@
+"""Document fetch operator (reference S9-S11, `downloader.py:20-66`).
+
+Spark has no native "HTTP GET per row" source, so this is the one place the
+pipeline deliberately leaves the JVM: a ``mapInPandas`` batch iterator with
+a thread pool per Arrow batch (HTTP is latency-bound, not CPU-bound — the
+same reason the reference runs 256 threads per shard,
+`downloader.py:295-305`). Backpressure comes from
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounding batch size, which
+replaces the reference's ``Semaphore(2×threads)`` (`downloader.py:274-283`).
+
+Supports http(s)://, file:// and bare local paths (hermetic tests use
+file:// fixtures; the reference's own examples hit live URLs and are not
+reproducible, SURVEY §5).
+"""
+
+from __future__ import annotations
+
+import urllib.request
+from collections.abc import Iterator
+from multiprocessing.pool import ThreadPool
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.config import DownloadConfig
+
+FETCH_SCHEMA_SUFFIX = "doc_bytes binary, fetch_error string"
+
+
+def _check_robots_headers(headers, disallowed: list[str] | None) -> bool:
+    """True if an X-Robots-Tag directive disallows us (S11,
+    `downloader.py:20-34`)."""
+    if not disallowed:
+        return False
+    for value in headers.get_all("X-Robots-Tag") or []:
+        # directives may be "noai" or "<agent>: noai"
+        parts = [p.strip() for p in value.split(":")]
+        directive = parts[-1].lower()
+        if directive in disallowed:
+            return True
+    return False
+
+
+def _fetch_one(
+    url: str,
+    timeout: int,
+    user_agent_token: str | None,
+    disallowed: list[str] | None,
+) -> tuple[bytes | None, str | None]:
+    if url.startswith("file://"):
+        path = url[len("file://"):]
+        try:
+            with open(path, "rb") as fh:
+                return fh.read(), None
+        except OSError as exc:
+            return None, str(exc)
+    if "://" not in url:
+        try:
+            with open(url, "rb") as fh:
+                return fh.read(), None
+        except OSError as exc:
+            return None, str(exc)
+    ua = "Mozilla/5.0 (X11; Ubuntu; Linux x86_64; rv:72.0) Gecko/20100101 Firefox/72.0"
+    if user_agent_token:
+        ua += f" (compatible; {user_agent_token}; +https://github.com/)"
+    req = urllib.request.Request(url, headers={"User-Agent": ua})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as resp:
+            if _check_robots_headers(resp.headers, disallowed):
+                return None, "Forbidden by X-Robots-Tag directive"
+            return resp.read(), None
+    except Exception as exc:  # noqa: BLE001 — any network failure is data
+        return None, str(exc)
+
+
+def _fetch_with_retry(
+    url: str,
+    retries: int,
+    timeout: int,
+    user_agent_token: str | None,
+    disallowed: list[str] | None,
+) -> tuple[bytes | None, str | None]:
+    """S10 (`downloader.py:61-66`): up to retries+1 attempts."""
+    data, err = None, None
+    for _ in range(retries + 1):
+        data, err = _fetch_one(url, timeout, user_agent_token, disallowed)
+        if data is not None:
+            return data, None
+    return data, err
+
+
+def fetch_documents(df: DataFrame, cfg: DownloadConfig) -> DataFrame:
+    """Append ``doc_bytes``/``fetch_error`` columns by fetching every url.
+
+    Thread pool per Arrow batch; batch size (and therefore peak in-flight
+    memory) is bounded by arrow.maxRecordsPerBatch.
+    """
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    out_schema = f"{in_fields}, {FETCH_SCHEMA_SUFFIX}"
+    threads = cfg.thread_count
+    timeout, retries = cfg.timeout, cfg.retries
+    ua_token = cfg.user_agent_token
+    disallowed = (
+        [d.lower() for d in cfg.disallowed_header_directives]
+        if cfg.disallowed_header_directives
+        else None
+    )
+
+    def fetch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pool = ThreadPool(min(threads, max(len(pdf), 1)))
+            try:
+                results = pool.map(
+                    lambda u: _fetch_with_retry(
+                        u, retries, timeout, ua_token, disallowed
+                    ),
+                    pdf["url"].tolist(),
+                )
+            finally:
+                pool.close()
+                pool.join()
+            out = pdf.copy()
+            out["doc_bytes"] = [r[0] for r in results]
+            out["fetch_error"] = [r[1] for r in results]
+            yield out
+
+    return df.mapInPandas(fetch_batches, schema=out_schema)
+
+
+def verify_hash(df: DataFrame, cfg: DownloadConfig) -> DataFrame:
+    """F4 (`downloader.py:352-381`) as a pure JVM expression — no UDF:
+    compare the declared digest column against the digest of the fetched
+    bytes; a mismatch becomes a failed fetch with error 'hash mismatch'."""
+    if cfg.verify_hash is None:
+        return df
+    _, vh_type = cfg.verify_hash
+    if vh_type == "md5":
+        actual = F.md5(F.col("doc_bytes"))
+    elif vh_type == "sha256":
+        actual = F.sha2(F.col("doc_bytes"), 256)
+    else:
+        actual = F.sha2(F.col("doc_bytes"), 512)
+    mismatch = F.col("doc_bytes").isNotNull() & (actual != F.col(vh_type))
+    return df.withColumn(
+        "fetch_error",
+        F.when(mismatch, F.lit("hash mismatch")).otherwise(F.col("fetch_error")),
+    ).withColumn(
+        "doc_bytes", F.when(mismatch, F.lit(None)).otherwise(F.col("doc_bytes"))
+    )
+
+
+def compute_hash(df: DataFrame, cfg: DownloadConfig) -> DataFrame:
+    """F5 (`downloader.py:423-425`): digest of the document bytes as a
+    native column (the reference hashes in Python per sample)."""
+    if cfg.compute_hash is None:
+        return df
+    h = cfg.compute_hash
+    expr = {
+        "md5": F.md5(F.col("doc_bytes")),
+        "sha256": F.sha2(F.col("doc_bytes"), 256),
+        "sha512": F.sha2(F.col("doc_bytes"), 512),
+    }[h]
+    return df.withColumn(
+        h, F.when(F.col("doc_bytes").isNotNull(), expr).otherwise(F.lit(None))
+    )

@@ -1,0 +1,241 @@
+"""Hermetic end-to-end pipeline test (SURVEY §5 strategy #2): synthetic
+FAKEDOC corpus over file:// → full pipeline → assert statuses, counts,
+hashes, filters, language, resume. This closes the reference's biggest gap
+(its `tests/test_main.py` is empty)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import tarfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.config import DownloadConfig
+from doc2dataset_spark.plans.pipeline import build_pipeline, download
+from tests.fixtures import build_corpus, write_url_csv, write_url_txt
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("corpus"))
+    meta = build_corpus(root)
+    return root, meta
+
+
+def _base_cfg(root: str, out: str, **kw) -> DownloadConfig:
+    defaults = dict(
+        url_list=os.path.join(root, "urls.csv"),
+        output_folder=out,
+        input_format="csv",
+        save_additional_columns=["caption"],
+        verify_hash=("sha256", "sha256"),
+        compute_hash="sha256",
+        min_words_per_page=5,
+        max_images_per_page=4,
+        min_image_size=5,
+        max_aspect_ratio=3.0,
+        get_language=True,
+        thread_count=8,
+        number_sample_per_shard=4,  # forces multiple shards over 9 docs
+    )
+    defaults.update(kw)
+    return DownloadConfig(**defaults)
+
+
+def test_pipeline_statuses(spark, corpus, tmp_path):
+    root, meta = corpus
+    write_url_csv(root, meta)
+    cfg = _base_cfg(root, str(tmp_path / "out"))
+    pages = build_pipeline(spark, cfg)
+    rows = {
+        (r["url"], r["page_no"]): r.asDict() for r in pages.collect()
+    }
+    by_url = {}
+    for (url, _), r in rows.items():
+        by_url.setdefault(url.rsplit("/", 1)[-1], []).append(r)
+
+    plain = by_url["plain.fake"]
+    assert len(plain) == 3
+    assert all(r["status"] == "success" for r in plain)
+    assert all(r["total_words"] == 20 for r in plain)
+    # page key = doc key + page number, no separator
+    assert sorted(r["key"] for r in plain) == sorted(
+        r["doc_key"] + str(r["page_no"]) for r in plain
+    )
+    # passthrough column survives
+    assert all(r["caption"] == "caption for plain" for r in plain)
+    # compute_hash: sha256 of the doc bytes
+    assert all(r["sha256"] == meta["plain"]["sha256"] for r in plain)
+    assert all(r["exif"] is None for r in plain)
+
+    short = by_url["short.fake"]
+    assert len(short) == 1
+    assert short[0]["status"] == "failed_to_extract"
+    assert short[0]["error_message"] == "too few words in page"
+
+    corrupt = by_url["corrupt.bin"]
+    assert corrupt[0]["status"] == "failed_to_extract"
+    assert "cannot open document" in corrupt[0]["error_message"]
+
+    missing = by_url["nope.fake"]
+    assert missing[0]["status"] == "failed_to_download"
+
+    empty = by_url["empty.fake"]
+    assert empty[0]["status"] == "failed_to_extract"
+    assert empty[0]["error_message"] == "empty page"
+
+    images = by_url["images.fake"]
+    assert all(r["status"] == "success" for r in images)
+    # page 0: ok.png kept, tiny.png removed; page 1: wide + noattr removed
+    ipp = {r["page_no"]: r["images_per_page"] for r in images}
+    assert ipp == {0: 1, 1: 0}
+    texts = {r["page_no"]: r["text"] for r in images}
+    assert 'src="ok.png"' in texts[0]
+    assert 'src="tiny.png"' not in texts[0]
+    assert 'src="wide.png"' not in texts[1]
+
+    multi = by_url["multilang.fake"]
+    # language decided on page 0 (English), propagated to all pages
+    assert {r["language"] for r in multi} == {"en"}
+
+
+def test_max_pages(spark, corpus, tmp_path):
+    root, meta = corpus
+    write_url_txt(root, meta)
+    cfg = DownloadConfig(
+        url_list=os.path.join(root, "urls.txt"),
+        output_folder=str(tmp_path / "out"),
+        input_format="txt",
+        max_pages=5,
+        compute_hash=None,
+    )
+    pages = build_pipeline(spark, cfg)
+    long_pages = pages.filter(F.col("url").endswith("long.fake")).count()
+    assert long_pages == 5
+
+
+def test_hash_verify_mismatch(spark, corpus, tmp_path):
+    root, meta = corpus
+    write_url_csv(root, meta, badhash=True)
+    cfg = _base_cfg(root, str(tmp_path / "out"))
+    pages = build_pipeline(spark, cfg)
+    plain = pages.filter(F.col("url").endswith("plain.fake")).collect()
+    assert len(plain) == 1
+    assert plain[0]["status"] == "failed_to_download"
+    assert plain[0]["error_message"] == "hash mismatch"
+    write_url_csv(root, meta)  # restore for later tests
+
+
+def test_download_parquet_and_stats(spark, corpus, tmp_path):
+    root, meta = corpus
+    write_url_csv(root, meta)
+    out = str(tmp_path / "out")
+    cfg = _base_cfg(root, out)
+    summary = download(spark, cfg)
+    assert summary["successes"] > 0
+    assert summary["failed_to_download"] >= 1
+    assert summary["failed_to_extract"] >= 2
+    # samples parquet holds only successes, text as binary
+    samples = spark.read.parquet(os.path.join(out, "samples"))
+    assert samples.filter(F.col("status") != "success").count() == 0
+    assert dict(samples.dtypes)["text"] == "binary"
+    # stats manifest exists and covers all shards (9 docs / 4 per shard = 3)
+    stats = spark.read.parquet(os.path.join(out, "_stats"))
+    assert stats.select("shard_id").distinct().count() == 3
+
+    # incremental resume: second run adds nothing (all shards done)
+    n_files_before = len(
+        glob.glob(os.path.join(out, "samples", "**", "*.parquet"), recursive=True)
+    )
+    download(spark, cfg)
+    n_files_after = len(
+        glob.glob(os.path.join(out, "samples", "**", "*.parquet"), recursive=True)
+    )
+    assert n_files_after == n_files_before
+
+
+def test_jsonl_sink(spark, corpus, tmp_path):
+    root, meta = corpus
+    out = str(tmp_path / "out")
+    cfg = _base_cfg(root, out, output_format="jsonl")
+    download(spark, cfg)
+    files = glob.glob(os.path.join(out, "samples", "*.json.gz"))
+    assert files
+    rows = []
+    for f in files:
+        with gzip.open(f, "rt") as fh:
+            rows += [json.loads(line) for line in fh]
+    assert all(r["status"] == "success" for r in rows)
+    assert any(r["url"].endswith("plain.fake") for r in rows)
+
+
+def test_files_sink(spark, corpus, tmp_path):
+    root, meta = corpus
+    out = str(tmp_path / "out")
+    cfg = _base_cfg(root, out, output_format="files")
+    download(spark, cfg)
+    texts = glob.glob(os.path.join(out, "*", "*.text"))
+    metas = glob.glob(os.path.join(out, "*", "*.json"))
+    assert texts and len(texts) == len(metas)
+    with open(metas[0]) as fh:
+        m = json.load(fh)
+    assert m["status"] == "success"
+
+
+def test_webdataset_sink(spark, corpus, tmp_path):
+    root, meta = corpus
+    out = str(tmp_path / "out")
+    cfg = _base_cfg(root, out, output_format="webdataset")
+    download(spark, cfg)
+    tars = glob.glob(os.path.join(out, "*.tar"))
+    assert tars
+    names = []
+    for t in tars:
+        with tarfile.open(t) as tar:
+            names += tar.getnames()
+    assert any(n.endswith(".text") for n in names)
+    assert any(n.endswith(".json") for n in names)
+    assert os.path.exists(os.path.join(out, "_meta"))
+
+
+def test_tfrecord_sink(spark, corpus, tmp_path):
+    from doc2dataset_spark.sinks.writer import crc32c
+
+    # crc32c known-answer check (RFC 3720 test vector)
+    assert crc32c(b"123456789") == 0xE3069283
+
+    root, meta = corpus
+    out = str(tmp_path / "out")
+    cfg = _base_cfg(root, out, output_format="tfrecord")
+    download(spark, cfg)
+    recs = glob.glob(os.path.join(out, "*.tfrecord"))
+    assert recs
+    # frames parse back: length-prefixed records consume the whole file
+    import struct
+
+    for path in recs:
+        with open(path, "rb") as fh:
+            data = fh.read()
+        pos, n = 0, 0
+        while pos < len(data):
+            (length,) = struct.unpack_from("<Q", data, pos)
+            pos += 8 + 4 + length + 4
+            n += 1
+        assert pos == len(data) and n > 0
+
+
+def test_reserved_column_guard():
+    cfg = DownloadConfig(url_list="x", save_additional_columns=["status"])
+    with pytest.raises(ValueError, match="reserved"):
+        cfg.validate()
+
+
+def test_bad_hash_type_guard():
+    cfg = DownloadConfig(url_list="x", compute_hash="crc32")
+    with pytest.raises(ValueError, match="compute_hash"):
+        cfg.validate()
