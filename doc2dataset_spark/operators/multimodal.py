@@ -1,0 +1,185 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata structs, processed by Arrow-batched pandas UDFs.
+
+The container has no image/audio libraries, so real-codec decode (JPEG/PNG/
+WAV/MP4) is import-gated on PIL and raises a clear NotImplementedError
+otherwise — but the *engine* parts (schema, mapInPandas batch shape,
+explode of frame samples, numpy kernels) are real and tested on a
+deterministic raw-raster container:
+
+    FAKEIMG1 | width u32be | height u32be | channels u8 | pixels (w*h*c)
+    FAKEVID1 | n_frames u32be | frames: FAKEIMG1 blobs, length-prefixed
+
+At deployment, swap ``decode_raster`` for the PIL/ffmpeg path; nothing
+above the decode boundary changes — exactly how the PDF decoder is split
+in operators/extract.py.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+IMG_MAGIC = b"FAKEIMG1"
+VID_MAGIC = b"FAKEVID1"
+
+try:  # pragma: no cover — not in this container
+    from PIL import Image  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:
+    Image = None
+    _HAS_PIL = False
+
+
+# ---------------------------------------------------------------------------
+# container codec (deterministic test format)
+# ---------------------------------------------------------------------------
+def encode_image(arr: np.ndarray) -> bytes:
+    h, w, c = arr.shape
+    return IMG_MAGIC + struct.pack(">IIB", w, h, c) + arr.astype(np.uint8).tobytes()
+
+
+def decode_raster(data: bytes) -> np.ndarray:
+    """bytes → HxWxC uint8 array. Real codecs via PIL when available."""
+    if data.startswith(IMG_MAGIC):
+        w, h, c = struct.unpack(">IIB", data[8:17])
+        return np.frombuffer(data[17 : 17 + w * h * c], dtype=np.uint8).reshape(
+            h, w, c
+        )
+    if _HAS_PIL:  # pragma: no cover
+        import io
+
+        return np.asarray(Image.open(io.BytesIO(data)))
+    raise NotImplementedError(
+        "real image codecs need PIL (not installed); engine tested via the "
+        "FAKEIMG raw-raster container"
+    )
+
+
+def encode_video(frames: list[np.ndarray]) -> bytes:
+    out = VID_MAGIC + struct.pack(">I", len(frames))
+    for f in frames:
+        blob = encode_image(f)
+        out += struct.pack(">I", len(blob)) + blob
+    return out
+
+
+def decode_video_frames(data: bytes) -> list[bytes]:
+    if not data.startswith(VID_MAGIC):
+        raise NotImplementedError("real video codecs not available; use FAKEVID")
+    (n,) = struct.unpack(">I", data[8:12])
+    frames, pos = [], 12
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        frames.append(data[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    return frames
+
+
+# ---------------------------------------------------------------------------
+# operators (mapInPandas — Arrow batches of binary columns)
+# ---------------------------------------------------------------------------
+IMAGE_META_SCHEMA = (
+    "width int, height int, channels int, n_bytes long, mean_pixel double"
+)
+
+
+def image_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """decode + feature-extract: typed metadata struct per image
+    (the 'decode' stage of a multimodal training pipeline)."""
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    )
+    schema = f"{in_fields}, {IMAGE_META_SCHEMA}"
+    passthrough = [f.name for f in df.schema.fields if f.name != media_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                base = {c: rec[c] for c in passthrough}
+                try:
+                    arr = decode_raster(bytes(rec[media_col]))
+                    rows.append(
+                        {
+                            **base,
+                            "width": arr.shape[1],
+                            "height": arr.shape[0],
+                            "channels": arr.shape[2],
+                            "n_bytes": len(rec[media_col]),
+                            "mean_pixel": float(round(arr.mean(), 4)),
+                        }
+                    )
+                except Exception:  # noqa: BLE001
+                    rows.append(
+                        {**base, "width": None, "height": None,
+                         "channels": None, "n_bytes": len(rec[media_col]),
+                         "mean_pixel": None}
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[*passthrough, "width", "height", "channels",
+                         "n_bytes", "mean_pixel"],
+            )
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def image_resize(
+    df: DataFrame, out_w: int, out_h: int, media_col: str = "media"
+) -> DataFrame:
+    """nearest-neighbor resize (numpy kernel — runs vectorized per image;
+    PIL's Lanczos path slots in behind the same UDF at deployment)."""
+    # schema unchanged: the media column is replaced in place
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            resized = []
+            for data in pdf[media_col]:
+                arr = decode_raster(bytes(data))
+                h, w, _ = arr.shape
+                yi = (np.arange(out_h) * h // out_h).astype(int)
+                xi = (np.arange(out_w) * w // out_w).astype(int)
+                resized.append(encode_image(arr[np.ix_(yi, xi)]))
+            out[media_col] = resized
+            yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def video_frame_sample(
+    df: DataFrame, every_k: int, media_col: str = "media"
+) -> DataFrame:
+    """frame sampling: one output row per kept frame (the T2 fan-out shape
+    applied to video)."""
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    )
+    schema = f"{in_fields}, frame_no int, frame binary"
+    passthrough = [f.name for f in df.schema.fields if f.name != media_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                base = {c: rec[c] for c in passthrough}
+                frames = decode_video_frames(bytes(rec[media_col]))
+                for i in range(0, len(frames), every_k):
+                    rows.append({**base, "frame_no": i, "frame": frames[i]})
+            yield pd.DataFrame(rows, columns=[*passthrough, "frame_no", "frame"])
+
+    return df.mapInPandas(run, schema=schema)

@@ -1,0 +1,92 @@
+"""Structured Streaming over the events table.
+
+Batch analogs of these queries are oracle-gated (Q30 tumbling buckets, Q31
+sessionization); the streaming forms add watermarks and incremental state —
+DuckDB cannot oracle a stream, so the tests assert streaming results equal
+the batch results on the same (finite) input, which is the strongest
+available check.
+
+The events parquet carries TIMESTAMP(NANOS); the stream reader applies the
+same nanos→µs conversion as the batch loader (session.load_table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (one-file micro-batch source —
+    in production this is Kafka/Kinesis; the transformations are
+    source-agnostic)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import os
+
+    batch = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    # the sf dir holds the other tables too: pathGlobFilter scopes the
+    # stream to the events file
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return stream
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1-hour tumbling window counts + value sums with late-data watermark
+    (streaming twin of q30_time_bucket)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """session_window sessionization (streaming twin of q31_sessionize's
+    lag+cumsum — the native stateful operator: sessions close when no event
+    arrives within `gap`)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
+    """Drive a finite stream to completion into an in-memory table
+    (the local smoke harness; production uses kafka/delta sinks +
+    checkpointLocation)."""
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,67 @@
+"""Multimodal plumbing tests on the deterministic raster/video containers."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from doc2dataset_spark.operators.multimodal import (
+    decode_raster,
+    encode_image,
+    encode_video,
+    image_metadata,
+    image_resize,
+    video_frame_sample,
+)
+
+
+def _img(w, h, c=3, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 255, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, encode_image(_img(8, 4, 3, seed=1))),
+        (2, encode_image(_img(16, 16, 1, seed=2))),
+        (3, b"not an image"),
+    ]
+    return spark.createDataFrame(rows, "id long, media binary")
+
+
+def test_image_metadata(spark, media_df):
+    out = {r["id"]: r.asDict() for r in image_metadata(media_df).collect()}
+    assert out[1]["width"] == 8 and out[1]["height"] == 4
+    assert out[1]["channels"] == 3
+    expected_mean = float(round(_img(8, 4, 3, seed=1).mean(), 4))
+    assert out[1]["mean_pixel"] == expected_mean
+    assert out[2]["channels"] == 1
+    # undecodable media degrades to nulls, not a task failure
+    assert out[3]["width"] is None and out[3]["n_bytes"] == 12
+
+
+def test_image_resize_roundtrip(spark, media_df):
+    ok = media_df.filter("id < 3")
+    out = image_resize(ok, 4, 4).collect()
+    for row in out:
+        arr = decode_raster(bytes(row["media"]))
+        assert arr.shape[:2] == (4, 4)
+    # nearest-neighbor on identity size is exact
+    same = image_resize(media_df.filter("id = 2"), 16, 16).collect()[0]
+    assert np.array_equal(
+        decode_raster(bytes(same["media"])), _img(16, 16, 1, seed=2)
+    )
+
+
+def test_video_frame_sample(spark):
+    frames = [_img(4, 4, 3, seed=i) for i in range(10)]
+    df = spark.createDataFrame(
+        [(7, encode_video(frames))], "vid long, media binary"
+    )
+    out = video_frame_sample(df, every_k=3).collect()
+    assert [r["frame_no"] for r in sorted(out, key=lambda r: r["frame_no"])] == [
+        0, 3, 6, 9,
+    ]
+    f0 = decode_raster(bytes(sorted(out, key=lambda r: r["frame_no"])[0]["frame"]))
+    assert np.array_equal(f0, frames[0])

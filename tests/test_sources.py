@@ -1,0 +1,144 @@
+"""Source readers (S1-S8) and fetch internals (S10-S11)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+import pytest
+
+from doc2dataset_spark.config import DownloadConfig
+from doc2dataset_spark.sources.fetch import (
+    _check_robots_headers,
+    _fetch_with_retry,
+)
+from doc2dataset_spark.sources.reader import read_url_list
+
+ROWS = [
+    {"url": "file:///a/1.pdf", "caption": "one", "sha256": "x" * 64},
+    {"url": "file:///a/2.pdf", "caption": "two", "sha256": "y" * 64},
+]
+
+
+def _cfg(path: str, fmt: str, **kw) -> DownloadConfig:
+    return DownloadConfig(
+        url_list=path,
+        input_format=fmt,
+        save_additional_columns=["caption"],
+        verify_hash=("sha256", "sha256"),
+        **kw,
+    )
+
+
+def _assert_frame(df):
+    rows = sorted((r.asDict() for r in df.collect()), key=lambda r: r["url"])
+    assert [r["url"] for r in rows] == ["file:///a/1.pdf", "file:///a/2.pdf"]
+    assert rows[0]["caption"] == "one"
+    assert rows[0]["sha256"] == "x" * 64
+    assert set(df.columns) == {"url", "caption", "sha256"}
+
+
+def test_tsv_scan(spark, tmp_path):
+    p = tmp_path / "u.tsv"
+    p.write_text(
+        "url\tcaption\tsha256\n"
+        + "\n".join(f"{r['url']}\t{r['caption']}\t{r['sha256']}" for r in ROWS)
+    )
+    _assert_frame(read_url_list(spark, _cfg(str(p), "tsv")))
+
+
+def test_json_scan(spark, tmp_path):
+    p = tmp_path / "u.json"
+    p.write_text(json.dumps(ROWS))
+    _assert_frame(read_url_list(spark, _cfg(str(p), "json")))
+
+
+def test_jsonl_scan(spark, tmp_path):
+    p = tmp_path / "u.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in ROWS))
+    _assert_frame(read_url_list(spark, _cfg(str(p), "jsonl")))
+
+
+def test_parquet_scan_prunes(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = tmp_path / "u.parquet"
+    table = pa.table(
+        {
+            "url": [r["url"] for r in ROWS],
+            "caption": [r["caption"] for r in ROWS],
+            "sha256": [r["sha256"] for r in ROWS],
+            "unused_wide_column": ["z" * 100] * 2,
+        }
+    )
+    pq.write_table(table, p)
+    df = read_url_list(spark, _cfg(str(p), "parquet"))
+    _assert_frame(df)
+    # pruning reaches the scan: ReadSchema must not contain the wide column
+    plan = df._jdf.queryExecution().toString()
+    assert "unused_wide_column" not in plan.split("ReadSchema")[-1]
+
+
+def test_gzip_transparency(spark, tmp_path):
+    p = tmp_path / "u.csv.gz"
+    body = "url,caption,sha256\n" + "\n".join(
+        f"{r['url']},{r['caption']},{r['sha256']}" for r in ROWS
+    )
+    with gzip.open(p, "wt") as fh:
+        fh.write(body)
+    _assert_frame(read_url_list(spark, _cfg(str(p), "csv")))
+
+
+def test_directory_glob(spark, tmp_path):
+    d = tmp_path / "lists"
+    os.makedirs(d)
+    (d / "a.txt").write_text("file:///a/1.pdf\n")
+    (d / "b.txt").write_text("file:///a/2.pdf\n")
+    cfg = DownloadConfig(url_list=str(d), input_format="txt")
+    df = read_url_list(spark, cfg)
+    assert sorted(r["url"] for r in df.collect()) == [
+        "file:///a/1.pdf",
+        "file:///a/2.pdf",
+    ]
+
+
+def test_fetch_retry_eventually_fails(tmp_path):
+    data, err = _fetch_with_retry(
+        f"file://{tmp_path}/missing.bin", retries=2, timeout=1,
+        user_agent_token=None, disallowed=None,
+    )
+    assert data is None and "No such file" in err
+
+
+def test_fetch_local_path_without_scheme(tmp_path):
+    p = tmp_path / "doc.bin"
+    p.write_bytes(b"payload")
+    data, err = _fetch_with_retry(
+        str(p), retries=0, timeout=1, user_agent_token=None, disallowed=None
+    )
+    assert data == b"payload" and err is None
+
+
+class _Headers:
+    def __init__(self, values):
+        self._values = values
+
+    def get_all(self, name):
+        return self._values if name == "X-Robots-Tag" else None
+
+
+@pytest.mark.parametrize(
+    "headers,expect",
+    [
+        (["noai"], True),
+        (["somebot: noindex"], True),
+        (["all"], False),
+        ([], False),
+    ],
+)
+def test_robots_directives(headers, expect):
+    assert (
+        _check_robots_headers(_Headers(headers), ["noai", "noindex"]) is expect
+    )

@@ -1,0 +1,50 @@
+"""Streaming smoke tests: a finite parquet-backed stream must produce
+exactly the batch answer (the strongest oracle available for a stream)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries import REGISTRY
+from doc2dataset_spark.session import load_table
+from doc2dataset_spark.streaming.events import (
+    run_to_memory,
+    sessionize_stream,
+    stream_events,
+    tumbling_counts,
+)
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir):
+    stream = tumbling_counts(stream_events(spark, sf_dir))
+    got = run_to_memory(spark, stream, "tumbling_out").toPandas()
+    want = (
+        REGISTRY["q30_time_bucket"].builder(spark, sf_dir).toPandas()
+    )
+    got_s = got.sort_values(["bucket", "event_type"]).reset_index(drop=True)
+    want_s = want.sort_values(["bucket", "event_type"]).reset_index(drop=True)
+    assert len(got_s) == len(want_s)
+    assert (got_s["n"].values == want_s["n"].values).all()
+    assert (got_s["total_value"].values == want_s["total_value"].values).all()
+
+
+def test_session_window_stream(spark, sf_dir):
+    stream = sessionize_stream(stream_events(spark, sf_dir))
+    got = run_to_memory(spark, stream, "sessions_out")
+    # session counts must cover every event exactly once
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total == n_events
+    # session ids per user must match the batch lag+cumsum analog
+    batch_sessions = (
+        REGISTRY["q31_sessionize"]
+        .builder(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.max("session_id").alias("n_sessions"))
+    )
+    stream_sessions = got.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions")
+    )
+    b = batch_sessions.toPandas().set_index("user_id")["n_sessions"]
+    s = stream_sessions.toPandas().set_index("user_id")["n_sessions"]
+    assert (b.sort_index() == s.sort_index()).all()
