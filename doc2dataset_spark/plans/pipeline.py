@@ -110,17 +110,39 @@ def download(
         shutil.rmtree(cfg.output_folder)
     os.makedirs(cfg.output_folder, exist_ok=True)
 
+    import time
+
+    from pyspark.sql import Observation
+
     pages = build_pipeline(spark, cfg)
+    # D7/A5: live metrics ride the job itself via observe() — no monitor
+    # process, no stats-file polling (`logger.py:224-276`)
+    obs = Observation("pipeline_metrics")
+    pages = pages.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias(
+            "successes"
+        ),
+    )
     # one materialization feeds both the sink and the stats agg — without
     # this the whole fetch+extract lineage would run twice
     pages = pages.persist()
+    t0 = time.time()
     try:
         write_output(pages, cfg)
         stats = shard_stats(pages)
         stats.write.mode("append").parquet(_stats_path(cfg))
     finally:
         pages.unpersist()
+    duration = time.time() - t0
+    observed = dict(obs.get) if obs.get else {}
+    observed["duration_sec"] = round(duration, 3)
+    if observed.get("rows"):
+        observed["docs_per_sec"] = round(observed["rows"] / duration, 2)
     summary = global_rollup(spark.read.parquet(_stats_path(cfg)))
     if return_frames:
         return pages, spark.read.parquet(_stats_path(cfg)), summary
-    return summary.collect()[0].asDict()
+    out = summary.collect()[0].asDict()
+    out.update(observed)
+    return out

@@ -141,8 +141,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     """exact word-3-gram Jaccard ≥ 0.5 pairs. Candidates are generated by
     joining on the shingle itself (docs sharing ≥1 shingle) — a blocked
     equi-join, not a cross join — then scored exactly."""
-    sd = _doc_shingles(spark, sf_dir)
-    cnt = sd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    from pyspark.sql import Window as W
+
+    # per-doc shingle count rides along via a window, so the pair join
+    # needs no extra cnt joins (two shingle passes total, not four)
+    sd = _doc_shingles(spark, sf_dir).withColumn(
+        "n", F.count("*").over(W.partitionBy("doc_id"))
+    )
     a = sd.alias("a")
     b = sd.alias("b")
     shared = (
@@ -152,20 +157,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+            F.col("a.doc_id").alias("da"),
+            F.col("b.doc_id").alias("db"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
         )
         .agg(F.count("*").alias("sh_n"))
     )
-    ca = cnt.alias("ca")
-    cb = cnt.alias("cb")
     jac = F.col("sh_n").cast("double") / (
-        F.col("ca.n") + F.col("cb.n") - F.col("sh_n")
+        F.col("na") + F.col("nb") - F.col("sh_n")
     )
-    return (
-        shared.join(ca, F.col("da") == F.col("ca.doc_id"))
-        .join(cb, F.col("db") == F.col("cb.doc_id"))
-        .filter(jac >= 0.5)
-        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    return shared.filter(jac >= 0.5).select(
+        "da", "db", F.round(jac, 4).alias("jaccard")
     )
 
 
@@ -268,9 +271,24 @@ def dedup_minhash_lsh(spark, sf_dir):
             F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db")
         )
         .distinct()
+        # the candidate set is tiny and consumed twice (broadcast prefilter
+        # + the verify join); caching stops the signature/band pipeline
+        # from re-executing per consumer (identical plans share the entry)
+        .cache()
     )
-    sd = _doc_shingles(spark, sf_dir)
-    cnt = sd.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # verify only candidate docs: at scale candidates << corpus, so the
+    # shingle frame is semi-joined down to the collision set before the
+    # pairwise join (broadcast — the candidate list is small by design)
+    from pyspark.sql import Window as W
+
+    cand_docs = cand.select(
+        F.explode(F.array("da", "db")).alias("doc_id")
+    ).distinct()
+    sd = _doc_shingles(spark, sf_dir).join(
+        F.broadcast(cand_docs), "doc_id", "left_semi"
+    )
+    # per-doc shingle count rides along via a window: no extra cnt joins
+    sd = sd.withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
     p = sd.alias("p")
     q = sd.alias("q")
     shared = (
@@ -280,19 +298,16 @@ def dedup_minhash_lsh(spark, sf_dir):
             (F.col("db") == F.col("q.doc_id"))
             & (F.col("q.sh") == F.col("p.sh")),
         )
-        .groupBy("da", "db")
+        .groupBy(
+            "da", "db", F.col("p.n").alias("na"), F.col("q.n").alias("nb")
+        )
         .agg(F.count("*").alias("sh_n"))
     )
-    ca = cnt.alias("ca")
-    cb = cnt.alias("cb")
     jac = F.col("sh_n").cast("double") / (
-        F.col("ca.n") + F.col("cb.n") - F.col("sh_n")
+        F.col("na") + F.col("nb") - F.col("sh_n")
     )
-    return (
-        shared.join(ca, F.col("da") == F.col("ca.doc_id"))
-        .join(cb, F.col("db") == F.col("cb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("da", "db", F.round(jac, 4).alias("jaccard"))
+    return shared.filter(jac >= JACCARD_THRESHOLD).select(
+        "da", "db", F.round(jac, 4).alias("jaccard")
     )
 
 

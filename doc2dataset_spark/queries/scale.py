@@ -1,0 +1,132 @@
+"""Scale-pattern operators: the techniques that keep plans alive at 100 TB,
+each written so its result is *provably identical* to the naive form (the
+DuckDB oracle computes the same partition/salt/cell logic, or the naive
+equivalent where results must coincide).
+
+- ``sim_ann_ivf``      IVF-style ANN: coarse quantization against a small
+                       centroid set (the first 16 vectors as seed centroids
+                       — data-derived, so the oracle needs no literals),
+                       then exact top-k within the cell. The cell id is the
+                       shuffle key; candidate sets shrink from O(n²) to
+                       O(n²/k). A trained-kmeans centroid table slots into
+                       the same plan.
+- ``agg_salted_two_phase`` skew mitigation: salt → partial agg → final agg.
+                       Decimal accumulation makes the two-phase result
+                       bit-identical to the direct GROUP BY, which is the
+                       oracle — correctness of the rewrite is the test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import query, sql_dsum
+from doc2dataset_spark.queries.dedup import normalized_embeddings, spark_dot
+from doc2dataset_spark.session import load_table
+
+N_CENTROIDS = 16
+IVF_TOP_K = 3
+
+
+@query(
+    "sim_ann_ivf",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                              embedding::DOUBLE[]))) AS ne
+      FROM embeddings
+    ),
+    cents AS (SELECT vec_id AS cent_id, ne AS ce FROM n
+              WHERE vec_id < {N_CENTROIDS}),
+    assign AS (
+      SELECT vec_id, ne, cent_id FROM (
+        SELECT v.vec_id, v.ne, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.ne, c.ce) DESC, c.cent_id
+               ) AS rn
+        FROM n v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_dot_product(q.ne, c.ne) AS cos
+      FROM assign q JOIN assign c
+        ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+    )
+    SELECT qid, cid, cos FROM (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rn
+      FROM scored
+    ) WHERE rn <= {IVF_TOP_K}
+    """,
+    tags=("similarity", "embeddings", "scale"),
+)
+def sim_ann_ivf(spark, sf_dir):
+    """IVF coarse quantization: assign every vector to its nearest seed
+    centroid (broadcast 16-row dim table), then exact top-k inside the
+    cell — an equi-join on cell id, never all-pairs."""
+    n = normalized_embeddings(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("ne").alias("ce")
+    )
+    scored_cells = n.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "ne",
+        "cent_id",
+        spark_dot(F.col("ne"), F.col("ce")).alias("sim"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+    assign = (
+        scored_cells.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "ne", "cent_id")
+    )
+    q = assign.alias("q")
+    c = assign.alias("c")
+    scored = q.join(
+        c,
+        (F.col("q.cent_id") == F.col("c.cent_id"))
+        & (F.col("c.vec_id") != F.col("q.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("qid"),
+        F.col("c.vec_id").alias("cid"),
+        spark_dot(F.col("q.ne"), F.col("c.ne")).alias("cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .drop("rn")
+    )
+
+
+@query(
+    "agg_salted_two_phase",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           {sql_dsum('l_extendedprice', 'total')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "scale"),
+)
+def agg_salted_two_phase(spark, sf_dir):
+    """Hot-key aggregation via salting: phase 1 groups on (key, salt) —
+    spreading one skewed key over 16 reducers — phase 2 merges partials.
+    Exact-decimal partials make the rewrite bit-identical to the direct
+    GROUP BY, which is exactly what the oracle runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", F.pmod(F.hash("l_orderkey"), F.lit(16)))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("psum"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        F.round(F.sum("psum"), 4).cast("double").alias("total"),
+    )
