@@ -1,0 +1,103 @@
+"""WebDataset Python DataSource: round-trip, determinism, commit protocol."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.sources import webdataset_ds
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    webdataset_ds.register(spark)
+    return spark
+
+
+def _sample_df(spark, n=23):
+    return (
+        spark.range(n)
+        .select(
+            F.format_string("%05d", F.col("id")).alias("key"),
+            F.encode(F.format_string("doc body %d", F.col("id")), "utf-8").alias(
+                "text"
+            ),
+            (F.col("id") % 3 == 0).alias("flag"),
+            F.format_string("en-%d", F.col("id") % 2).alias("language"),
+        )
+        .repartition(4, "key")
+    )
+
+
+def test_roundtrip(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "wds")
+    df = _sample_df(spark)
+    df.write.format("webdataset").mode("overwrite").save(out)
+
+    # shard layout: one tar per task + manifest, no temp litter
+    tars = sorted(glob.glob(os.path.join(out, "part-*.tar")))
+    assert tars and not glob.glob(os.path.join(out, "_tmp-*"))
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_samples"] == 23
+    assert len(manifest["shards"]) == len(tars)
+
+    back = spark.read.format("webdataset").load(out)
+    rows = {r["key"]: r for r in back.collect()}
+    assert len(rows) == 23
+    assert bytes(rows["00007"]["text"]) == b"doc body 7"
+    meta = json.loads(rows["00006"]["meta"])
+    assert meta == {"flag": True, "language": "en-0"}
+
+
+def test_read_partitions_parallel(registered, tmp_path):
+    """One input partition per tar shard — the scale contract."""
+    spark = registered
+    out = str(tmp_path / "wds")
+    _sample_df(spark).write.format("webdataset").mode("overwrite").save(out)
+    n_tars = len(glob.glob(os.path.join(out, "part-*.tar")))
+    df = spark.read.format("webdataset").load(out)
+    assert df.rdd.getNumPartitions() == n_tars
+
+
+def test_deterministic_shards(registered, tmp_path):
+    """Same data + partitioning → byte-identical tars (mtime pinned)."""
+    spark = registered
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    df = _sample_df(spark).sortWithinPartitions("key")
+    df.write.format("webdataset").mode("overwrite").save(a)
+    df.write.format("webdataset").mode("overwrite").save(b)
+    for pa in sorted(glob.glob(os.path.join(a, "part-*.tar"))):
+        pb = os.path.join(b, os.path.basename(pa))
+        assert open(pa, "rb").read() == open(pb, "rb").read()
+
+
+def test_overwrite_replaces_old_shards(registered, tmp_path):
+    spark = registered
+    out = str(tmp_path / "wds")
+    _sample_df(spark, n=23).write.format("webdataset").mode("overwrite").save(out)
+    # second write with fewer partitions must not leave orphan shards behind
+    small = _sample_df(spark, n=5).coalesce(1)
+    small.write.format("webdataset").mode("overwrite").save(out)
+    back = spark.read.format("webdataset").load(out)
+    assert back.count() == 5
+
+
+def test_member_naming_webdataset_convention(registered, tmp_path):
+    """Members are <key>.text / <key>.json — loadable by the webdataset
+    library and the reference's own tar layout (`writer.py:88-126`)."""
+    spark = registered
+    out = str(tmp_path / "wds")
+    _sample_df(spark, n=4).coalesce(1).write.format("webdataset").mode(
+        "overwrite"
+    ).save(out)
+    tar = tarfile.open(glob.glob(os.path.join(out, "part-*.tar"))[0])
+    names = sorted(m.name for m in tar.getmembers())
+    assert names == sorted(
+        [f"{k:05d}.text" for k in range(4)] + [f"{k:05d}.json" for k in range(4)]
+    )
