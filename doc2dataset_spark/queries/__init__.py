@@ -40,3 +40,7 @@ try:
     from doc2dataset_spark.queries import scale  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from doc2dataset_spark.queries import extras  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass

@@ -1,0 +1,221 @@
+"""Second-wave query surface: scale-pattern rewrites and analytics the
+north-star pipeline needs beyond SURVEY §2.3's numbered rows. Every query
+here is oracle-gated (exact DuckDB twin).
+
+- ``q12b_bucketed_range_join``  range join with NO equi key, made scalable
+  by time-bucket blocking: candidate buckets are an equi-join key, the
+  exact range predicate filters candidates. DuckDB's oracle runs the naive
+  non-equi join (its IEJoin handles it); results must match exactly —
+  correctness of the rewrite IS the test.
+- ``agg_percentiles``           exact interpolated percentiles (p50/p90/p99)
+  per group — Spark ``percentile`` vs DuckDB ``quantile_cont``.
+- ``text_tfidf_topk``           TF-IDF scoring, top-3 terms per document.
+  Deterministic: integer tf/df counts, ln() on the same doubles, round 4dp,
+  tiebreak on term.
+- ``sample_deterministic``      hash-based Bernoulli sampling — the
+  distributed-sampling primitive (no RNG, no driver coordination): keep a
+  row iff an md5-derived integer of its key falls under the rate. Identical
+  row set in any engine, any partitioning, any row order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import query
+from doc2dataset_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# bucketized range join (no equi key)
+# ---------------------------------------------------------------------------
+BUCKET_S = 3600  # candidate-bucket width == range width (1 hour)
+
+
+@query(
+    "q12b_bucketed_range_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, count(*) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.ts >= p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id
+    """,
+    tags=("relational", "join", "scale"),
+)
+def q12b_bucketed_range_join(spark, sf_dir):
+    """global range join (clicks within 1h after each purchase, ANY user) —
+    no equi key, so a naive plan is a broadcast nested loop over the full
+    pair space. Rewrite: a click at time t can only match purchases in
+    epoch-hour buckets {⌊t⌋, ⌊t⌋-1}, so explode each click to its two
+    candidate buckets and equi-join on bucket; the exact range predicate
+    then filters candidates. Pair work drops from O(P×C) to O(collisions);
+    the bucket id is the shuffle key. The oracle runs the naive join —
+    result equality proves the rewrite."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            us.alias("p_us"),
+            F.floor(us / (BUCKET_S * 1_000_000)).alias("bucket"),
+        )
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            us.alias("c_us"),
+            F.explode(
+                F.array(
+                    F.floor(us / (BUCKET_S * 1_000_000)),
+                    F.floor(us / (BUCKET_S * 1_000_000)) - 1,
+                )
+            ).alias("bucket"),
+        )
+    )
+    joined = p.join(c, "bucket").filter(
+        (F.col("c_us") >= F.col("p_us"))
+        & (F.col("c_us") <= F.col("p_us") + BUCKET_S * 1_000_000)
+    )
+    return joined.groupBy("purchase_id").agg(F.count("*").alias("n_clicks"))
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles per group
+# ---------------------------------------------------------------------------
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_percentiles(spark, sf_dir):
+    """exact interpolated percentiles p50/p90/p99 of price per returnflag
+    (Spark `percentile` == DuckDB `quantile_cont`: both interpolate at
+    rank (n-1)·p). The scale path swaps in approx_percentile with a
+    documented error bound — same plan shape, sketch-mergeable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query(
+    "agg_percentiles_approx",
+    oracle=None,  # sketch-based: rows-only gate; exact twin is agg_percentiles
+    tags=("agg", "scale"),
+)
+def agg_percentiles_approx(spark, sf_dir):
+    """approx_percentile (KLL-style sketch, mergeable across partitions —
+    the 100 TB path; accuracy set by the 10000 parameter). Rows-only gate;
+    agg_percentiles is the exact oracle twin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("pcts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k terms per document
+# ---------------------------------------------------------------------------
+_TOKS = "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+_DTOKS = r"list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"
+TFIDF_K = 3
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DTOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), nd AS (
+      SELECT count(DISTINCT doc_id) AS n FROM tok
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((nd.n + 1.0) / (df.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= {TFIDF_K}
+    """,
+    tags=("text", "documents"),
+)
+def text_tfidf_topk(spark, sf_dir):
+    """TF-IDF: tf(term,doc) · ln((N+1)/(df+1)), top-3 terms per doc.
+    Two shuffles total (tf groupBy, df groupBy) + a broadcast of the df
+    table's aggregate — the document axis never collapses to the driver."""
+    d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    tok = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = tok.select(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_K)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling
+# ---------------------------------------------------------------------------
+SAMPLE_PCT = 10  # keep ~10%
+
+
+@query(
+    "sample_deterministic",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 12))::BIGINT
+          % 100 < {SAMPLE_PCT}
+    """,
+    tags=("scale", "sampling"),
+)
+def sample_deterministic(spark, sf_dir):
+    """hash-Bernoulli 10% sample of orders: md5(key) mod 100 < 10.
+    Embarrassingly parallel (a map-side filter, no shuffle, no RNG state),
+    stable across engines/partitionings/reruns — the primitive for
+    reproducible corpus subsampling and A/B splits at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    h = F.expr(
+        "cast(conv(substring(md5(cast(o_orderkey AS string)), 1, 12), 16, 10)"
+        " AS bigint)"
+    )
+    return o.filter(h % 100 < SAMPLE_PCT).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )

@@ -1,0 +1,101 @@
+"""Scale-pattern guarantees that only show up in physical plans: bucketed
+co-located joins (no shuffle), partition-pruned scans (no full read), and
+blocked range joins (no nested loop). On a 1000-executor cluster these are
+the difference between a working pipeline and a melted shuffle service."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries import REGISTRY
+from doc2dataset_spark.session import load_table
+
+
+def _plan(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
+    """Pre-bucketing both sides on the join key removes the Exchange from
+    the join entirely — the bucketing demo for co-located 100 TB joins
+    (bucket count co-chosen with the key; sortBy removes the Sort too)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    try:
+        for name, df_, key in (
+            ("t_li_b", li, "l_orderkey"),
+            ("t_ord_b", orders, "o_orderkey"),
+        ):
+            (
+                df_.write.mode("overwrite")
+                .option("path", str(tmp_path / name))
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        # the pattern targets two LARGE sides: disable the broadcast
+        # shortcut this tiny SF would otherwise take
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            jb = spark.table("t_li_b").join(
+                spark.table("t_ord_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            plan = _plan(jb)
+            assert "SortMergeJoin" in plan
+            assert "Exchange hashpartitioning" not in plan
+            assert "Bucketed: true" in plan
+            # and the rewrite changes nothing about the result
+            naive = li.join(orders, li.l_orderkey == orders.o_orderkey)
+            assert jb.count() == naive.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_b")
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_partition_pruned_scan(spark, sf_dir, tmp_path):
+    """Writing events hive-partitioned by day turns date predicates into
+    partition pruning: the scan must list only matching partitions, with
+    the predicate in PartitionFilters, not a post-scan Filter."""
+    out = str(tmp_path / "events_by_day")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    days = [r["day"] for r in ev.select("day").distinct().collect()]
+    pick = sorted(days)[0]
+
+    scan = spark.read.parquet(out).filter(F.col("day") == pick)
+    plan = _plan(scan)
+    assert "PartitionFilters" in plan and "day" in plan
+    n_total = ev.count()
+    n_picked = scan.count()
+    assert 0 < n_picked < n_total
+
+
+def test_bucketed_range_join_has_no_nested_loop(spark, sf_dir):
+    """q12b's bucket-blocking must turn the keyless range join into an
+    equi-join — a BroadcastNestedLoopJoin here means the rewrite regressed
+    to the O(P×C) pair space."""
+    df = REGISTRY["q12b_bucketed_range_join"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_deterministic_sample_is_map_side_only(spark, sf_dir):
+    """Hash sampling must be a pure scan+filter — any Exchange means the
+    'embarrassingly parallel' claim is false."""
+    df = REGISTRY["sample_deterministic"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan
