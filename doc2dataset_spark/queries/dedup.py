@@ -491,3 +491,76 @@ def dedup_embedding_cosine(spark, sf_dir):
         )
         .filter(F.col("cos") >= 0.4)
     )
+
+
+# ---------------------------------------------------------------------------
+# connected components: near-dup pairs → canonical clusters
+# ---------------------------------------------------------------------------
+_CC_ORACLE = _SIMHASH_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1) + """
+, bands AS (
+  SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS bandval
+  FROM fp, (SELECT unnest(range(4)) AS k)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION ALL SELECT db, da FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id
+FROM walk GROUP BY node
+"""
+
+
+@query("dedup_cluster_cc", oracle=_CC_ORACLE, tags=("dedup", "documents", "graph"))
+def dedup_cluster_cc(spark, sf_dir):
+    """connected components over SimHash near-dup pairs: every doc in a
+    dup cluster labeled with the cluster's minimal doc_id — the step that
+    turns pairwise dedup output into keep/drop decisions.
+
+    Iterative min-label propagation (the classic large-scale CC algorithm:
+    each round, every node adopts the min label among itself and its
+    neighbors; converges in O(diameter) rounds). Driver sees only a scalar
+    convergence counter per round; all data stays distributed, each round
+    is one shuffle keyed by node, lineage cut via localCheckpoint so plans
+    don't grow with iterations. DuckDB's oracle is the recursive-CTE
+    transitive closure — exact equality of cluster ids is the gate."""
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("da", "db")
+    edges = pairs.union(
+        pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
+    ).toDF("src", "dst").localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # diameter bound; early-exits on convergence
+        prop = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
