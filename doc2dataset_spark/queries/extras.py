@@ -219,3 +219,91 @@ def sample_deterministic(spark, sf_dir):
     return o.filter(h % 100 < SAMPLE_PCT).select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT-typed semi-structured data (Spark 4)
+# ---------------------------------------------------------------------------
+@query(
+    "q28b_variant",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k
+    FROM events
+    WHERE json_extract_string(props, '$.k')::BIGINT >= 50
+    GROUP BY event_type
+    """,
+    tags=("relational", "nested", "variant"),
+)
+def q28b_variant(spark, sf_dir):
+    """semi-structured props via the VARIANT type (Spark 4): parse once to
+    the binary variant encoding, then typed path extraction — the
+    schema-on-read path for heterogeneous event payloads at 100 TB, where
+    repeated get_json_object calls would re-parse the JSON string per
+    field. q28 is the string-path twin."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy string matching: levenshtein pairs with blocking
+# ---------------------------------------------------------------------------
+LEV_MAX = 3
+
+
+@query(
+    "fuzzy_levenshtein_pairs",
+    oracle=f"""
+    SELECT blk,
+           count(*) AS n_candidates,
+           sum(CASE WHEN dist BETWEEN 1 AND {LEV_MAX} THEN 1 ELSE 0 END)
+             ::BIGINT AS n_fuzzy,
+           sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+           min(CASE WHEN dist >= 1 THEN dist END)::INT AS min_dist
+    FROM (
+      SELECT split_part(a.p_name, ' ', 2) AS blk,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM part a JOIN part b
+        ON split_part(a.p_name, ' ', 2) = split_part(b.p_name, ' ', 2)
+       AND a.p_partkey < b.p_partkey
+    ) GROUP BY blk
+    """,
+    tags=("dedup", "fuzzy"),
+)
+def fuzzy_levenshtein_pairs(spark, sf_dir):
+    """entity resolution on part names: candidates blocked by the type noun
+    (second word — the pair space is per-block, never the full cross
+    product), scored by integer Levenshtein, rolled up per block (exact
+    dup / fuzzy-dup ≤ 3 edits / closest non-identical). Both engines
+    implement classic edit distance, so the per-block counts are exact."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("blk"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.blk").alias("blk"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+    )
+    return pairs.groupBy("blk").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("dist").between(1, LEV_MAX), 1).otherwise(0)
+        ).alias("n_fuzzy"),
+        F.sum(F.when(F.col("dist") == 0, 1).otherwise(0)).alias("n_exact"),
+        F.min(F.when(F.col("dist") >= 1, F.col("dist")))
+        .cast("int")
+        .alias("min_dist"),
+    )

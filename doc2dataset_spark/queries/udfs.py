@@ -125,3 +125,51 @@ def q36_explode_udtf(spark, sf_dir):
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return d.select("doc_id", F.explode(first_tokens("text")).alias("token"))
+
+
+# ---------------------------------------------------------------------------
+# real Python UDTF (Spark 4): one input row → many output rows, with state
+# ---------------------------------------------------------------------------
+@query(
+    "q36_python_udtf",
+    oracle=r"""
+    SELECT doc_id, (pos - 1)::INT AS pos, token
+    FROM (
+      SELECT doc_id,
+             generate_subscripts(toks, 1) AS pos, unnest(toks) AS token
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'),
+                           t -> t <> '') AS toks
+        FROM documents WHERE doc_id < 20
+      )
+    ) WHERE token LIKE '%a%'
+    """,
+    tags=("udf", "documents"),
+)
+def q36_python_udtf(spark, sf_dir):
+    """native Python UDTF (Spark 4 `udtf` API, not explode-emulation):
+    tokenizes each doc and emits (pos, token) rows for tokens containing
+    'a' — a table function with per-row fan-out and in-function filtering,
+    the exact shape of the reference's doc→pages loop with its per-page
+    skip conditions (`downloader.py:148-216`)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string")
+    class TokenizeFilter:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for pos, tok in enumerate(t for t in text.lower().split() if t):
+                if "a" in tok:
+                    yield pos, tok
+
+    spark.udtf.register("tokenize_filter", TokenizeFilter)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM udtf_docs d, LATERAL tokenize_filter(d.text) t
+        """
+    )
