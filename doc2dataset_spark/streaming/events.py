@@ -77,12 +77,14 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_to_memory(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
+def run_to_memory(
+    spark: SparkSession, agg: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a finite stream to completion into an in-memory table
     (the local smoke harness; production uses kafka/delta sinks +
     checkpointLocation)."""
     q = (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .start()
@@ -90,3 +92,15 @@ def run_to_memory(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup via dropDuplicatesWithinWatermark: drops every
+    record whose (user_id, event_type, ts) was already seen within the
+    watermark horizon — the streaming twin of dedup_exact, with state
+    bounded by the watermark instead of growing forever (the property that
+    makes exactly-once ingestion dedup viable on an unbounded 100 TB/day
+    stream; plain dropDuplicates would accumulate state without bound)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )

@@ -48,3 +48,30 @@ def test_session_window_stream(spark, sf_dir):
     b = batch_sessions.toPandas().set_index("user_id")["n_sessions"]
     s = stream_sessions.toPandas().set_index("user_id")["n_sessions"]
     assert (b.sort_index() == s.sort_index()).all()
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir):
+    """Streamed dedup must equal batch dropDuplicates on the same finite
+    input with duplicates injected (every event duplicated once)."""
+    from doc2dataset_spark.streaming.events import dedup_stream
+
+    stream = stream_events(spark, sf_dir)
+    doubled = stream.union(stream)  # same source twice = exact duplicates
+    got = run_to_memory(
+        spark, dedup_stream(doubled), "dedup_stream_out", output_mode="append"
+    )
+    batch = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    n_expected = batch.dropDuplicates(
+        ["user_id", "event_type", "ts"]
+    ).count()
+    assert got.select("user_id", "event_type", "ts").distinct().count() == n_expected
+    # no key survives twice
+    dupes = (
+        got.groupBy("user_id", "event_type", "ts")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dupes == 0
