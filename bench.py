@@ -44,6 +44,13 @@ HEADLINE = [
     "q35_term_freq",
     "text_quality_score",
     "text_fingerprint",
+    # second-wave scale patterns
+    "q12b_bucketed_range_join",  # keyless range join via bucket blocking
+    "sim_ann_ivf",               # IVF cells ANN
+    "agg_percentiles",           # exact interpolated percentiles
+    "text_tfidf_topk",           # two-shuffle TF-IDF
+    "sample_deterministic",      # map-side hash sampling
+    "dedup_cluster_cc",          # iterative connected components
 ]
 
 RUNS_PER_QUERY = 2  # report the warm run: steady-state cost, not JIT warmup

@@ -99,3 +99,54 @@ def test_deterministic_sample_is_map_side_only(spark, sf_dir):
     df = REGISTRY["sample_deterministic"].builder(spark, sf_dir)
     plan = _plan(df)
     assert "Exchange" not in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir, tmp_path):
+    """AQE skew-join handling: a synthetic 90%-hot key would pin one reducer;
+    with skewedJoin enabled and thresholds scaled to this fixture, the
+    optimizer must split the hot partition (OptimizeSkewedJoin) — the same
+    mechanism that absorbs shard-size skew at 100 TB (SURVEY §4: documents
+    vary wildly in page count)."""
+    from pyspark.sql import functions as F
+
+    n = 200_000
+    skewed = spark.range(n).select(
+        F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 97).alias("payload"),
+    )
+    dim = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dval")
+    )
+    # park both sides as parquet so stats come from files, as in production
+    skewed.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    conf = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        d = spark.read.parquet(str(tmp_path / "dim"))
+        joined = fact.join(d, "k")
+        # collect (not count) so THIS df's adaptive plan is the one finalized
+        assert len(joined.collect()) == n  # every fact row matches one dim
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = joined._jdf.queryExecution().explainString(mode)
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
