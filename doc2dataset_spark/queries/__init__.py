@@ -44,3 +44,7 @@ try:
     from doc2dataset_spark.queries import extras  # noqa: F401
 except ImportError:  # pragma: no cover
     pass
+try:
+    from doc2dataset_spark.queries import ml  # noqa: F401
+except ImportError:  # pragma: no cover
+    pass
