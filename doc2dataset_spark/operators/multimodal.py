@@ -183,3 +183,86 @@ def video_frame_sample(
             yield pd.DataFrame(rows, columns=[*passthrough, "frame_no", "frame"])
 
     return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# audio: FAKEAUD1 | sample_rate u32be | channels u8 | n_samples u32be |
+#        samples int16le (interleaved) — swap decode_waveform for
+#        soundfile/ffmpeg at deployment, nothing above the boundary changes
+# ---------------------------------------------------------------------------
+AUD_MAGIC = b"FAKEAUD1"
+AUDIO_META_SCHEMA = (
+    "sample_rate int, channels int, n_samples int, duration_s double, "
+    "rms double, peak int"
+)
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:
+    """samples: (n, channels) int16 array → FAKEAUD1 bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, c = samples.shape
+    return (
+        AUD_MAGIC
+        + struct.pack(">IBI", sample_rate, c, n)
+        + samples.astype("<i2").tobytes()
+    )
+
+
+def decode_waveform(data: bytes) -> tuple[np.ndarray, int]:
+    """bytes → ((n, channels) int16 array, sample_rate)."""
+    if data.startswith(AUD_MAGIC):
+        rate, c, n = struct.unpack(">IBI", data[8:17])
+        arr = np.frombuffer(data[17 : 17 + n * c * 2], dtype="<i2")
+        return arr.reshape(n, c), rate
+    raise NotImplementedError(
+        "real audio codecs need soundfile/ffmpeg (not installed); engine "
+        "tested via the FAKEAUD1 container"
+    )
+
+
+def audio_features(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """decode + feature-extract: duration / RMS energy / peak per clip.
+    Integer sample math (sum of squares over int64) keeps the features
+    deterministic across partitionings."""
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    )
+    schema = f"{in_fields}, {AUDIO_META_SCHEMA}"
+    passthrough = [f.name for f in df.schema.fields if f.name != media_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                base = {c: rec[c] for c in passthrough}
+                try:
+                    arr, rate = decode_waveform(bytes(rec[media_col]))
+                    n = arr.shape[0]
+                    sq = int((arr.astype(np.int64) ** 2).sum())
+                    rows.append(
+                        {
+                            **base,
+                            "sample_rate": rate,
+                            "channels": arr.shape[1],
+                            "n_samples": n,
+                            "duration_s": round(n / rate, 4),
+                            "rms": round((sq / max(arr.size, 1)) ** 0.5, 4),
+                            "peak": int(np.abs(arr).max()) if n else 0,
+                        }
+                    )
+                except Exception:  # noqa: BLE001
+                    rows.append(
+                        {**base, "sample_rate": None, "channels": None,
+                         "n_samples": None, "duration_s": None, "rms": None,
+                         "peak": None}
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[*passthrough, "sample_rate", "channels",
+                         "n_samples", "duration_s", "rms", "peak"],
+            )
+
+    return df.mapInPandas(run, schema=schema)

@@ -48,3 +48,23 @@ def multimodal_frame_sample(spark, sf_dir):
     return video_frame_sample(df, every_k=2).select(
         "vid", "frame_no", F.length("frame").alias("frame_bytes")
     )
+
+
+@query("multimodal_audio_features", oracle=None, tags=("multimodal",))
+def multimodal_audio_features(spark, sf_dir):
+    """audio decode + feature extraction (duration/RMS/peak) over a binary
+    waveform column — integer sample math, deterministic."""
+    from doc2dataset_spark.operators.multimodal import audio_features, encode_audio
+
+    clips = []
+    for i in range(12):
+        rng = np.random.RandomState(200 + i)
+        rate = 8000 * (1 + i % 3)
+        n = rate // 2 + i * 37
+        samples = rng.randint(-3000, 3000, size=(n, 1 + i % 2), dtype=np.int64)
+        clips.append((i, encode_audio(samples.astype(np.int16), rate)))
+    df = spark.createDataFrame(clips, "clip_id long, media binary")
+    return audio_features(df).select(
+        "clip_id", "sample_rate", "channels", "n_samples", "duration_s",
+        "rms", "peak",
+    )

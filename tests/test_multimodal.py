@@ -65,3 +65,44 @@ def test_video_frame_sample(spark):
     ]
     f0 = decode_raster(bytes(sorted(out, key=lambda r: r["frame_no"])[0]["frame"]))
     assert np.array_equal(f0, frames[0])
+
+
+def test_audio_features_roundtrip(spark):
+    import numpy as np
+
+    from doc2dataset_spark.operators.multimodal import (
+        audio_features,
+        decode_waveform,
+        encode_audio,
+    )
+
+    rng = np.random.RandomState(7)
+    samples = rng.randint(-2000, 2000, size=(16000, 2), dtype=np.int64).astype(
+        np.int16
+    )
+    blob = encode_audio(samples, 16000)
+    arr, rate = decode_waveform(blob)
+    assert rate == 16000 and arr.shape == (16000, 2)
+    assert (arr == samples).all()
+
+    df = spark.createDataFrame([(1, blob)], "clip_id long, media binary")
+    row = audio_features(df).collect()[0]
+    assert row["duration_s"] == 1.0
+    assert row["channels"] == 2
+    assert row["peak"] == int(np.abs(samples).max())
+    want_rms = round(float((samples.astype(np.int64) ** 2).sum() / samples.size) ** 0.5, 4)
+    assert row["rms"] == want_rms
+
+
+def test_audio_features_bad_blob_yields_nulls(spark):
+    df = spark.createDataFrame(
+        [(1, b"not audio")], "clip_id long, media binary"
+    )
+    row = audio_features_import()(df).collect()[0]
+    assert row["sample_rate"] is None and row["rms"] is None
+
+
+def audio_features_import():
+    from doc2dataset_spark.operators.multimodal import audio_features
+
+    return audio_features
