@@ -35,6 +35,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -89,6 +90,49 @@ class WebDatasetReader(DataSourceReader):
             text = parts.get(self.text_ext)
             meta = parts.get(self.meta_ext)
             yield (key, text, meta.decode("utf-8") if meta is not None else None)
+
+
+class WebDatasetStreamReader(DataSourceStreamReader):
+    """Incremental tar-shard ingestion: each micro-batch picks up shards
+    that landed since the last offset. The offset is the count of files in
+    the lexicographically-sorted listing — correct under the append-only,
+    monotonically-named layout the writer produces (part-00000, part-00001,
+    …), which is also how WebDataset corpora grow in production (a shard is
+    finished, then named into place; rename is atomic on the same fs)."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("webdataset stream reader requires a path")
+        self.text_ext = options.get("text_ext", "text")
+        self.meta_ext = options.get("meta_ext", "json")
+
+    def _listing(self) -> list[str]:
+        return sorted(glob.glob(os.path.join(self.path, "*.tar")))
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(self._listing())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._listing()[start["n"] : end["n"]]
+        return [TarShard(p) for p in files] or [TarShard("")]
+
+    def read(self, partition: TarShard):
+        if not partition.path:  # empty batch placeholder
+            return
+        yield from WebDatasetReader(
+            {
+                "path": self.path,
+                "text_ext": self.text_ext,
+                "meta_ext": self.meta_ext,
+            }
+        ).read(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # progress is tracked by Spark's offset log
 
 
 class WebDatasetWriter(DataSourceWriter):
@@ -185,6 +229,9 @@ class WebDatasetDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WebDatasetReader:
         return WebDatasetReader(self.options)
+
+    def streamReader(self, schema: StructType) -> WebDatasetStreamReader:
+        return WebDatasetStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> WebDatasetWriter:
         return WebDatasetWriter(self.options, schema, overwrite)

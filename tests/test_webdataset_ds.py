@@ -101,3 +101,47 @@ def test_member_naming_webdataset_convention(registered, tmp_path):
     assert names == sorted(
         [f"{k:05d}.text" for k in range(4)] + [f"{k:05d}.json" for k in range(4)]
     )
+
+
+def test_stream_reader_incremental_shards(registered, tmp_path):
+    """readStream picks up tar shards incrementally: first micro-batch sees
+    the initial shards, later batches only the newly-landed ones."""
+    import shutil
+
+    spark = registered
+    out = str(tmp_path / "stream_src")
+    stage = str(tmp_path / "stage")
+    _sample_df(spark, n=12).repartition(3, "key").write.format(
+        "webdataset"
+    ).mode("overwrite").save(stage)
+    staged = sorted(glob.glob(os.path.join(stage, "part-*.tar")))
+    assert len(staged) == 3
+    os.makedirs(out)
+    shutil.copy(staged[0], os.path.join(out, "part-00000.tar"))
+
+    stream = spark.readStream.format("webdataset").load(out)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wds_stream")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT count(*) FROM wds_stream").collect()[0][0]
+        # land two more shards with later names, then drain again
+        shutil.copy(staged[1], os.path.join(out, "part-00001.tar"))
+        shutil.copy(staged[2], os.path.join(out, "part-00002.tar"))
+        q.processAllAvailable()
+        n2 = spark.sql("SELECT count(*) FROM wds_stream").collect()[0][0]
+    finally:
+        q.stop()
+    assert 0 < n1 < n2 == 12
+    # no sample read twice across micro-batches
+    assert (
+        spark.sql("SELECT count(DISTINCT key) FROM wds_stream").collect()[0][0]
+        == 12
+    )
