@@ -564,3 +564,67 @@ def dedup_cluster_cc(spark, sf_dir):
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# decontamination: asymmetric n-gram containment of a test set in the corpus
+# ---------------------------------------------------------------------------
+N_TEST_DOCS = 50
+CONTAIN_THRESHOLD = 0.5
+
+_CONTAIN_ORACLE = f"""
+WITH sd AS (
+  SELECT doc_id, unnest({_DSHINGLES}) AS sh
+  FROM documents
+), tcnt AS (
+  SELECT doc_id, count(*) AS n FROM sd WHERE doc_id < {N_TEST_DOCS}
+  GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS test_id, b.doc_id AS corpus_id, count(*) AS sh_n
+  FROM sd a JOIN sd b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  WHERE a.doc_id < {N_TEST_DOCS}
+  GROUP BY 1, 2
+)
+SELECT test_id, corpus_id,
+       round(sh_n::DOUBLE / t.n, 4) AS containment
+FROM shared JOIN tcnt t ON t.doc_id = test_id
+WHERE sh_n::DOUBLE / t.n >= {CONTAIN_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=_CONTAIN_ORACLE,
+    tags=("dedup", "documents", "decontamination"),
+)
+def dedup_ngram_containment(spark, sf_dir):
+    """test-set decontamination: for each held-out doc (doc_id < 50), the
+    fraction of its 3-gram shingles contained in any other document —
+    containment |A∩B| / |A| is the asymmetric leak metric (Jaccard misses
+    a short test doc swallowed by a long training doc). Blocked on the
+    shared shingle; the test side is tiny so its shingle frame broadcasts,
+    and the corpus side streams through the join at any scale."""
+    from pyspark.sql import Window as W
+
+    sd = _doc_shingles(spark, sf_dir)
+    test = (
+        sd.filter(F.col("doc_id") < N_TEST_DOCS)
+        .withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
+        .select(
+            F.col("doc_id").alias("test_id"), F.col("sh").alias("tsh"), "n"
+        )
+    )
+    shared = (
+        F.broadcast(test)
+        .join(
+            sd,
+            (F.col("tsh") == F.col("sh"))
+            & (F.col("test_id") != F.col("doc_id")),
+        )
+        .groupBy("test_id", F.col("doc_id").alias("corpus_id"), "n")
+        .agg(F.count("*").alias("sh_n"))
+    )
+    contain = F.col("sh_n").cast("double") / F.col("n")
+    return shared.filter(contain >= CONTAIN_THRESHOLD).select(
+        "test_id", "corpus_id", F.round(contain, 4).alias("containment")
+    )
