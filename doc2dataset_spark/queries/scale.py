@@ -80,11 +80,24 @@ def sim_ann_ivf(spark, sf_dir):
         "cent_id",
         spark_dot(F.col("ne"), F.col("ce")).alias("sim"),
     )
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+    # argmax via max(struct): picks max sim, tie -> max(-cent_id) = min
+    # cent_id — the same (sim DESC, cent_id ASC) choice a row_number window
+    # makes, but as a hash aggregate with map-side combine instead of a
+    # per-vector window sort (cent_id is unique per vec so the trailing
+    # fields never participate in the comparison)
     assign = (
-        scored_cells.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "ne", "cent_id")
+        scored_cells.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("cent_id")).alias("neg_cent"),
+                    F.col("cent_id"),
+                    F.col("ne"),
+                )
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.ne").alias("ne"), F.col("best.cent_id").alias("cent_id"))
     )
     q = assign.alias("q")
     c = assign.alias("c")
