@@ -307,3 +307,73 @@ def fuzzy_levenshtein_pairs(spark, sf_dir):
         .cast("int")
         .alias("min_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cube / grouping sets (completes SURVEY Q17's rollup)
+# ---------------------------------------------------------------------------
+@query(
+    "q17b_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag)::INT * 2 + GROUPING(l_linestatus)::INT
+             AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("relational", "agg"),
+)
+def q17b_cube(spark, sf_dir):
+    """full cube over (returnflag, linestatus) with grouping_id — all four
+    grouping sets in one pass (Spark expands to a single Expand + hash
+    aggregate, one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified deterministic sampling
+# ---------------------------------------------------------------------------
+# per-language sampling rates (percent) — downsample the dominant stratum
+STRATA_PCT = {"en": 10, "de": 50, "fr": 50}
+DEFAULT_PCT = 80
+
+
+def _rate_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(STRATA_PCT.items())
+    )
+    return f"CASE {col} {whens} ELSE {DEFAULT_PCT} END"
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang, count(*) AS n_kept
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 100
+          < ({_rate_sql("lang")})
+    GROUP BY lang
+    """,
+    tags=("scale", "sampling", "documents"),
+)
+def sample_stratified(spark, sf_dir):
+    """stratified corpus sampling: per-language keep rates (downsample the
+    dominant language, keep the tail) decided row-locally from the md5
+    hash — no shuffle, no RNG state, reproducible across engines and
+    reruns; the balanced-corpus primitive at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "cast(conv(substring(md5(cast(doc_id AS string)), 1, 12), 16, 10)"
+        " AS bigint)"
+    )
+    rate = F.expr(_rate_sql("lang"))
+    return (
+        d.filter((h % 100) < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )

@@ -51,7 +51,10 @@ def test_no_cartesian_in_blocked_operators(spark, sf_dir):
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash_pairs",
+        "dedup_ngram_containment",
+        "fuzzy_levenshtein_pairs",
         "sim_ann_hyperplane",
+        "sim_ann_ivf",
     ]:
         plan = plan_of(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
