@@ -377,3 +377,38 @@ def sample_stratified(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count("*").alias("n_kept"))
     )
+
+
+# ---------------------------------------------------------------------------
+# unpivot / melt (inverse of Q29's pivot)
+# ---------------------------------------------------------------------------
+@query(
+    "q29b_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, val FROM (
+      SELECT o_orderkey,
+             o_totalprice AS price,
+             o_custkey::DOUBLE AS cust
+      FROM orders WHERE o_orderkey < 1000
+    ) UNPIVOT (val FOR metric IN (price, cust))
+    """,
+    tags=("relational", "pivot"),
+)
+def q29b_unpivot(spark, sf_dir):
+    """wide→long unpivot (melt) — the inverse of Q29's pivot; Spark's
+    native unpivot expands map-side (an Expand node, no shuffle)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("o_custkey").cast("double").alias("cust"),
+        )
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["price", "cust"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -173,3 +173,38 @@ def q36_python_udtf(spark, sf_dir):
         FROM udtf_docs d, LATERAL tokenize_filter(d.text) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: RecordBatch-level UDF (no pandas conversion at all)
+# ---------------------------------------------------------------------------
+@query(
+    "q36_map_in_arrow",
+    oracle="""
+    SELECT doc_id, n_chars * 2 AS dbl_chars
+    FROM documents WHERE n_chars % 2 = 0
+    """,
+    tags=("udf", "documents"),
+)
+def q36_map_in_arrow(spark, sf_dir):
+    """Arrow-native batch UDF (mapInArrow): operates on pyarrow
+    RecordBatches directly — no pandas materialization, the cheapest
+    Python boundary Spark has (the fetch/extract operators' upgrade path
+    when per-row Python objects aren't needed)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def op(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            keep = t.filter(pc.equal(pc.bit_wise_and(t["n_chars"], 1), 0))
+            out = pa.table(
+                {
+                    "doc_id": keep["doc_id"],
+                    "dbl_chars": pc.multiply(keep["n_chars"], 2),
+                }
+            )
+            yield from out.to_batches()
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return d.mapInArrow(op, schema="doc_id long, dbl_chars long")
