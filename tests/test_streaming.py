@@ -75,3 +75,44 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
         .count()
     )
     assert dupes == 0
+
+
+def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch writes land partitioned by batch id; replaying the
+    same input into a fresh stream (same batches) produces the same rows,
+    and re-running with the same checkpoint adds nothing."""
+    from doc2dataset_spark.streaming.events import run_foreach_batch_upsert
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    agg = (
+        stream_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    run_foreach_batch_upsert(spark, agg, out, ckpt)
+    first = spark.read.parquet(out)
+    n_types = first.select("event_type").distinct().count()
+    assert n_types == 5
+
+    # same checkpoint, no new data: a restart must not duplicate output
+    run_foreach_batch_upsert(spark, agg, out, ckpt)
+    again = spark.read.parquet(out)
+    assert again.count() == first.count()
+    # final counts equal the batch answer
+    batch = load_table(spark, sf_dir, "events").groupBy("event_type").count()
+    want = {r["event_type"]: r["count"] for r in batch.collect()}
+    # take the last batch_id per event_type (update mode emits increments)
+    from pyspark.sql import Window as W
+
+    latest = (
+        again.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(F.desc("batch_id"))
+            ),
+        )
+        .filter("rn = 1")
+    )
+    got = {r["event_type"]: r["n"] for r in latest.collect()}
+    assert got == want
