@@ -412,3 +412,34 @@ def q29b_unpivot(spark, sf_dir):
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable HLL sketches (Datasketches) — the 100 TB cardinality pattern
+# ---------------------------------------------------------------------------
+@query(
+    "q16c_hll_sketch",
+    oracle=None,  # sketch estimate: rows-only gate; exact twin is
+    #               q16_count_distinct (tolerance asserted in tests)
+    tags=("agg", "scale", "sketch"),
+)
+def q16c_hll_sketch(spark, sf_dir):
+    """per-priority distinct customers via HLL sketches: per-partition
+    sketch build + sketch MERGE (hll_union_agg of partial sketches) —
+    the re-aggregable form that powers rollups over pre-sketched data at
+    100 TB, where exact countDistinct would re-shuffle raw keys. The
+    two-level build here (partial sketches per orderdate-year, merged per
+    priority) proves the merge path, not just the direct aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    partials = o.groupBy(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    ).agg(F.expr("hll_sketch_agg(o_custkey)").alias("sk"))
+    return (
+        partials.groupBy("o_orderpriority")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "approx_custs"
+            )
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -32,3 +32,26 @@ def test_docstrings_present():
     every query carries a docstring."""
     missing = [n for n, s in REGISTRY.items() if not (s.doc or "").strip()]
     assert not missing, missing
+
+
+def test_hll_sketch_close_to_exact(spark, sf_dir):
+    """merged-sketch estimates must land within HLL's error envelope of
+    the exact count (lgConfigK default 12 → ~1.6% rse; assert 5%)."""
+    from pyspark.sql import functions as F
+
+    from doc2dataset_spark.session import load_table
+
+    got = {
+        r["o_orderpriority"]: r["approx_custs"]
+        for r in REGISTRY["q16c_hll_sketch"].builder(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert abs(got[k] - e) / e < 0.05, (k, got[k], e)
