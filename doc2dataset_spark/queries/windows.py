@@ -89,22 +89,28 @@ def q21(spark, sf_dir):
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER
-             (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             (PARTITION BY l_suppkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)::DOUBLE
              AS running_qty,
            round(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER w3 ::DOUBLE
                  / COUNT(*) OVER w3, 4) AS slide_avg
     FROM lineitem
     WINDOW w3 AS (PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
     tags=("relational", "window"),
 )
 def q22(spark, sf_dir):
-    """running sum (unbounded→current) + sliding 3-row average."""
+    """running sum (unbounded→current) + sliding 3-row average.
+
+    The synthetic lineitem is NOT (orderkey, linenumber)-unique (sf0.1 has
+    one full ordering-tuple collision), so l_quantity joins the ORDER BY:
+    rows still tied after that are interchangeable for a quantity running
+    sum, making the frame deterministic without a unique key."""
     li = load_table(spark, sf_dir, "lineitem")
-    order = ["l_shipdate", "l_orderkey", "l_linenumber"]
+    order = ["l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"]
     w_run = (
         W.partitionBy("l_suppkey").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
     )
