@@ -150,3 +150,51 @@ def test_aqe_skew_join_splits_hot_partition(spark, sf_dir, tmp_path):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir, tmp_path):
+    """Runtime bloom-filter join pruning: when one join side carries a
+    selective filter, Catalyst builds a bloom filter from it and injects
+    `might_contain` into the other side's scan, dropping non-matching rows
+    BEFORE the shuffle. At 100 TB this turns 'shuffle the whole fact table'
+    into 'shuffle the ~matching slice' — the runtime analog of the static
+    partition-pruning test above. Thresholds are scaled down to fire on
+    this fixture-sized input."""
+    from pyspark.sql import functions as F
+
+    n = 300_000
+    fact = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("payload")
+    )
+    dim = spark.range(n).select(F.col("id").alias("k"), (F.col("id") * 2).alias("dval"))
+    fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        # default is 10GB — production-sized; lowered so the fixture qualifies
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        f = spark.read.parquet(str(tmp_path / "fact"))
+        # dval % 1000 == 0 keeps 1 dim row in 500: selective creation side
+        d = spark.read.parquet(str(tmp_path / "dim")).filter(
+            F.col("dval") % 1000 == 0
+        )
+        joined = f.join(d, "k")
+        assert joined.count() == n // 500
+        plan = _plan(joined)
+        assert "bloom_filter_agg" in plan, plan[:2000]
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
