@@ -258,3 +258,71 @@ def text_fingerprint(spark, sf_dir):
         " ELSE md5(sub) END"
     )
     return n.select("doc_id", "fp_full", fp_min.alias("fp_min"))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate n-gram contamination (RefinedWeb/CCNet-style line-dedup analog)
+# ---------------------------------------------------------------------------
+_BOILER_DF = 4  # a 3-gram present in >= this many docs is boilerplate
+
+
+@query(
+    "text_boilerplate",
+    oracle=f"""
+    WITH sd AS (
+      SELECT doc_id, unnest(
+        list_distinct(list_transform(range(1, len({_DTOKS}) - 1),
+          i -> {_DTOKS}[i] || ' ' || {_DTOKS}[i+1] || ' ' || {_DTOKS}[i+2]))
+      ) AS sh
+      FROM documents
+    ), boiler AS (
+      SELECT sh FROM sd GROUP BY sh HAVING count(*) >= {_BOILER_DF}
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_sh,
+           sum(CASE WHEN boiler.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_boiler,
+           round(sum(CASE WHEN boiler.sh IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 4) AS boiler_ratio
+    FROM sd LEFT JOIN boiler USING (sh)
+    GROUP BY doc_id
+    HAVING n_boiler > 0
+    """,
+    tags=("text", "dedup", "documents"),
+)
+def text_boilerplate(spark, sf_dir):
+    """Boilerplate contamination score per document: word-3-grams shared by
+    >= _BOILER_DF distinct documents are 'boilerplate'; each doc reports its
+    distinct-shingle count, how many are boilerplate, and the ratio.
+
+    The batch analog of CCNet/RefinedWeb repeated-line removal. Scale shape:
+    phrase document-frequency is a map-side-combinable count on uniform
+    shingle keys; the resulting boilerplate set is tiny (power-law tail) so
+    the flagging join is a broadcast; one shuffle total for the per-doc
+    roll-up. Integer counts make the ratio bit-exact across engines.
+    (Reference has no corpus-level text ops; nearest is per-page word count,
+    extractor.py:28-31.)"""
+    from doc2dataset_spark.queries.dedup import _doc_shingles
+
+    sd = _doc_shingles(spark, sf_dir)
+    boiler = (
+        sd.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= _BOILER_DF)
+        .select("sh", F.lit(1).alias("is_b"))
+    )
+    return (
+        sd.join(F.broadcast(boiler), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.coalesce(F.sum("is_b"), F.lit(0)).alias("n_boiler"),
+        )
+        .filter(F.col("n_boiler") > 0)
+        .select(
+            "doc_id",
+            "n_sh",
+            "n_boiler",
+            F.round(F.col("n_boiler") / F.col("n_sh"), 4).alias("boiler_ratio"),
+        )
+    )
