@@ -461,6 +461,9 @@ NORM_EMB_DUCK = """
 """
 
 
+N_EMB_BLOCKS = 16  # pair-space tiling factor; ~sqrt(target parallelism)
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -473,23 +476,138 @@ NORM_EMB_DUCK = """
     tags=("dedup", "embeddings"),
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """embedding near-dup pairs with cosine ≥ 0.4 (raw doubles — Spark's
-    fold and DuckDB's list_dot_product are bit-identical; vectors are
-    unit-normalized once so each pair costs one dot product). The pairwise
-    form is the verification kernel; at 100 TB candidates come from the
-    LSH buckets in sim_ann_hyperplane, not a cross join."""
+    """embedding near-dup pairs with cosine ≥ 0.4, exact, as a
+    **tile-partitioned pair join**: vectors are hashed into B blocks, the
+    upper-triangular B×(B+1)/2 block-pair list becomes the (tiny,
+    broadcast) tile table, and each tile key is one shuffle partition's
+    worth of work in an ordinary equi-join on (ba, bb).
+
+    Why this shape: exact threshold-0.4 semantics is intrinsically O(n²)
+    (measured here: no LSH/IVF blocking attains 100% recall below ~1× the
+    pair space — the qualifying pairs are a distribution tail, not tight
+    clusters), so the scalable form is not a smaller candidate set but a
+    *distributable* one. A naive `a.vec_id < b.vec_id` join is a
+    BroadcastNestedLoopJoin — it ships one ENTIRE side to every executor
+    and dies at scale. The tile join shuffles each row to ~B/2 tiles, so
+    per-task memory is two n/B-sized blocks (pick B ≈ √cores so tiles
+    saturate the cluster) and no executor ever holds a full side. Same
+    results, bit-identical doubles, plan-asserted no-nested-loop.
+    For sub-quadratic *approximate* semantics see dedup_embedding_cell.
+    """
+    B = N_EMB_BLOCKS
     n = normalized_embeddings(spark, sf_dir)
-    a = n.alias("a")
-    b = n.alias("b")
+    v = n.select(
+        "vec_id", "ne", F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk")
+    )
+    tiles = spark.createDataFrame(
+        [(i, j) for i in range(B) for j in range(i, B)], "ba int, bb int"
+    )
+    left = v.join(F.broadcast(tiles), F.col("blk") == F.col("ba")).select(
+        "ba", "bb", F.col("vec_id").alias("ua"), F.col("ne").alias("na")
+    )
+    right = v.join(F.broadcast(tiles), F.col("blk") == F.col("bb")).select(
+        "ba", "bb", F.col("vec_id").alias("ub"), F.col("ne").alias("nb")
+    )
+    cand = left.join(right, ["ba", "bb"]).filter(
+        # off-diagonal tiles meet each unordered pair once by construction;
+        # diagonal tiles see both orders -> keep the ascending one
+        (F.col("ba") != F.col("bb")) | (F.col("ua") < F.col("ub"))
+    )
+    cos = spark_dot(F.col("na"), F.col("nb"))
+    return cand.select(
+        F.least("ua", "ub").alias("va"),
+        F.greatest("ua", "ub").alias("vb"),
+        cos.alias("cos"),
+    ).filter(F.col("cos") >= 0.4)
+
+
+# cell-blocked (SemDeDup-style) embedding dedup: the sub-quadratic path
+CELL_THRESHOLD = 0.3
+
+_IVF_ASSIGN_DUCK = f"""
+    n AS ({NORM_EMB_DUCK}),
+    cents AS (SELECT vec_id AS cent_id, ne AS ce FROM n
+              WHERE vec_id < 16),
+    assign AS (
+      SELECT vec_id, ne, cent_id FROM (
+        SELECT v.vec_id, v.ne, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.ne, c.ce) DESC, c.cent_id
+               ) AS rn
+        FROM n v CROSS JOIN cents c
+      ) WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "dedup_embedding_cell",
+    oracle=f"""
+    WITH {_IVF_ASSIGN_DUCK}
+    SELECT a.vec_id AS va, b.vec_id AS vb, a.cent_id AS cell,
+           list_dot_product(a.ne, b.ne) AS cos
+    FROM assign a JOIN assign b
+      ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.ne, b.ne) >= {CELL_THRESHOLD}
+    """,
+    tags=("dedup", "embeddings", "scale"),
+)
+def dedup_embedding_cell(spark, sf_dir):
+    """cell-blocked embedding near-dup (the SemDeDup recipe, Abbas et al.
+    2023): coarse-quantize every vector to its nearest of 16 seed
+    centroids, then exact cosine ≥ CELL_THRESHOLD only WITHIN a cell.
+    Pair space drops O(n²) → O(n²/K); cross-cell pairs are declared out of
+    semantics (not silently dropped), which is exactly how published
+    100 TB embedding-dedup pipelines bound the join. The cell id is the
+    shuffle key — an equi-join, never a nested loop — and the centroid
+    table is a 16-row broadcast. The oracle mirrors the same quantization,
+    so the gate is hash-exact, not approximate."""
+    n = normalized_embeddings(spark, sf_dir)
+    # argmax over broadcast centroids as a hash aggregate (no window sort)
+    scored_cells = n.crossJoin(
+        F.broadcast(
+            n.filter(F.col("vec_id") < 16).select(
+                F.col("vec_id").alias("cent_id"), F.col("ne").alias("ce")
+            )
+        )
+    ).select(
+        "vec_id", "ne", "cent_id", spark_dot(F.col("ne"), F.col("ce")).alias("sim")
+    )
+    assign = (
+        scored_cells.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("cent_id")).alias("neg_cent"),
+                    F.col("cent_id"),
+                    F.col("ne"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.ne").alias("ne"),
+            F.col("best.cent_id").alias("cent_id"),
+        )
+    )
+    a = assign.alias("a")
+    b = assign.alias("b")
     cos = spark_dot(F.col("a.ne"), F.col("b.ne"))
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("va"),
             F.col("b.vec_id").alias("vb"),
+            F.col("a.cent_id").alias("cell"),
             cos.alias("cos"),
         )
-        .filter(F.col("cos") >= 0.4)
+        .filter(F.col("cos") >= CELL_THRESHOLD)
     )
 
 

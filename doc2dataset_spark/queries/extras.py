@@ -160,8 +160,13 @@ TFIDF_K = 3
 )
 def text_tfidf_topk(spark, sf_dir):
     """TF-IDF: tf(term,doc) · ln((N+1)/(df+1)), top-3 terms per doc.
-    Two shuffles total (tf groupBy, df groupBy) + a broadcast of the df
-    table's aggregate — the document axis never collapses to the driver."""
+    Two shuffles total (tf groupBy, df groupBy); the tf⋈df join runs on
+    `term` — both sides are already hash-partitioned by it, and the df
+    side carries NO broadcast hint: on a web corpus the vocabulary is
+    billions of terms, so forcing a broadcast OOMs every executor. AQE
+    still auto-broadcasts when the measured vocab is small, which is the
+    correct behavior at both toy and cluster scale. The scalar N rides a
+    1-row broadcast. The document axis never collapses to the driver."""
     d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
     tok = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -170,7 +175,7 @@ def text_tfidf_topk(spark, sf_dir):
     )
     n_docs = tok.select(F.countDistinct("doc_id").alias("n"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -174,9 +174,25 @@ _Q24_SQL = """
 
 @query("q24_correlated_subquery", oracle=_Q24_SQL, tags=("relational", "subquery"))
 def q24(spark, sf_dir):
-    """correlated scalar subqueries (Catalyst decorrelates to joins)."""
-    register_views(spark, sf_dir)
-    return spark.sql(_Q24_SQL)
+    """correlated scalar subquery, hand-decorrelated as the join-rewrite
+    Catalyst itself performs: per-customer (count, decimal sum) aggregate,
+    equi-joined back on o_custkey, then `price·n > sum` — an independent
+    DataFrame formulation of the oracle's correlated-subquery SQL, so the
+    gate compares two genuinely different plans. Decimal×count keeps the
+    comparison exact (no AVG precision drift across engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_sum"),
+    )
+    return (
+        o.join(per_cust, "o_custkey")
+        .filter(
+            F.col("o_totalprice").cast("decimal(18,2)") * F.col("_n")
+            > F.col("_sum")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -55,17 +55,34 @@ def test_no_cartesian_in_blocked_operators(spark, sf_dir):
         "fuzzy_levenshtein_pairs",
         "sim_ann_hyperplane",
         "sim_ann_ivf",
+        "dedup_embedding_cell",
     ]:
         plan = plan_of(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
 
 
-def test_pairwise_kernels_are_declared_cartesian(spark, sf_dir):
-    """The exact-verification kernels ARE pairwise by definition (they run
-    on candidate/bounded sets only); this documents that the plan is what
-    we think it is rather than silently changing."""
+def test_embedding_cosine_is_tiled_not_nested_loop(spark, sf_dir):
+    """The exact pairwise kernel must be the tile-partitioned equi-join,
+    never a BroadcastNestedLoopJoin / CartesianProduct: per-task memory is
+    two blocks, not an entire broadcast side."""
     plan = plan_of(spark, "dedup_embedding_cosine", sf_dir)
-    assert "NestedLoopJoin" in plan or "CartesianProduct" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the tile table itself broadcasts; the pair join shuffles on (ba, bb)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_vocab_side_not_hint_broadcast(spark, sf_dir):
+    """text_tfidf_topk's document-frequency table is one row per distinct
+    term — unbounded on a web corpus — so the code must NOT force a
+    broadcast: only the 1-row scalar N may carry a hint. Whether AQE
+    auto-broadcasts from measured runtime size is Catalyst's call and is
+    correct at any scale; what we pin is that we don't overrule it."""
+    df = REGISTRY["text_tfidf_topk"].builder(spark, sf_dir)
+    logical = str(df._jdf.queryExecution().optimizedPlan())
+    hints = [l for l in logical.splitlines() if "hint" in l.lower()]
+    # the scalar-N crossJoin(broadcast(...)) is the only permitted hint
+    assert len(hints) <= 1, hints
 
 
 def test_semi_anti_join_shapes(spark, sf_dir):

@@ -20,6 +20,23 @@ def test_query_builds_and_runs(spark, sf_dir, name):
     assert df.columns  # non-empty schema with stable names
 
 
+def test_registry_loads_loudly_and_completely():
+    """A broken query module must crash the registry import, not shrink it:
+    the driver gates on `queries()`, so a silently-swallowed ImportError
+    would turn missing coverage into a fake green. Pin (a) the no-swallow
+    policy at the source level and (b) a hard floor on registry size so
+    any regression in either direction trips here first."""
+    import inspect
+
+    import doc2dataset_spark.queries as q
+
+    src = inspect.getsource(q)
+    assert "except ImportError" not in src, (
+        "registry __init__ must not swallow import errors"
+    )
+    assert len(REGISTRY) >= 75, sorted(REGISTRY)
+
+
 def test_every_oracle_names_match_registry():
     oracles = all_oracles()
     assert set(oracles) <= set(REGISTRY)
