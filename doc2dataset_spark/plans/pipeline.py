@@ -20,12 +20,12 @@ three-process architecture (`main.py:119-233`); the shuffle replaces the
 
 from __future__ import annotations
 
-import os
-import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from doc2dataset_spark import fsio
 from doc2dataset_spark.config import DownloadConfig
 from doc2dataset_spark.functions.text import detect_language
 from doc2dataset_spark.operators.extract import extract_pages
@@ -38,14 +38,40 @@ from doc2dataset_spark.sources.reader import read_url_list
 
 
 def _stats_path(cfg: DownloadConfig) -> str:
-    return os.path.join(cfg.output_folder, "_stats")
+    return fsio.join(cfg.output_folder, "_stats")
+
+
+def _read_stats(spark: SparkSession, cfg: DownloadConfig):
+    """The `_stats` manifest from any URL: Spark's parquet reader for
+    Hadoop-visible schemes, arrow-over-fs for everything else (the
+    manifest is per-shard counters — small by contract, like the
+    reference's driver-side stats files, `writer.py:60-66`)."""
+    path = _stats_path(cfg)
+    if fsio.is_spark_native(path):
+        return spark.read.parquet(path)
+    table = fsio.read_parquet_dir(path)
+    if table is None:
+        raise FileNotFoundError(path)
+    return spark.createDataFrame(table)
+
+
+def _write_stats(stats: DataFrame, cfg: DownloadConfig) -> None:
+    path = _stats_path(cfg)
+    if fsio.is_spark_native(path):
+        stats.write.mode("append").parquet(path)
+    else:
+        # arrow round-trip preserves the nested status_dict map exactly;
+        # schema survives even for the 0-row resume-run append
+        fsio.write_parquet_file(
+            stats.toArrow(), path, f"part-{uuid.uuid4().hex}.parquet"
+        )
 
 
 def _load_done_manifest(spark: SparkSession, cfg: DownloadConfig):
-    path = _stats_path(cfg)
-    if cfg.incremental_mode == "incremental" and os.path.exists(path):
+    fs, _ = fsio.url_to_fs(cfg.output_folder)
+    if cfg.incremental_mode == "incremental" and fs.exists(_stats_path(cfg)):
         try:
-            return spark.read.parquet(path)
+            return _read_stats(spark, cfg)
         except Exception:  # noqa: BLE001 — corrupt/empty manifest = no resume
             return None
     return None
@@ -106,9 +132,11 @@ def download(
     """Run the pipeline: write samples via the configured sink, then write
     the ``_stats`` manifest (which doubles as the resume commit log)."""
     cfg.validate()
-    if cfg.incremental_mode == "overwrite" and os.path.exists(cfg.output_folder):
-        shutil.rmtree(cfg.output_folder)
-    os.makedirs(cfg.output_folder, exist_ok=True)
+    cfg.output_folder = fsio.absolutize(cfg.output_folder)
+    fs, _ = fsio.url_to_fs(cfg.output_folder)
+    if cfg.incremental_mode == "overwrite" and fs.exists(cfg.output_folder):
+        fs.rm(cfg.output_folder, recursive=True)
+    fs.makedirs(cfg.output_folder, exist_ok=True)
 
     import time
 
@@ -132,7 +160,7 @@ def download(
     try:
         write_output(pages, cfg)
         stats = shard_stats(pages)
-        stats.write.mode("append").parquet(_stats_path(cfg))
+        _write_stats(stats, cfg)
     finally:
         pages.unpersist()
     duration = time.time() - t0
@@ -140,9 +168,9 @@ def download(
     observed["duration_sec"] = round(duration, 3)
     if observed.get("rows"):
         observed["docs_per_sec"] = round(observed["rows"] / duration, 2)
-    summary = global_rollup(spark.read.parquet(_stats_path(cfg)))
+    summary = global_rollup(_read_stats(spark, cfg))
     if return_frames:
-        return pages, spark.read.parquet(_stats_path(cfg)), summary
+        return pages, _read_stats(spark, cfg), summary
     out = summary.collect()[0].asDict()
     out.update(observed)
     return out

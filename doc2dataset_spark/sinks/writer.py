@@ -16,13 +16,13 @@ from __future__ import annotations
 
 import io
 import json
-import os
 import struct
 import tarfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from doc2dataset_spark import fsio
 from doc2dataset_spark.config import DownloadConfig
 
 META_COLUMNS = (
@@ -153,7 +153,7 @@ def write_parquet(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
     # contributes only new shard partitions (overwrite would clobber them)
     _samples_frame(df, cfg).write.mode("append").partitionBy(
         "shard_id"
-    ).parquet(os.path.join(out, "samples"))
+    ).parquet(fsio.join(out, "samples"))
 
 
 def write_jsonl(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
@@ -162,7 +162,7 @@ def write_jsonl(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
         "text", cfg.encode_format
     )
     frame.write.mode("append").option("compression", "gzip").json(
-        os.path.join(out, "samples")
+        fsio.join(out, "samples")
     )
 
 
@@ -176,15 +176,19 @@ def write_files(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
     enc = cfg.encode_format
 
     def write_partition(rows) -> None:
+        fs, _ = fsio.url_to_fs(out)
+        made = set()
         for row in rows:
-            d = os.path.join(out, f"{int(row['shard_id']):05d}")
-            os.makedirs(d, exist_ok=True)
+            d = fsio.join(out, f"{int(row['shard_id']):05d}")
+            if d not in made:
+                fs.makedirs(d, exist_ok=True)
+                made.add(d)
             key = row["key"]
             payload = bytes(row[enc]) if row[enc] is not None else b""
-            with open(os.path.join(d, f"{key}.text"), "wb") as fh:
+            with fs.open(fsio.join(d, f"{key}.text"), "wb") as fh:
                 fh.write(payload)
-            with open(os.path.join(d, f"{key}.json"), "w") as fh:
-                json.dump(_meta_of(row, extra), fh, default=str)
+            with fs.open(fsio.join(d, f"{key}.json"), "wb") as fh:
+                fh.write(json.dumps(_meta_of(row, extra), default=str).encode())
 
     frame.foreachPartition(write_partition)
 
@@ -199,16 +203,19 @@ def write_webdataset(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
         if c not in (*META_COLUMNS, cfg.encode_format, "shard_id")
     ]
     enc = cfg.encode_format
-    os.makedirs(out, exist_ok=True)
+    fsio.url_to_fs(out)[0].makedirs(out, exist_ok=True)
 
     def write_partition(rows) -> None:
         from pyspark import TaskContext
 
+        fs, _ = fsio.url_to_fs(out)
         pid = TaskContext.get().partitionId()
-        tmp = os.path.join(out, f"._tmp_{pid}.tar")
-        final = os.path.join(out, f"{pid:05d}.tar")
+        tmp = fsio.join(out, f"._tmp_{pid}.tar")
+        final = fsio.join(out, f"{pid:05d}.tar")
         n = 0
-        with tarfile.open(tmp, "w") as tar:
+        with fs.open(tmp, "wb") as raw, tarfile.open(
+            fileobj=raw, mode="w"
+        ) as tar:
             for row in rows:
                 key = row["key"]
                 payload = bytes(row[enc]) if row[enc] is not None else b""
@@ -221,13 +228,13 @@ def write_webdataset(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
                 tar.addfile(tj, io.BytesIO(mbytes))
                 n += 1
         if n:
-            os.replace(tmp, final)
+            fs.mv(tmp, final)
         else:
-            os.unlink(tmp)
+            fs.rm(tmp)
 
     frame.foreachPartition(write_partition)
     # parquet meta sidecar (reference writes one per tar, `writer.py:88-126`)
-    frame.drop(enc).write.mode("overwrite").parquet(os.path.join(out, "_meta"))
+    frame.drop(enc).write.mode("overwrite").parquet(fsio.join(out, "_meta"))
 
 
 def write_tfrecord(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
@@ -239,28 +246,29 @@ def write_tfrecord(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
         if c not in (*META_COLUMNS, cfg.encode_format, "shard_id")
     ]
     enc = cfg.encode_format
-    os.makedirs(out, exist_ok=True)
+    fsio.url_to_fs(out)[0].makedirs(out, exist_ok=True)
 
     def write_partition(rows) -> None:
         from pyspark import TaskContext
 
+        fs, _ = fsio.url_to_fs(out)
         pid = TaskContext.get().partitionId()
-        tmp = os.path.join(out, f"._tmp_{pid}.tfrecord")
-        final = os.path.join(out, f"{pid:05d}.tfrecord")
+        tmp = fsio.join(out, f"._tmp_{pid}.tfrecord")
+        final = fsio.join(out, f"{pid:05d}.tfrecord")
         n = 0
-        with open(tmp, "wb") as fh:
+        with fs.open(tmp, "wb") as fh:
             for row in rows:
                 payload = bytes(row[enc]) if row[enc] is not None else b""
                 example = _tf_example(payload, _meta_of(row, extra))
                 fh.write(tfrecord_frame(example))
                 n += 1
         if n:
-            os.replace(tmp, final)
+            fs.mv(tmp, final)
         else:
-            os.unlink(tmp)
+            fs.rm(tmp)
 
     frame.foreachPartition(write_partition)
-    frame.drop(enc).write.mode("overwrite").parquet(os.path.join(out, "_meta"))
+    frame.drop(enc).write.mode("overwrite").parquet(fsio.join(out, "_meta"))
 
 
 def write_dummy(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
