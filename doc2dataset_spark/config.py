@@ -73,8 +73,42 @@ class DownloadConfig:
     extract_exif: bool = True
     oom_shard_count: int = 5
     oom_sample_per_shard: int = 5
+    # T10: digits stripped only when BOTH remove_digits is on and figures
+    # are off (reference `extractor.py:163-164`)
+    remove_digits: bool = False
+    # --- accepted-for-migration parity fields ------------------------------
+    # The reference accepts these but its extractor never reads them
+    # (vestigial img2dataset inheritance, `extractor.py:98-118` assigns
+    # them and nothing else): kept so a migrating call site doesn't crash.
+    max_image_area: float | None = None  # no-op in reference and here
+    max_num_pages: int | None = None  # vestigial twin of max_pages
+    disable_all_reencoding: bool = False  # no-op in reference and here
+    # Execution-model fields subsumed by Spark itself: `distributor` and
+    # `subjob_size` configured the reference's process pools
+    # (`distributor.py`); Spark's scheduler + task retries replace them
+    # (SURVEY P2/P5). Accepted and ignored, with a loud warning.
+    distributor: str | None = None
+    subjob_size: int | None = None
+    # wandb telemetry is out of scope; metrics ride Observation (A5/D7)
+    enable_wandb: bool = False
+    wandb_project: str | None = None
 
     def validate(self) -> None:
+        import warnings
+
+        for name, default in (
+            ("distributor", None),
+            ("subjob_size", None),
+            ("enable_wandb", False),
+            ("wandb_project", None),
+        ):
+            if getattr(self, name) != default:
+                warnings.warn(
+                    f"DownloadConfig.{name} is accepted for reference API "
+                    "parity but has no effect: Spark's scheduler/metrics "
+                    "replace it (see README 'API parity')",
+                    stacklevel=2,
+                )
         if self.input_format not in INPUT_FORMATS:
             raise ValueError(f"unknown input_format {self.input_format!r}")
         if self.output_format not in OUTPUT_FORMATS:

@@ -87,9 +87,10 @@ def apply_page_filters(df: DataFrame, cfg: DownloadConfig) -> DataFrame:
     df = df.withColumn(
         "images_per_page", F.size(F.col("_imgs_all")) - F.size(F.col("_imgs_rm"))
     )
-    if not cfg.save_figures:
-        # T10 gate (`extractor.py:164-165`): digits stripped only in
-        # figure-less mode
+    if cfg.remove_digits and not cfg.save_figures:
+        # T10 gate (`extractor.py:163-164`): digits stripped only when
+        # remove_digits is on AND figures are off — both conditions, like
+        # the reference
         df = df.withColumn("text", F.regexp_replace(F.col("text"), r"[.\d]+", ""))
 
     # T6 word count over the final text

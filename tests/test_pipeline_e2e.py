@@ -229,6 +229,30 @@ def test_tfrecord_sink(spark, corpus, tmp_path):
         assert pos == len(data) and n > 0
 
 
+def test_remove_digits_requires_both_flags(spark, corpus, tmp_path):
+    """T10 joint gate (`extractor.py:163-164`): digits are stripped only
+    when remove_digits=True AND save_figures=False — save_figures=False
+    alone must leave them (divergence fixed in round 2)."""
+    root, meta = corpus
+    write_url_csv(root, meta)
+
+    def digits_text(**kw) -> str:
+        cfg = _base_cfg(root, str(tmp_path / "o"), **kw)
+        pages = build_pipeline(spark, cfg)
+        row = pages.filter(F.col("url").endswith("digits.fake")).collect()[0]
+        return row["text"]
+
+    assert "7494" in digits_text(save_figures=False)
+    assert "7494" not in digits_text(save_figures=False, remove_digits=True)
+    assert "7494" in digits_text(remove_digits=True)  # figures on -> kept
+
+
+def test_ignored_parity_kwargs_warn():
+    cfg = DownloadConfig(url_list="x", distributor="pyspark", subjob_size=100)
+    with pytest.warns(UserWarning, match="no effect"):
+        cfg.validate()
+
+
 def test_reserved_column_guard():
     cfg = DownloadConfig(url_list="x", save_additional_columns=["status"])
     with pytest.raises(ValueError, match="reserved"):

@@ -77,6 +77,89 @@ def test_stream_dedup_within_watermark(spark, sf_dir):
     assert dupes == 0
 
 
+def test_watermark_drops_late_data(spark, tmp_path):
+    """The watermark contract, pinned: an event arriving AFTER the
+    watermark passed its window must be dropped from the aggregate, and in
+    append mode a window is emitted exactly once, when the watermark
+    crosses its end. Three hand-ordered micro-batches: batch 1 fills the
+    10:00 hour and advances event time to 12:30 (watermark 11:30); batch 2
+    (on-time 12:40 event) lets that watermark close and emit the 10:00
+    window; batch 3 replays a 10:10 click — late, dropped — plus an
+    on-time 12:45 event whose window never closes. The intermediate batch
+    matters: eviction runs at the END of the batch where the watermark
+    crosses the window, after that batch's input is merged, so a late row
+    landing in that same batch would still count — the one-batch
+    lateness allowance this test documents."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def _file(name, rows, mtime):
+        ts = pa.array(
+            [r[2] for r in rows], pa.timestamp("us", tz="UTC")
+        )
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int32()),
+                "event_type": pa.array([r[1] for r in rows]),
+                "ts": ts,
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+            }
+        )
+        path = str(src / name)
+        pq.write_table(t, path)
+        os.utime(path, (mtime, mtime))
+
+    import datetime as dt
+
+    def u(h, m):
+        return dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc)
+
+    _file(
+        "f1.parquet",
+        [
+            (1, "click", u(10, 5), 1.0),
+            (2, "click", u(10, 20), 2.0),
+            (3, "view", u(10, 40), 3.0),
+            (4, "click", u(12, 30), 4.0),
+        ],
+        mtime=1_000,
+    )
+    _file("f2.parquet", [(6, "view", u(12, 40), 5.0)], mtime=2_000)
+    _file(
+        "f3.parquet",
+        [
+            (5, "click", u(10, 10), 9.0),  # late: watermark is 11:30
+            (7, "view", u(12, 45), 6.0),
+        ],
+        mtime=3_000,
+    )
+
+    stream = (
+        spark.readStream.schema(
+            "user_id int, event_type string, ts timestamp, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = run_to_memory(
+        spark, tumbling_counts(stream), "late_out", output_mode="append"
+    ).toPandas()
+
+    # only the closed 10:00 window is emitted, WITHOUT the late replay
+    counts = {
+        (r["bucket"], r["event_type"]): r["n"] for _, r in got.iterrows()
+    }
+    assert counts == {
+        ("2024-01-01 10:00:00", "click"): 2,  # late 10:10 click dropped
+        ("2024-01-01 10:00:00", "view"): 1,
+    }
+
+
 def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
     """foreachBatch writes land partitioned by batch id; replaying the
     same input into a fresh stream (same batches) produces the same rows,
