@@ -38,7 +38,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine",   # exact O(n^2), tile-partitioned
+    "dedup_embedding_cell",     # sub-quadratic SemDeDup-style cell blocking
     "sim_cosine_topk",
     "sim_ann_hyperplane",
     "q35_term_freq",
@@ -53,10 +54,43 @@ HEADLINE = [
     "dedup_cluster_cc",          # iterative connected components
 ]
 
-RUNS_PER_QUERY = 2  # report the warm run: steady-state cost, not JIT warmup
+RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup
+
+# A loaded machine inflates every timing (round 2's driver run measured
+# 46 s for code that takes 27 s idle). The bench can't refuse to run — the
+# round driver needs a number — so it (a) waits up to SETTLE_MAX_SEC for
+# 1-min loadavg to drop below cores/2, and (b) stamps the load it actually
+# ran under into the JSON so a contaminated number is self-identifying.
+SETTLE_MAX_SEC = 120
+SETTLE_POLL_SEC = 10
+
+
+def _loadavg1() -> float:
+    try:
+        return os.getloadavg()[0]
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return 0.0
+
+
+def _wait_for_idle(threshold: float) -> float:
+    waited = 0.0
+    load = _loadavg1()
+    while load > threshold and waited < SETTLE_MAX_SEC:
+        print(
+            f"# loadavg {load:.1f} > {threshold:.1f}, waiting for machine to settle",
+            file=sys.stderr,
+        )
+        time.sleep(SETTLE_POLL_SEC)
+        waited += SETTLE_POLL_SEC
+        load = _loadavg1()
+    return load
 
 
 def main() -> None:
+    cores = os.cpu_count() or 1
+    contention_threshold = cores / 2
+    load_start = _wait_for_idle(contention_threshold)
+
     spark = get_spark(app_name="bench")
     # warmup: JVM + parquet footer reads
     load_table(spark, SF_DIR, "lineitem").count()
@@ -75,6 +109,16 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    load_end = _loadavg1()
+    # loadavg includes this bench's own Spark threads once it starts, so
+    # only load_start is a clean contention signal; load_end is context.
+    contended = load_start > contention_threshold
+    if contended:
+        print(
+            f"# WARNING: started under load (loadavg {load_start:.1f} > "
+            f"{contention_threshold:.1f}); timings are inflated",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
@@ -83,6 +127,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": RUNS_PER_QUERY,
+                "loadavg_start": round(load_start, 2),
+                "loadavg_end": round(load_end, 2),
+                "cores": cores,
+                "contended": contended,
             }
         )
     )
