@@ -119,10 +119,11 @@ class MemoryFS:
     def open(self, path: str, mode: str = "rb"):
         k = self._key(path)
         if "r" in mode:
-            try:
-                return io.BytesIO(self._store[k])
-            except KeyError:
-                raise FileNotFoundError(path) from None
+            with self._lock:
+                try:
+                    return io.BytesIO(self._store[k])
+                except KeyError:
+                    raise FileNotFoundError(path) from None
         return _MemFile(self._store, k)
 
     def exists(self, path: str) -> bool:
@@ -149,7 +150,11 @@ class MemoryFS:
 
     def mv(self, src: str, dst: str) -> None:
         with self._lock:
-            self._store[self._key(dst)] = self._store.pop(self._key(src))
+            try:
+                self._store[self._key(dst)] = self._store.pop(self._key(src))
+            except KeyError:
+                # fsspec error contract: missing source is FileNotFoundError
+                raise FileNotFoundError(src) from None
 
     def find(self, path: str) -> list[str]:
         k = self._key(path).rstrip("/")
@@ -165,6 +170,13 @@ _LOCAL = LocalFS()
 _MEMORY = MemoryFS()
 
 
+# Hadoop-flavored schemes whose fsspec protocol is spelled differently:
+# Spark reads wasbs:// natively, but fsspec/adlfs registers only abfs/az,
+# so driver-side ops (exists/rm for overwrite/resume) must translate or
+# they fail even with adlfs installed. s3a is registered by fsspec itself.
+_FSSPEC_SCHEME_ALIASES = {"wasb": "abfs", "wasbs": "abfs"}
+
+
 def url_to_fs(path: str):
     """(filesystem, path) for any URL — the fsspec entry point's shape
     (reference `writer.py:19-20`). Unknown schemes defer to real fsspec."""
@@ -173,6 +185,9 @@ def url_to_fs(path: str):
         return _LOCAL, path
     if scheme == "memory":
         return _MEMORY, path
+    fsspec_path = path
+    if scheme in _FSSPEC_SCHEME_ALIASES:
+        fsspec_path = _FSSPEC_SCHEME_ALIASES[scheme] + path[len(scheme):]
     try:
         from fsspec.core import url_to_fs as _fsspec_url_to_fs
     except ImportError as exc:  # pragma: no cover - depends on container
@@ -180,7 +195,7 @@ def url_to_fs(path: str):
             f"output scheme {scheme!r} needs fsspec (pip install "
             f"fsspec[{scheme}]) — only local/file/memory are built in"
         ) from exc
-    return _fsspec_url_to_fs(path)
+    return _fsspec_url_to_fs(fsspec_path)
 
 
 # ---------------------------------------------------------------------------

@@ -105,7 +105,11 @@ def remove_digits(page: str) -> str:
 
 
 def remove_digits_col(col: Column) -> Column:
-    return F.regexp_replace(col, r"[.\d]+", "")
+    # (?U) = UNICODE_CHARACTER_CLASS: Java \d is ASCII-only by default,
+    # but the reference compiles r"[.\d]+" as a Python str pattern where
+    # \d already matches every Unicode Nd digit (e.g. Arabic-Indic ٠-٩) —
+    # without the flag, non-Latin corpora diverge from the reference
+    return F.regexp_replace(col, r"(?U)[.\d]+", "")
 
 
 # ---------------------------------------------------------------------------

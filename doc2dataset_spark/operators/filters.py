@@ -91,7 +91,10 @@ def apply_page_filters(df: DataFrame, cfg: DownloadConfig) -> DataFrame:
         # T10 gate (`extractor.py:163-164`): digits stripped only when
         # remove_digits is on AND figures are off — both conditions, like
         # the reference
-        df = df.withColumn("text", F.regexp_replace(F.col("text"), r"[.\d]+", ""))
+        # (?U): match Unicode digits like the reference's re.UNICODE pattern
+        df = df.withColumn(
+            "text", F.regexp_replace(F.col("text"), r"(?U)[.\d]+", "")
+        )
 
     # T6 word count over the final text
     stripped = F.regexp_replace(F.col("text"), ALL_TAGS_SQL, "\n")

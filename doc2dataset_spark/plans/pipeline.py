@@ -132,7 +132,14 @@ def download(
     """Run the pipeline: write samples via the configured sink, then write
     the ``_stats`` manifest (which doubles as the resume commit log)."""
     cfg.validate()
-    cfg.output_folder = fsio.absolutize(cfg.output_folder)
+    # absolutize into a COPY: mutating the caller's config would pin the
+    # first absolutized path across cwd changes / repeated download() calls
+    if fsio.absolutize(cfg.output_folder) != cfg.output_folder:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, output_folder=fsio.absolutize(cfg.output_folder)
+        )
     fs, _ = fsio.url_to_fs(cfg.output_folder)
     if cfg.incremental_mode == "overwrite" and fs.exists(cfg.output_folder):
         fs.rm(cfg.output_folder, recursive=True)

@@ -31,7 +31,7 @@ import random
 from pyspark.sql import functions as F
 
 from doc2dataset_spark.queries.core import query
-from doc2dataset_spark.session import load_table
+from doc2dataset_spark.session import compute_parallelism, load_table
 
 # ---------------------------------------------------------------------------
 # shared token / shingle / hash definitions (Spark SQL + DuckDB SQL twins)
@@ -77,7 +77,9 @@ def _doc_shingles(spark, sf_dir):
     # CPU-heavy tokenize/shingle work across cores (at 100 TB the scan
     # already yields many partitions and AQE coalesces — this only matters
     # for small inputs)
-    d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        compute_parallelism(spark), "doc_id"
+    )
     toks = d.select("doc_id", F.expr(_TOKS).alias("toks"))
     return toks.select(
         "doc_id", F.explode(F.expr(_SHINGLES_FROM_TOKS)).alias("sh")
@@ -439,11 +441,13 @@ def spark_dot(x, y):
     )
 
 
-def normalized_embeddings(spark, sf_dir, n_partitions: int = 32):
+def normalized_embeddings(spark, sf_dir, n_partitions: int | None = None):
     """(vec_id, ne): unit-normalized double embeddings, pre-partitioned so
     downstream nested-loop pair joins parallelize (a single small parquet
     file would otherwise put the whole pairwise stage on one core)."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(n_partitions)
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        n_partitions or compute_parallelism(spark)
+    )
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     nrm = F.sqrt(spark_dot(v, v))
     return e.select(

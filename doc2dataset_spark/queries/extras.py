@@ -24,7 +24,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from doc2dataset_spark.queries.core import query
-from doc2dataset_spark.session import load_table
+from doc2dataset_spark.session import compute_parallelism, load_table
 
 # ---------------------------------------------------------------------------
 # bucketized range join (no equi key)
@@ -167,7 +167,9 @@ def text_tfidf_topk(spark, sf_dir):
     still auto-broadcasts when the measured vocab is small, which is the
     correct behavior at both toy and cluster scale. The scalar N rides a
     1-row broadcast. The document axis never collapses to the driver."""
-    d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        compute_parallelism(spark), "doc_id"
+    )
     tok = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tok.groupBy("term").agg(

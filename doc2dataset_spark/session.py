@@ -59,6 +59,20 @@ def get_spark(
     return spark
 
 
+def compute_parallelism(spark: SparkSession) -> int:
+    """The session's effective parallelism, for sizing explicit repartitions
+    of tiny inputs (a single small parquet file arrives as ONE partition and
+    would serialize CPU-heavy downstream work). Prefers the shuffle-partition
+    conf — the knob a cluster operator actually tunes — falling back to the
+    scheduler's defaultParallelism. Never a hardcoded core count: the same
+    code must size itself correctly on an 8-core laptop and a 1000-executor
+    cluster."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        return spark.sparkContext.defaultParallelism
+
+
 TABLES = (
     "region",
     "nation",

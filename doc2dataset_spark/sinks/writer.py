@@ -285,6 +285,23 @@ SINKS = {
     "dummy": write_dummy,
 }
 
+# sinks whose payload is written by executor-side Python (foreachPartition):
+# these need a filesystem every executor can reach
+_EXECUTOR_SIDE_SINKS = ("files", "webdataset", "tfrecord")
+
 
 def write_output(df: DataFrame, cfg: DownloadConfig) -> None:
+    if (
+        cfg.output_format in _EXECUTOR_SIDE_SINKS
+        and fsio.scheme_of(cfg.output_folder) == "memory"
+    ):
+        # MemoryFS is per-process: executor writes would land in stores the
+        # driver can never see, silently "succeeding" while losing all
+        # output. Driver-side state (manifest/resume) supports memory://;
+        # executor-side payloads must use a shared filesystem.
+        raise ValueError(
+            f"output_format={cfg.output_format!r} writes from executors, "
+            f"which cannot target memory:// (per-process store — the data "
+            f"would be lost); use file:// or an object-store URL"
+        )
     SINKS[cfg.output_format](df, cfg, cfg.output_folder)

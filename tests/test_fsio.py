@@ -42,6 +42,20 @@ def test_memoryfs_roundtrip():
     assert not fs.exists("memory://t1/a/y.bin")
     with pytest.raises(FileNotFoundError):
         fs.open("memory://t1/a/y.bin", "rb")
+    # fsspec error contract: mv of a missing source is FileNotFoundError,
+    # never a bare KeyError
+    with pytest.raises(FileNotFoundError):
+        fs.mv("memory://t1/absent", "memory://t1/other")
+
+
+def test_wasbs_driver_side_ops_route_through_abfs():
+    """Spark reads wasbs:// natively, but fsspec/adlfs registers only
+    abfs/az — driver-side exists/rm on a wasbs URL must translate the
+    scheme instead of failing protocol lookup. adlfs isn't in this
+    container, so assert the translated protocol is what reaches fsspec."""
+    pytest.importorskip("fsspec")
+    with pytest.raises(ImportError, match="abfs|adlfs"):
+        fsio.url_to_fs("wasbs://container@acct.blob.core.windows.net/p")
 
 
 def test_localfs_handles_file_scheme(tmp_path):
@@ -158,3 +172,30 @@ def test_files_sink_over_file_url(spark, corpus, tmp_path):
     texts = glob.glob(str(out_dir / "*" / "*.text"))
     metas = glob.glob(str(out_dir / "*" / "*.json"))
     assert texts and len(texts) == len(metas)
+
+
+def test_executor_side_sink_refuses_memory_url(spark, corpus):
+    """foreachPartition sinks over memory:// would write into executor-local
+    stores the driver can't see — data silently lost. download() must refuse
+    up front rather than 'succeed'."""
+    root, _ = corpus
+    for fmt in ("files", "webdataset", "tfrecord"):
+        cfg = _cfg(root, "memory://lost/run", output_format=fmt)
+        with pytest.raises(ValueError, match="memory://"):
+            download(spark, cfg)
+
+
+def test_download_does_not_mutate_callers_config(spark, corpus, tmp_path):
+    """download() absolutizes output_folder into a copy; the caller's
+    DownloadConfig must come back byte-identical so it can be reused after
+    a cwd change."""
+    root, _ = corpus
+    os.makedirs(tmp_path / "cwd", exist_ok=True)
+    old = os.getcwd()
+    os.chdir(tmp_path / "cwd")
+    try:
+        cfg = _cfg(root, "rel_out", output_format="dummy")
+        download(spark, cfg)
+        assert cfg.output_folder == "rel_out"
+    finally:
+        os.chdir(old)

@@ -85,6 +85,30 @@ def test_tfidf_vocab_side_not_hint_broadcast(spark, sf_dir):
     assert len(hints) <= 1, hints
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["sim_ann_ivf", "dedup_embedding_cell", "sim_ann_hyperplane"],
+)
+def test_self_joined_assign_frame_reuses_exchange(spark, sf_dir, name):
+    """These three join an aggregate-derived frame to itself (cell/bucket
+    assignment joined back on the cell key). The expensive subtree —
+    centroid scoring crossJoin + groupBy (ivf/cell) or hyperplane signature
+    agg — must execute ONCE, with the second occurrence served from the
+    shuffle output of the first. AQE expresses that as exchange/query-stage
+    reuse in the finalized plan; if this assertion fails, the assign frame
+    needs a localCheckpoint (the ml_kmeans_lite treatment)."""
+    df = REGISTRY[name].builder(spark, sf_dir)
+    df.collect()  # finalize THIS df's adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    reuse = (
+        plan.count("ReusedExchange")
+        + plan.count("ReusedQueryStage")
+        + plan.count("reused")
+    )
+    assert reuse >= 1, f"{name}: assign subtree executed twice\n{plan}"
+
+
 def test_semi_anti_join_shapes(spark, sf_dir):
     plan = plan_of(spark, "q11_semi_anti", sf_dir)
     assert "LeftSemi" in plan

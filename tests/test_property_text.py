@@ -59,3 +59,13 @@ def test_remove_digits_native_equals_python(spark, pages):
     got = _spark_eval(spark, pages, T.remove_digits_col, "string")
     want = [T.remove_digits(p) for p in pages]
     assert got == want
+
+
+def test_remove_digits_unicode_digits(spark):
+    """The reference's r"[.\\d]+" is a Python re.UNICODE pattern, so Arabic-
+    Indic / Devanagari digits are stripped too; Java \\d needs (?U) to agree."""
+    pages = ["عدد ٠١٢٣٤٥٦٧٨٩ نهاية", "अंक ०१२३४५६७८९ अंत", "a7٣.x"]
+    got = _spark_eval(spark, pages, T.remove_digits_col, "string")
+    want = [T.remove_digits(p) for p in pages]
+    assert got == want
+    assert got[0] == "عدد  نهاية"
