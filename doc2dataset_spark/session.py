@@ -101,10 +101,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # a rewritten copy of the table (e.g. DuckDB COPY for the
+            # scaling bench) loses the UTC annotation; session TZ is pinned
+            # UTC above, so this cast is value-preserving
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
