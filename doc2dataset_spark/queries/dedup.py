@@ -142,14 +142,17 @@ WHERE sh_n::DOUBLE / (ca.n + cb.n - sh_n) >= 0.5
 def dedup_ngram_jaccard(spark, sf_dir):
     """exact word-3-gram Jaccard ≥ 0.5 pairs. Candidates are generated by
     joining on the shingle itself (docs sharing ≥1 shingle) — a blocked
-    equi-join, not a cross join — then scored exactly."""
-    from pyspark.sql import Window as W
+    equi-join, not a cross join — then scored exactly.
 
-    # per-doc shingle count rides along via a window, so the pair join
-    # needs no extra cnt joins (two shingle passes total, not four)
-    sd = _doc_shingles(spark, sf_dir).withColumn(
-        "n", F.count("*").over(W.partitionBy("doc_id"))
-    )
+    Per-doc shingle counts are a separate tiny aggregate joined to the
+    PAIR table (post-aggregation, so the join inputs are candidate-pair
+    sized, not shingle sized). The round-2 window-carried-count variant
+    (count over partitionBy(doc_id) riding through the self-join) measured
+    ~15% slower at sf0.1: the window forces a per-doc sort of the full
+    exploded shingle frame and widens both shuffle sides of the big
+    sh-join — that was the r1→r2 bench drift."""
+    sd = _doc_shingles(spark, sf_dir)
+    cnt = sd.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sd.alias("a")
     b = sd.alias("b")
     shared = (
@@ -161,10 +164,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .groupBy(
             F.col("a.doc_id").alias("da"),
             F.col("b.doc_id").alias("db"),
-            F.col("a.n").alias("na"),
-            F.col("b.n").alias("nb"),
         )
         .agg(F.count("*").alias("sh_n"))
+        .join(cnt.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(cnt.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
     )
     jac = F.col("sh_n").cast("double") / (
         F.col("na") + F.col("nb") - F.col("sh_n")
