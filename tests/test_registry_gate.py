@@ -1,0 +1,96 @@
+"""Freeze the driver-gate query set.
+
+The round driver snapshots only the FIRST 50 registered queries into
+CORRECTNESS_r{N}.json. Round 2 learned the hard way that an innocent
+mid-module addition silently displaces a scale-critical query from that
+gate (dedup_embedding_cell pushed sim_ann_hyperplane out). This test
+makes the gate set an explicit contract: changing it requires editing
+the frozen list here, in the same diff, on purpose.
+
+New queries belong AFTER the gate (late module in queries/__init__.py or
+late registration within a module); promoting one into the gate means
+choosing which current member it evicts.
+"""
+
+from doc2dataset_spark.queries import REGISTRY
+
+DRIVER_GATE_SIZE = 50
+
+# the 50 names the driver gates on, in registration order — oracle-backed,
+# scale-critical first (dedup/similarity/scale/extras/textops/ml/udfs,
+# then the windows surface)
+FROZEN_GATE = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cell",
+    "dedup_cluster_cc",
+    "dedup_ngram_containment",
+    "sim_cosine_topk",
+    "sim_ann_hyperplane",
+    "sim_ann_ivf",
+    "agg_salted_two_phase",
+    "q12b_bucketed_range_join",
+    "agg_percentiles",
+    "agg_percentiles_approx",
+    "text_tfidf_topk",
+    "sample_deterministic",
+    "q28b_variant",
+    "fuzzy_levenshtein_pairs",
+    "q17b_cube",
+    "sample_stratified",
+    "q29b_unpivot",
+    "q16c_hll_sketch",
+    "q35_term_freq",
+    "text_token_count",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_boilerplate",
+    "ml_kmeans_lite",
+    "q36_pandas_udf",
+    "q36_apply_in_pandas",
+    "q36_map_in_pandas",
+    "q36_explode_udtf",
+    "q36_python_udtf",
+    "q36_map_in_arrow",
+    "q20_ranking_windows",
+    "q21_analytic_windows",
+    "q22_frame_windows",
+    "q23_set_ops",
+    "q24_correlated_subquery",
+    "q25_not_exists",
+    "q26_explode",
+    "q27_array_fns",
+    "q28_json_fns",
+    "q29_pivot",
+    "q30_time_bucket",
+    "q31_sessionize",
+    "q32_asof_join",
+]
+
+
+def test_driver_gate_set_is_frozen():
+    got = list(REGISTRY)[:DRIVER_GATE_SIZE]
+    assert got == FROZEN_GATE, (
+        "the first 50 registered queries changed — a new registration "
+        "displaced a gate member. Register new queries after the gate, "
+        "or update FROZEN_GATE deliberately in the same commit.\n"
+        f"evicted: {sorted(set(FROZEN_GATE) - set(got))}\n"
+        f"intruded: {sorted(set(got) - set(FROZEN_GATE))}"
+    )
+
+
+def test_gate_members_are_oracle_backed():
+    """Every gated query must carry a DuckDB oracle (hash-compared by the
+    driver) except the sketch/approx ops whose semantics are rows-only by
+    design."""
+    rows_only_by_design = {"agg_percentiles_approx", "q16c_hll_sketch"}
+    for name in list(REGISTRY)[:DRIVER_GATE_SIZE]:
+        spec = REGISTRY[name]
+        if name in rows_only_by_design:
+            continue
+        assert spec.oracle, f"gated query {name} has no oracle SQL"
