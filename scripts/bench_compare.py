@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Diff two bench.py JSON outputs and flag per-query regressions.
+
+Usage:
+    python scripts/bench_compare.py BENCH_r01.json BENCH_r03.json [threshold]
+
+Exit status 1 if any query regressed by more than `threshold` (default
+1.5×) AND the newer run was not self-flagged as contended — so a round
+can gate on "no unexplained per-query regression" the way round 2's
+ngram-jaccard drift should have been caught.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict:
+    """Accept either bench.py's raw one-line JSON or the round driver's
+    BENCH_r{N}.json wrapper (whose `parsed` field holds the bench dict)."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        d = json.loads(text.strip().splitlines()[-1])
+    if "queries" not in d and "parsed" in d:
+        d = d["parsed"]
+    return d
+
+
+def main() -> int:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    oq, nq = old["queries"], new["queries"]
+    regressed = []
+    print(f"{'query':30s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
+    for name in nq:
+        if name not in oq:
+            print(f"{name:30s} {'—':>8s} {nq[name]:8.2f}   (new)")
+            continue
+        ratio = nq[name] / oq[name] if oq[name] else float("inf")
+        flag = ""
+        # floor-effect guard: sub-half-second queries are scheduling
+        # noise at sf0.1, not scaling signal
+        if ratio > threshold and nq[name] > 0.5:
+            flag = "  << REGRESSED"
+            regressed.append(name)
+        print(f"{name:30s} {oq[name]:8.2f} {nq[name]:8.2f} {ratio:7.2f}{flag}")
+    for name in oq:
+        if name not in nq:
+            print(f"{name:30s} {oq[name]:8.2f} {'—':>8s}   (dropped)")
+    print(
+        f"\ntotal: {old['value']:.1f}s -> {new['value']:.1f}s"
+        f"  (old load {old.get('loadavg_start', '?')},"
+        f" new load {new.get('loadavg_start', '?')})"
+    )
+    if new.get("contended"):
+        print("newer run self-flagged CONTENDED — regressions not gated")
+        return 0
+    if regressed:
+        print(f"regressed >{threshold}x: {', '.join(regressed)}")
+        return 1
+    print("no per-query regressions")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
