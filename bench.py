@@ -89,7 +89,12 @@ def _wait_for_idle(threshold: float) -> float:
 def main() -> None:
     cores = os.cpu_count() or 1
     contention_threshold = cores / 2
-    load_start = _wait_for_idle(contention_threshold)
+    # settle harder than the contention flag: even loadavg ~2-4 from
+    # just-exited work inflates the first queries by 3-4x (measured:
+    # q01 0.62s at loadavg 2.1 vs 0.14s idle); the flag threshold
+    # (cores/2) only marks the run as untrustworthy
+    settle_threshold = max(1.0, cores / 16)
+    load_start = _wait_for_idle(settle_threshold)
 
     spark = get_spark(app_name="bench")
     # warmup: JVM + parquet footer reads
