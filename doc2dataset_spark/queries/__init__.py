@@ -27,6 +27,7 @@ from doc2dataset_spark.queries.core import (  # noqa: F401
 #                                     driver-green in rounds 1 and 2,
 #                                     verified locally via scripts/check_oracle.py
 #   pipeline_demo(1) multimodal_demo(3)  -> rows-only demos, no oracle
+#   ann_extras(1)                        -> post-gate oracle-backed extras
 # If you ADD a query, append its module (or register late in an existing
 # module) and re-check `python scripts/registry_order.py` so the gate set
 # doesn't silently shift — that displacement is exactly what round 2 was
@@ -42,3 +43,4 @@ from doc2dataset_spark.queries import windows  # noqa: F401, E402
 from doc2dataset_spark.queries import relational  # noqa: F401, E402
 from doc2dataset_spark.queries import pipeline_demo  # noqa: F401, E402
 from doc2dataset_spark.queries import multimodal_demo  # noqa: F401, E402
+from doc2dataset_spark.queries import ann_extras  # noqa: F401, E402
