@@ -48,6 +48,7 @@ HEADLINE = [
     # second-wave scale patterns
     "q12b_bucketed_range_join",  # keyless range join via bucket blocking
     "sim_ann_ivf",               # IVF cells ANN
+    "sim_ann_ivf_probe2",        # IVF nprobe=2 (recall knob cost)
     "agg_percentiles",           # exact interpolated percentiles
     "text_tfidf_topk",           # two-shuffle TF-IDF
     "sample_deterministic",      # map-side hash sampling
