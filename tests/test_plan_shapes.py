@@ -87,7 +87,8 @@ def test_tfidf_vocab_side_not_hint_broadcast(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["sim_ann_ivf", "dedup_embedding_cell", "sim_ann_hyperplane"],
+    ["sim_ann_ivf", "dedup_embedding_cell", "sim_ann_hyperplane",
+     "sim_ann_ivf_probe2"],
 )
 def test_self_joined_assign_frame_reuses_exchange(spark, sf_dir, name):
     """These three join an aggregate-derived frame to itself (cell/bucket
