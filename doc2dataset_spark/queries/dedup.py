@@ -71,8 +71,18 @@ _H32_SPARK = "cast(conv(substring(md5({s}), 1, 8), 16, 10) AS bigint)"
 _H32_DUCK = "('0x' || substr(md5({s}), 1, 8))::BIGINT"
 
 
+def shingles_of(docs):
+    """(doc_id, sh) exploded distinct shingles of a (doc_id, text) frame —
+    the blocking key. Frame-parameterized so batch queries and streaming
+    micro-batches share one implementation."""
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks"))
+    return toks.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_FROM_TOKS)).alias("sh")
+    )
+
+
 def _doc_shingles(spark, sf_dir):
-    """(doc_id, sh) exploded distinct shingles — the blocking key."""
+    """(doc_id, sh) for the documents table."""
     # a small single-file table arrives as ONE input partition; spread the
     # CPU-heavy tokenize/shingle work across cores (at 100 TB the scan
     # already yields many partitions and AQE coalesces — this only matters
@@ -80,10 +90,7 @@ def _doc_shingles(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").repartition(
         compute_parallelism(spark), "doc_id"
     )
-    toks = d.select("doc_id", F.expr(_TOKS).alias("toks"))
-    return toks.select(
-        "doc_id", F.explode(F.expr(_SHINGLES_FROM_TOKS)).alias("sh")
-    )
+    return shingles_of(d)
 
 
 # ---------------------------------------------------------------------------
@@ -181,10 +188,10 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # MinHash + banded LSH (native implementation, no pyspark.ml dependency:
 # signatures are plain integer aggregates → bit-identical to the oracle)
 # ---------------------------------------------------------------------------
-def _minhash_sig(spark, sf_dir):
-    """(doc_id, m0..m15): minhash signature via one groupBy with 16 min-aggs
-    — a single shuffle keyed by doc_id, map-side combined."""
-    sd = _doc_shingles(spark, sf_dir)
+def minhash_sig_of(sd):
+    """(doc_id, m0..m15): minhash signature of a (doc_id, sh) shingle frame
+    via one groupBy with 16 min-aggs — a single shuffle keyed by doc_id,
+    map-side combined."""
     x = (F.expr(_H48_SPARK.format(s="sh")) % P).alias("x")
     hashed = sd.select("doc_id", x)
     aggs = [
@@ -192,6 +199,23 @@ def _minhash_sig(spark, sf_dir):
         for j, (a, b) in enumerate(PERMS)
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def bands_of(docs):
+    """(doc_id, band, bh) LSH band hashes of a (doc_id, text) frame — one
+    posexplode pass over the 16-perm signature (4 bands × 4 rows)."""
+    sig = minhash_sig_of(shingles_of(docs))
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(e) for e in _band_cols()])).alias(
+            "band", "bh"
+        ),
+    )
+
+
+def _minhash_sig(spark, sf_dir):
+    """signature of the documents table."""
+    return minhash_sig_of(_doc_shingles(spark, sf_dir))
 
 
 def _band_cols(prefix: str = "m") -> list[str]:
