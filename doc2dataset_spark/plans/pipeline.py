@@ -140,6 +140,11 @@ def download(
         cfg = dataclasses.replace(
             cfg, output_folder=fsio.absolutize(cfg.output_folder)
         )
+    # refuse invalid (format, scheme) pairs BEFORE the destructive
+    # overwrite rm below — a doomed run must not delete prior output
+    from doc2dataset_spark.sinks.writer import check_sink_target
+
+    check_sink_target(cfg)
     fs, _ = fsio.url_to_fs(cfg.output_folder)
     if cfg.incremental_mode == "overwrite" and fs.exists(cfg.output_folder):
         fs.rm(cfg.output_folder, recursive=True)

@@ -62,15 +62,20 @@ def get_spark(
 def compute_parallelism(spark: SparkSession) -> int:
     """The session's effective parallelism, for sizing explicit repartitions
     of tiny inputs (a single small parquet file arrives as ONE partition and
-    would serialize CPU-heavy downstream work). Prefers the shuffle-partition
-    conf — the knob a cluster operator actually tunes — falling back to the
-    scheduler's defaultParallelism. Never a hardcoded core count: the same
-    code must size itself correctly on an 8-core laptop and a 1000-executor
-    cluster."""
+    would serialize CPU-heavy downstream work). min(defaultParallelism,
+    shuffle partitions): defaultParallelism tracks actual cores (the right
+    scale for spreading a SMALL input), capped by the shuffle conf where an
+    operator tuned it lower. Taking the shuffle conf alone is a trap — a
+    VANILLA session (the round driver hands us one) carries the stock 200,
+    and REPARTITION_BY_NUM is exempt from AQE coalescing, so tiny gate
+    queries would pay 200-task scheduling overhead. Never a hardcoded core
+    count: the same code must size itself correctly on an 8-core laptop
+    and a 1000-executor cluster."""
+    dp = spark.sparkContext.defaultParallelism
     try:
-        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return min(dp, int(spark.conf.get("spark.sql.shuffle.partitions")))
     except Exception:
-        return spark.sparkContext.defaultParallelism
+        return dp
 
 
 TABLES = (

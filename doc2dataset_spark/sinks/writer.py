@@ -290,7 +290,10 @@ SINKS = {
 _EXECUTOR_SIDE_SINKS = ("files", "webdataset", "tfrecord")
 
 
-def write_output(df: DataFrame, cfg: DownloadConfig) -> None:
+def check_sink_target(cfg: DownloadConfig) -> None:
+    """Refuse invalid (format, scheme) combinations BEFORE the pipeline
+    does anything destructive — download() calls this ahead of its
+    overwrite-mode rm, so a doomed run never deletes prior output."""
     if (
         cfg.output_format in _EXECUTOR_SIDE_SINKS
         and fsio.scheme_of(cfg.output_folder) == "memory"
@@ -304,4 +307,8 @@ def write_output(df: DataFrame, cfg: DownloadConfig) -> None:
             f"which cannot target memory:// (per-process store — the data "
             f"would be lost); use file:// or an object-store URL"
         )
+
+
+def write_output(df: DataFrame, cfg: DownloadConfig) -> None:
+    check_sink_target(cfg)
     SINKS[cfg.output_format](df, cfg, cfg.output_folder)

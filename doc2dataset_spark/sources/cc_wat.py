@@ -21,8 +21,9 @@ Differences from the reference, by design:
   partitions 1:1 onto executors and the only shuffle is the final dedup.
 - **Bounded retries**: the reference's ``while True`` fetch loop
   (`get_pdf_links_from_cc.py:70-77`) retries forever; here transient opens
-  retry ``retries`` times then record a failure row instead of hanging the
-  task.
+  retry ``retries`` times then raise, so the task fails LOUDLY and Spark's
+  task-retry/abort machinery owns the failure policy (a hung executor is
+  the one failure mode a 90k-file job can't tolerate).
 - **IO through fsio**: paths route via :mod:`doc2dataset_spark.fsio`, so
   ``file://`` fixtures and tests work hermetically and ``s3://`` works
   wherever fsspec+s3fs is installed (the reference hardcodes s3).
@@ -77,18 +78,28 @@ def iter_warc_records(stream) -> Iterator[tuple[dict, bytes]]:
 
 
 def _open_wat(path: str, retries: int = 3):
-    """Open a (possibly gzipped) WAT file as a binary stream, with bounded
-    retry on transient errors (reference retries forever)."""
+    """Open a (possibly gzipped) WAT file as a STREAMING binary reader —
+    records are decompressed and parsed incrementally, never the whole
+    ~400 MB file into memory (the reference buffers the full blob,
+    `get_pdf_links_from_cc.py:72`; one-task-per-WAT times 32 concurrent
+    tasks makes that a 10+ GB per-executor bill). Bounded retry on the
+    OPEN only (reference retries forever); a mid-stream read error fails
+    the task and Spark's task retry re-runs it — that, not a silent skip,
+    is the per-WAT failure story."""
     last: Exception | None = None
     for attempt in range(retries + 1):
         try:
             fs, _ = fsio.url_to_fs(path)
             raw = fs.open(path, "rb")
-            data = raw.read()
-            raw.close()
-            if data[:2] == b"\x1f\x8b":  # gzip magic; multi-member safe
-                return io.BufferedReader(gzip.GzipFile(fileobj=io.BytesIO(data)))
-            return io.BufferedReader(io.BytesIO(data))
+            magic = raw.read(2)
+            if hasattr(raw, "seek"):
+                raw.seek(0)
+            else:  # pragma: no cover - non-seekable remote stream
+                raw.close()
+                raw = fs.open(path, "rb")
+            if magic == b"\x1f\x8b":  # gzip; multi-member safe
+                return io.BufferedReader(gzip.GzipFile(fileobj=raw))
+            return raw  # already a buffered binary reader
         except FileNotFoundError:
             raise  # permanent — retrying cannot help
         except (OSError, ValueError) as exc:  # pragma: no cover - timing
@@ -133,17 +144,22 @@ def links_from_wat_record(payload: bytes) -> Iterator[str]:
         base_url = envelope["WARC-Header-Metadata"]["WARC-Target-URI"]
     except (KeyError, TypeError):
         return
-    head = metadata.get("Head")
+    # real crawls contain records with "Links": null or a non-list —
+    # skip the record (the reference's bare-except skip), don't kill
+    # the task
+    if not isinstance(links, list) or not isinstance(base_url, str):
+        return
+    head = metadata.get("Head") if isinstance(metadata, dict) else None
     if isinstance(head, dict) and "Base" in head:
         try:
             base_url = urljoin(base_url, head["Base"])
-        except ValueError:
+        except (ValueError, TypeError):
             pass
     for link in links:
         try:
             absolute = _absolute(link["url"], base_url)
-        except (KeyError, TypeError):
-            continue
+        except (KeyError, TypeError, AttributeError, ValueError):
+            continue  # non-dict link, non-string url, unresolvable join
         if absolute:
             yield absolute
 

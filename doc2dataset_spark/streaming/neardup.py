@@ -36,10 +36,11 @@ candidate pairs when arrival order matches doc_id order
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, functions as F
 
+from doc2dataset_spark import fsio
 from doc2dataset_spark.queries.dedup import bands_of
 
 
@@ -93,6 +94,19 @@ def flag_against_directory(
     return verdicts, bands
 
 
+def band_directory_exists(state_dir: str) -> bool:
+    """True when the persisted band directory has at least one batch.
+
+    Routes through fsio, NOT os.path: a URL-form state_dir (file:///...)
+    is a path Spark's writers accept, and an os.path check on it would be
+    silently False forever — disabling all cross-batch detection without
+    an error."""
+    fs, _ = fsio.url_to_fs(state_dir)
+    if not fs.exists(state_dir):
+        return False
+    return any("batch=" in e for e in fs.find(state_dir))
+
+
 def run_incremental_neardup(
     docs_stream: DataFrame,
     state_dir: str,
@@ -106,20 +120,25 @@ def run_incremental_neardup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         directory = None
-        if os.path.isdir(state_dir) and any(
-            e.startswith("batch=") for e in os.listdir(state_dir)
-        ):
+        if band_directory_exists(state_dir):
             directory = spark.read.parquet(state_dir)
             # replay safety: a re-delivered batch must not match its own
             # earlier (crashed) write
             directory = directory.filter(F.col("batch") != batch_id)
         verdicts, bands = flag_against_directory(batch_df, directory)
-        verdicts.withColumn("batch", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"batch={batch_id}"))
-        bands.withColumn("batch", F.lit(batch_id)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(state_dir, f"batch={batch_id}"))
+        # the band lineage (tokenize + shingle + 16-perm minhash) feeds
+        # BOTH writes and the two collision joins — persist it once
+        # instead of re-running the most expensive per-batch subtree
+        bands.persist()
+        try:
+            verdicts.withColumn("batch", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(posixpath.join(out_dir, f"batch={batch_id}"))
+            bands.withColumn("batch", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).parquet(posixpath.join(state_dir, f"batch={batch_id}"))
+        finally:
+            bands.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(process)

@@ -59,6 +59,13 @@ def main() -> int:
         f"  (old load {old.get('loadavg_start', '?')},"
         f" new load {new.get('loadavg_start', '?')})"
     )
+    if old.get("contended"):
+        # an inflated baseline hides real regressions (ratios all look <1)
+        print(
+            "OLDER run self-flagged CONTENDED — baseline is inflated, "
+            "ratios are meaningless; re-measure the baseline"
+        )
+        return 1
     if new.get("contended"):
         print("newer run self-flagged CONTENDED — regressions not gated")
         return 0

@@ -161,3 +161,48 @@ def test_truncated_record_raises(tmp_path):
     p.write_bytes(rec[: len(rec) - 30])  # cut inside the payload
     with pytest.raises(ValueError, match="truncated"):
         list(cc_wat.links_from_wat(str(p)))
+
+
+def test_null_links_record_is_skipped(tmp_path):
+    """Real crawls contain metadata records with "Links": null — the record
+    must be skipped, never a TypeError that kills the 90k-WAT job."""
+    p = tmp_path / "nulls.wat"
+    p.write_bytes(
+        wat_record(
+            "http://a.com/",
+            raw_payload=json.dumps(
+                {"Envelope": {
+                    "WARC-Header-Metadata": {"WARC-Target-URI": "http://a.com/"},
+                    "Payload-Metadata": {"HTTP-Response-Metadata": {
+                        "HTML-Metadata": {"Links": None}}},
+                }}
+            ).encode(),
+        )
+        + wat_record(
+            "http://b.com/",
+            raw_payload=json.dumps(
+                {"Envelope": {
+                    "WARC-Header-Metadata": {"WARC-Target-URI": "http://b.com/"},
+                    "Payload-Metadata": {"HTTP-Response-Metadata": {
+                        "HTML-Metadata": {"Links": [
+                            {"url": "ok.pdf"},
+                            "not-a-dict",
+                            {"url": 123},
+                            {"no_url": "x"},
+                        ]}}},
+                }}
+            ).encode(),
+        )
+    )
+    assert list(cc_wat.links_from_wat(str(p))) == ["http://b.com/ok.pdf"]
+
+
+def test_open_wat_streams_without_full_buffer(wat_files):
+    """_open_wat must hand back an incremental reader over the underlying
+    file object, not a BytesIO of the whole blob."""
+    import io as _io
+
+    stream = cc_wat._open_wat(wat_files[0])  # gzipped variant
+    # a gzip stream wrapped for incremental reads — not BytesIO
+    assert not isinstance(stream.raw, _io.BytesIO)
+    assert list(cc_wat.iter_warc_records(stream))  # still parses fully

@@ -179,10 +179,21 @@ def test_executor_side_sink_refuses_memory_url(spark, corpus):
     stores the driver can't see — data silently lost. download() must refuse
     up front rather than 'succeed'."""
     root, _ = corpus
+    # seed prior output: the refusal must fire BEFORE overwrite-mode's rm,
+    # or a doomed run deletes data and then errors
+    mfs, _ = fsio.url_to_fs("memory://lost/run")
+    with mfs.open("memory://lost/run/prior.bin", "wb") as f:
+        f.write(b"keep me")
     for fmt in ("files", "webdataset", "tfrecord"):
-        cfg = _cfg(root, "memory://lost/run", output_format=fmt)
+        cfg = _cfg(
+            root, "memory://lost/run", output_format=fmt,
+            incremental_mode="overwrite",
+        )
         with pytest.raises(ValueError, match="memory://"):
             download(spark, cfg)
+    assert mfs.exists("memory://lost/run/prior.bin"), (
+        "overwrite rm ran before the sink-target check"
+    )
 
 
 def test_download_does_not_mutate_callers_config(spark, corpus, tmp_path):

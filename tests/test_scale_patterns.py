@@ -198,3 +198,22 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir, tmp_path):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_compute_parallelism_caps_vanilla_shuffle_conf(spark):
+    """A VANILLA session (the round driver's) carries the stock 200
+    shuffle partitions; explicit tiny-input repartitions must size to
+    actual cores, not 200 (REPARTITION_BY_NUM is exempt from AQE
+    coalescing, so 200 would mean 200 scheduled tasks per gate query)."""
+    from doc2dataset_spark.session import compute_parallelism
+
+    dp = spark.sparkContext.defaultParallelism
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        assert compute_parallelism(spark) == min(dp, 200)
+        assert compute_parallelism(spark) <= dp
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        assert compute_parallelism(spark) == 8  # operator tuned it lower
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

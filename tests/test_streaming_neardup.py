@@ -136,3 +136,32 @@ def test_directory_collision_flags_new_arrival(spark):
     rows = {r.doc_id: (r.matched_earlier, r.is_neardup) for r in verdicts.collect()}
     assert rows[2] == (True, True)
     assert rows[3] == (False, False)
+
+
+def test_stream_with_url_form_dirs(spark, doc_batches, tmp_path):
+    """file:///-form state/out dirs (what Spark writers accept) must not
+    silently disable cross-batch detection — the directory check routes
+    through fsio, not os.path."""
+    from doc2dataset_spark.streaming.neardup import band_directory_exists
+
+    src, docs = doc_batches
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = f"file://{tmp_path}/state"
+    q = run_incremental_neardup(
+        stream,
+        state_dir=state,
+        out_dir=f"file://{tmp_path}/out",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert band_directory_exists(state)
+    got = spark.read.parquet(f"file://{tmp_path}/out")
+    flagged = {r.doc_id for r in got.filter("is_neardup").collect()}
+    assert flagged == _expected_flags(docs)
+    # cross-batch detection actually fired (not only within-batch)
+    assert got.filter("matched_earlier").count() > 0
