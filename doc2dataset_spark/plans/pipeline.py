@@ -88,12 +88,17 @@ def add_language(df: DataFrame, cfg: DownloadConfig) -> DataFrame:
     def lang_udf(texts):
         return texts.map(lambda t: detect_language(t) if t else None)
 
-    page0_lang = F.when(
-        (F.col("page_no") == 0) & F.col("text").isNotNull(),
-        lang_udf(F.col("text")),
+    # guard INSIDE the UDF input, not via F.when around the UDF call:
+    # Spark's ExtractPythonUDFs pulls a UDF out of when() into an
+    # ArrowEvalPython node evaluated for EVERY row, then applies the
+    # condition to the computed column — detection would run once per
+    # page, not once per doc. Nulling the input for page>0 keeps the
+    # Python-side work to one real detection per document.
+    page0_text = F.when(
+        (F.col("page_no") == 0) & F.col("text").isNotNull(), F.col("text")
     )
     w = Window.partitionBy("key")
-    return df.withColumn("_l0", page0_lang).withColumn(
+    return df.withColumn("_l0", lang_udf(page0_text)).withColumn(
         "language", F.first("_l0", ignorenulls=True).over(w)
     ).drop("_l0")
 
@@ -161,6 +166,14 @@ def download(
     pages = pages.observe(
         obs,
         F.count(F.lit(1)).alias("rows"),
+        # docs, not pages: count each document's page 0 (or its single
+        # error row, where page_no is null) — the reference's docs/sec is
+        # per DOCUMENT (`logger.py:114`), and rows here are post-explode
+        F.sum(
+            F.when(
+                F.col("page_no").isNull() | (F.col("page_no") == 0), 1
+            ).otherwise(0)
+        ).alias("docs"),
         F.sum(F.when(F.col("status") == "success", 1).otherwise(0)).alias(
             "successes"
         ),
@@ -174,12 +187,16 @@ def download(
         stats = shard_stats(pages)
         _write_stats(stats, cfg)
     finally:
-        pages.unpersist()
+        if not return_frames:
+            # with return_frames the CALLER owns the frame: unpersisting
+            # here would make their first action re-run the whole
+            # fetch+extract lineage (re-downloading every URL)
+            pages.unpersist()
     duration = time.time() - t0
     observed = dict(obs.get) if obs.get else {}
     observed["duration_sec"] = round(duration, 3)
-    if observed.get("rows"):
-        observed["docs_per_sec"] = round(observed["rows"] / duration, 2)
+    if observed.get("docs"):
+        observed["docs_per_sec"] = round(observed["docs"] / duration, 2)
     summary = global_rollup(_read_stats(spark, cfg))
     if return_frames:
         return pages, _read_stats(spark, cfg), summary

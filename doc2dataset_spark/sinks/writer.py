@@ -85,6 +85,11 @@ def _tf_example(text: bytes, meta: dict) -> bytes:
     hand-rolled protobuf wire format, no TF import."""
 
     def _varint(n: int) -> bytes:
+        # proto int64 wire format: negatives encode as 10-byte two's
+        # complement (a bare `n >>= 7` on a negative Python int never
+        # reaches 0 — infinite loop)
+        if n < 0:
+            n += 1 << 64
         out = b""
         while True:
             b7 = n & 0x7F
@@ -193,82 +198,117 @@ def write_files(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
     frame.foreachPartition(write_partition)
 
 
-def write_webdataset(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
-    """W3: one tar per shard partition with <key>.text + <key>.json members
-    (stdlib tarfile — no webdataset dependency needed to *write* the
-    format) + a parquet meta sidecar."""
-    frame = _samples_frame(df, cfg).repartition("shard_id")
-    extra = [
-        c for c in frame.columns
-        if c not in (*META_COLUMNS, cfg.encode_format, "shard_id")
-    ]
-    enc = cfg.encode_format
+def _write_sharded(frame, out: str, ext: str, open_writer, add_row) -> None:
+    """Shared shape for the per-shard file sinks (webdataset/tfrecord):
+
+    - files are named by SHARD id, not partition id — an incremental
+      resume run (which only sees NEW shards) can never clobber a prior
+      run's output, and the reference's one-file-per-shard contract holds
+      even when multiple shards hash into one Spark partition;
+    - rows are sorted by shard within each partition and the writer
+      rolls to a new file at each shard boundary;
+    - temp names carry the task ATTEMPT id, so a speculative or zombie
+      duplicate attempt can never interleave writes into the same temp
+      file (last rename wins with whole-file contents either way).
+
+    ``open_writer(fs, path) -> handle``; ``add_row(handle, row)``;
+    handle must have ``close()``.
+    """
+    frame = frame.repartition("shard_id").sortWithinPartitions("shard_id", "key")
     fsio.url_to_fs(out)[0].makedirs(out, exist_ok=True)
 
     def write_partition(rows) -> None:
         from pyspark import TaskContext
 
         fs, _ = fsio.url_to_fs(out)
-        pid = TaskContext.get().partitionId()
-        tmp = fsio.join(out, f"._tmp_{pid}.tar")
-        final = fsio.join(out, f"{pid:05d}.tar")
-        n = 0
-        with fs.open(tmp, "wb") as raw, tarfile.open(
-            fileobj=raw, mode="w"
-        ) as tar:
-            for row in rows:
-                key = row["key"]
-                payload = bytes(row[enc]) if row[enc] is not None else b""
-                ti = tarfile.TarInfo(name=f"{key}.text")
-                ti.size = len(payload)
-                tar.addfile(ti, io.BytesIO(payload))
-                mbytes = json.dumps(_meta_of(row, extra), default=str).encode()
-                tj = tarfile.TarInfo(name=f"{key}.json")
-                tj.size = len(mbytes)
-                tar.addfile(tj, io.BytesIO(mbytes))
-                n += 1
-        if n:
-            fs.mv(tmp, final)
-        else:
-            fs.rm(tmp)
+        attempt = TaskContext.get().taskAttemptId()
+        shard, handle, tmp = None, None, None
+
+        def roll() -> None:
+            if handle is None:
+                return
+            handle.close()
+            fs.mv(tmp, fsio.join(out, f"{int(shard):05d}.{ext}"))
+
+        for row in rows:
+            if row["shard_id"] != shard:
+                roll()
+                shard = row["shard_id"]
+                tmp = fsio.join(out, f"._tmp_{int(shard):05d}_{attempt}.{ext}")
+                handle = open_writer(fs, tmp)
+            add_row(handle, row)
+        roll()
 
     frame.foreachPartition(write_partition)
+
+
+class _TarWriter:
+    def __init__(self, fs, path):
+        self.raw = fs.open(path, "wb")
+        self.tar = tarfile.open(fileobj=self.raw, mode="w")
+
+    def close(self):
+        self.tar.close()
+        self.raw.close()
+
+
+def write_webdataset(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
+    """W3: one tar PER SHARD with <key>.text + <key>.json members (stdlib
+    tarfile — no webdataset dependency needed to *write* the format) + a
+    parquet meta sidecar."""
+    frame = _samples_frame(df, cfg)
+    extra = [
+        c for c in frame.columns
+        if c not in (*META_COLUMNS, cfg.encode_format, "shard_id")
+    ]
+    enc = cfg.encode_format
+
+    def add_row(w: _TarWriter, row) -> None:
+        key = row["key"]
+        payload = bytes(row[enc]) if row[enc] is not None else b""
+        ti = tarfile.TarInfo(name=f"{key}.text")
+        ti.size = len(payload)
+        w.tar.addfile(ti, io.BytesIO(payload))
+        mbytes = json.dumps(_meta_of(row, extra), default=str).encode()
+        tj = tarfile.TarInfo(name=f"{key}.json")
+        tj.size = len(mbytes)
+        w.tar.addfile(tj, io.BytesIO(mbytes))
+
+    _write_sharded(frame, out, "tar", _TarWriter, add_row)
     # parquet meta sidecar (reference writes one per tar, `writer.py:88-126`)
-    frame.drop(enc).write.mode("overwrite").parquet(fsio.join(out, "_meta"))
+    # append: resume runs contribute only NEW shards; overwrite would wipe
+    # every prior run's metadata (and a no-op rerun would empty it)
+    frame.drop(enc).write.mode("append").partitionBy("shard_id").parquet(
+        fsio.join(out, "_meta")
+    )
 
 
 def write_tfrecord(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
-    """W5: TFRecord files with tf.train.Example payloads (stdlib framing +
-    hand-rolled proto — TensorFlow is not required)."""
-    frame = _samples_frame(df, cfg).repartition("shard_id")
+    """W5: one TFRecord file PER SHARD with tf.train.Example payloads
+    (stdlib framing + hand-rolled proto — TensorFlow is not required)."""
+    frame = _samples_frame(df, cfg)
     extra = [
         c for c in frame.columns
         if c not in (*META_COLUMNS, cfg.encode_format, "shard_id")
     ]
     enc = cfg.encode_format
-    fsio.url_to_fs(out)[0].makedirs(out, exist_ok=True)
 
-    def write_partition(rows) -> None:
-        from pyspark import TaskContext
+    class _RecWriter:
+        def __init__(self, fs, path):
+            self.fh = fs.open(path, "wb")
 
-        fs, _ = fsio.url_to_fs(out)
-        pid = TaskContext.get().partitionId()
-        tmp = fsio.join(out, f"._tmp_{pid}.tfrecord")
-        final = fsio.join(out, f"{pid:05d}.tfrecord")
-        n = 0
-        with fs.open(tmp, "wb") as fh:
-            for row in rows:
-                payload = bytes(row[enc]) if row[enc] is not None else b""
-                example = _tf_example(payload, _meta_of(row, extra))
-                fh.write(tfrecord_frame(example))
-                n += 1
-        if n:
-            fs.mv(tmp, final)
-        else:
-            fs.rm(tmp)
+        def close(self):
+            self.fh.close()
 
-    frame.foreachPartition(write_partition)
-    frame.drop(enc).write.mode("overwrite").parquet(fsio.join(out, "_meta"))
+    def add_row(w, row) -> None:
+        payload = bytes(row[enc]) if row[enc] is not None else b""
+        example = _tf_example(payload, _meta_of(row, extra))
+        w.fh.write(tfrecord_frame(example))
+
+    _write_sharded(frame, out, "tfrecord", _RecWriter, add_row)
+    frame.drop(enc).write.mode("append").partitionBy("shard_id").parquet(
+        fsio.join(out, "_meta")
+    )
 
 
 def write_dummy(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
@@ -290,14 +330,17 @@ SINKS = {
 _EXECUTOR_SIDE_SINKS = ("files", "webdataset", "tfrecord")
 
 
+# sinks whose payload goes through Spark's own DataFrame writers: these
+# need a Hadoop-resolvable scheme (fsio.SPARK_NATIVE_SCHEMES)
+_SPARK_WRITER_SINKS = ("parquet", "jsonl")
+
+
 def check_sink_target(cfg: DownloadConfig) -> None:
     """Refuse invalid (format, scheme) combinations BEFORE the pipeline
     does anything destructive — download() calls this ahead of its
     overwrite-mode rm, so a doomed run never deletes prior output."""
-    if (
-        cfg.output_format in _EXECUTOR_SIDE_SINKS
-        and fsio.scheme_of(cfg.output_folder) == "memory"
-    ):
+    scheme = fsio.scheme_of(cfg.output_folder)
+    if cfg.output_format in _EXECUTOR_SIDE_SINKS and scheme == "memory":
         # MemoryFS is per-process: executor writes would land in stores the
         # driver can never see, silently "succeeding" while losing all
         # output. Driver-side state (manifest/resume) supports memory://;
@@ -306,6 +349,18 @@ def check_sink_target(cfg: DownloadConfig) -> None:
             f"output_format={cfg.output_format!r} writes from executors, "
             f"which cannot target memory:// (per-process store — the data "
             f"would be lost); use file:// or an object-store URL"
+        )
+    if cfg.output_format in _SPARK_WRITER_SINKS and not fsio.is_spark_native(
+        cfg.output_folder
+    ):
+        # Spark's DataFrame writers resolve the path through Hadoop, which
+        # has no handler for memory:// or fsspec-only schemes — the write
+        # would crash AFTER the overwrite rm destroyed prior output
+        raise ValueError(
+            f"output_format={cfg.output_format!r} writes through Spark's "
+            f"Hadoop layer, which cannot resolve scheme {scheme!r}; use a "
+            f"plain path, file://, or a Hadoop scheme "
+            f"({', '.join(s for s in fsio.SPARK_NATIVE_SCHEMES if s)})"
         )
 
 

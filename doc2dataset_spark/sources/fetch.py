@@ -29,16 +29,24 @@ from doc2dataset_spark.config import DownloadConfig
 FETCH_SCHEMA_SUFFIX = "doc_bytes binary, fetch_error string"
 
 
-def _check_robots_headers(headers, disallowed: list[str] | None) -> bool:
-    """True if an X-Robots-Tag directive disallows us (S11,
-    `downloader.py:20-34`)."""
+def _check_robots_headers(
+    headers, disallowed: list[str] | None, user_agent_token: str | None = None
+) -> bool:
+    """True if an X-Robots-Tag directive disallows us (S11, reference
+    `downloader.py:20-34` semantics exactly): each header value is
+    ``[agent:] directive[, directive...]`` — the directive LIST splits on
+    commas, and an agent-scoped value only applies when the agent matches
+    our user_agent_token (an unscoped value applies to everyone)."""
     if not disallowed:
         return False
+    ua = user_agent_token.lower() if user_agent_token else None
     for value in headers.get_all("X-Robots-Tag") or []:
-        # directives may be "noai" or "<agent>: noai"
-        parts = [p.strip() for p in value.split(":")]
-        directive = parts[-1].lower()
-        if directive in disallowed:
+        parts = value.split(":", 1)
+        agent = parts[0].strip().lower() if len(parts) == 2 else None
+        directives = [d.strip().lower() for d in parts[-1].split(",")]
+        if (agent is None or agent == ua) and any(
+            d in disallowed for d in directives
+        ):
             return True
     return False
 
@@ -68,7 +76,7 @@ def _fetch_one(
     req = urllib.request.Request(url, headers={"User-Agent": ua})
     try:
         with urllib.request.urlopen(req, timeout=timeout) as resp:
-            if _check_robots_headers(resp.headers, disallowed):
+            if _check_robots_headers(resp.headers, disallowed, user_agent_token):
                 return None, "Forbidden by X-Robots-Tag directive"
             return resp.read(), None
     except Exception as exc:  # noqa: BLE001 — any network failure is data

@@ -263,3 +263,84 @@ def test_bad_hash_type_guard():
     cfg = DownloadConfig(url_list="x", compute_hash="crc32")
     with pytest.raises(ValueError, match="compute_hash"):
         cfg.validate()
+
+
+def test_webdataset_resume_preserves_prior_shards(spark, corpus, tmp_path):
+    """Tars are named by SHARD id: an incremental resume run that processes
+    only NEW shards must never rename over a prior run's tars, and the
+    _meta sidecar must accumulate (append), not be wiped (overwrite)."""
+    root, meta = corpus
+    write_url_csv(root, meta)
+    out = str(tmp_path / "out")
+    cfg = _base_cfg(root, out, output_format="webdataset")
+    download(spark, cfg)
+    tars1 = sorted(glob.glob(os.path.join(out, "*.tar")))
+    assert tars1
+    mtimes1 = {t: os.path.getmtime(t) for t in tars1}
+    meta1 = spark.read.parquet(os.path.join(out, "_meta")).count()
+    assert meta1 > 0
+
+    # grow the url list: a new shard appears; old shards resume-skip.
+    # keys sort by url, so the new doc is named to sort AFTER every
+    # fixture doc — its rows form the trailing (new) shard
+    urls_csv = os.path.join(root, "urls.csv")
+    m = meta["plain"]
+    import shutil as _sh
+
+    zzz = os.path.join(root, "zzz.fake")
+    _sh.copyfile(m["path"], zzz)
+    try:
+        with open(urls_csv, "a", newline="") as fh:
+            for _ in range(4):  # one full extra shard (4 samples/shard)
+                fh.write(f"file://{zzz},extra,{m['sha256']}\n")
+        download(spark, cfg)
+    finally:
+        os.remove(zzz)
+        write_url_csv(root, meta)  # restore for later tests
+
+    tars2 = sorted(glob.glob(os.path.join(out, "*.tar")))
+    assert set(tars1) <= set(tars2)
+    for t in tars1:  # prior tars untouched byte-for-byte (same mtime)
+        assert os.path.getmtime(t) == mtimes1[t], f"{t} was clobbered"
+    assert len(tars2) > len(tars1)  # the new shard landed as a NEW tar
+    meta2 = spark.read.parquet(os.path.join(out, "_meta")).count()
+    assert meta2 > meta1  # sidecar accumulated
+
+
+def test_tfrecord_negative_int_column(spark, corpus, tmp_path):
+    """int64 features must varint-encode negatives (two's complement) —
+    a bare shift loop on a negative value never terminates."""
+    from doc2dataset_spark.sinks.writer import _tf_example
+
+    enc = _tf_example(b"payload", {"score": -1, "ok": 3})
+    assert isinstance(enc, bytes) and len(enc) > 10
+    # -1 as two's-complement varint is 10 bytes of 0xFF..0x01
+    assert b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01" in enc
+
+
+def test_summary_reports_docs_not_pages(spark, corpus, tmp_path):
+    """docs_per_sec derives from DOCUMENT count (page 0 / error rows), not
+    the post-explode page count — the reference's metric is per document."""
+    root, meta = corpus
+    write_url_csv(root, meta)
+    out = str(tmp_path / "out")
+    summary = download(spark, _base_cfg(root, out, output_format="parquet"))
+    n_docs = len(meta)
+    assert summary["docs"] == n_docs
+    assert summary["rows"] > summary["docs"]  # multi-page fan-out happened
+
+
+def test_return_frames_keeps_pages_materialized(spark, corpus, tmp_path):
+    """With return_frames=True the caller owns the persisted frame — an
+    action on it must not re-run the fetch lineage (unpersist is the
+    caller's job)."""
+    root, meta = corpus
+    write_url_csv(root, meta)
+    out = str(tmp_path / "out")
+    pages, stats, summary = download(
+        spark, _base_cfg(root, out, output_format="parquet"),
+        return_frames=True,
+    )
+    assert pages.storageLevel.useMemory  # still persisted
+    assert pages.count() > 0
+    pages.unpersist()

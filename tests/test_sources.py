@@ -130,15 +130,24 @@ class _Headers:
 
 
 @pytest.mark.parametrize(
-    "headers,expect",
+    "headers,ua,expect",
     [
-        (["noai"], True),
-        (["somebot: noindex"], True),
-        (["all"], False),
-        ([], False),
+        (["noai"], None, True),                    # unscoped applies to all
+        (["noai, nofollow"], None, True),          # comma list: any match
+        (["nofollow, noindex"], None, True),
+        (["nofollow"], None, False),
+        (["somebot: noindex"], "somebot", True),   # scoped + matching agent
+        (["somebot: noindex"], "otherbot", False),  # scoped, different agent
+        (["somebot: noindex"], None, False),       # scoped, we have no token
+        (["all"], None, False),
+        ([], None, False),
     ],
 )
-def test_robots_directives(headers, expect):
+def test_robots_directives(headers, ua, expect):
+    """Reference `downloader.py:20-34` semantics: directive lists split on
+    commas; an agent-scoped value only applies when the agent matches our
+    user_agent_token."""
     assert (
-        _check_robots_headers(_Headers(headers), ["noai", "noindex"]) is expect
+        _check_robots_headers(_Headers(headers), ["noai", "noindex"], ua)
+        is expect
     )
