@@ -8,7 +8,8 @@ a Catalyst expression (whole-stage codegen, no serde):
 2. removal criteria     — size/aspect predicates over the parsed attrs (F8)
 3. img removal          — aggregate-fold literal replace (T9; reference
                           regex-as-pattern bug fixed, divergence documented)
-4. images_per_page      — size() of the kept array (F7 input)
+4. images_per_page      — count of images FOUND (pre-removal; F7 input,
+                          reference `extractor.py:152`)
 5. digit removal        — regexp_replace (T10, only when save_figures=False)
 6. word count           — strip-tags + word regex (T6)
 7. status marking       — failed filters mark rows failed_to_extract but
@@ -84,9 +85,11 @@ def apply_page_filters(df: DataFrame, cfg: DownloadConfig) -> DataFrame:
             ),
         ),
     )
-    df = df.withColumn(
-        "images_per_page", F.size(F.col("_imgs_all")) - F.size(F.col("_imgs_rm"))
-    )
+    # reference parity (`extractor.py:152`): images_per_page is the count
+    # of images FOUND on the page (pre-size-removal) — the same value the
+    # F7 max-images check tests; size-based removal edits the text but
+    # does not change the recorded count
+    df = df.withColumn("images_per_page", F.size(F.col("_imgs_all")))
     if cfg.remove_digits and not cfg.save_figures:
         # T10 gate (`extractor.py:163-164`): digits stripped only when
         # remove_digits is on AND figures are off — both conditions, like

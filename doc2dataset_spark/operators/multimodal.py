@@ -119,9 +119,13 @@ def image_metadata(df: DataFrame, media_col: str = "media") -> DataFrame:
                         }
                     )
                 except Exception:  # noqa: BLE001
+                    raw = rec[media_col]
                     rows.append(
                         {**base, "width": None, "height": None,
-                         "channels": None, "n_bytes": len(rec[media_col]),
+                         "channels": None,
+                         # the media value may itself be None — the
+                         # fallback row must not raise its own TypeError
+                         "n_bytes": len(raw) if raw is not None else 0,
                          "mean_pixel": None}
                     )
             yield pd.DataFrame(
@@ -148,11 +152,17 @@ def image_resize(
             out = pdf.copy()
             resized = []
             for data in pdf[media_col]:
-                arr = decode_raster(bytes(data))
-                h, w, _ = arr.shape
-                yi = (np.arange(out_h) * h // out_h).astype(int)
-                xi = (np.arange(out_w) * w // out_w).astype(int)
-                resized.append(encode_image(arr[np.ix_(yi, xi)]))
+                # per-record error capture (T14 discipline, same as
+                # image_metadata): one corrupt/null blob degrades to a
+                # null row instead of failing the task 4x and the job
+                try:
+                    arr = decode_raster(bytes(data))
+                    h, w, _ = arr.shape
+                    yi = (np.arange(out_h) * h // out_h).astype(int)
+                    xi = (np.arange(out_w) * w // out_w).astype(int)
+                    resized.append(encode_image(arr[np.ix_(yi, xi)]))
+                except Exception:  # noqa: BLE001
+                    resized.append(None)
             out[media_col] = resized
             yield out
 
@@ -177,7 +187,13 @@ def video_frame_sample(
             rows = []
             for rec in pdf.to_dict("records"):
                 base = {c: rec[c] for c in passthrough}
-                frames = decode_video_frames(bytes(rec[media_col]))
+                try:
+                    frames = decode_video_frames(bytes(rec[media_col]))
+                except Exception:  # noqa: BLE001
+                    # corrupt/null blob: a single null-frame row (T14
+                    # discipline) instead of killing the task
+                    rows.append({**base, "frame_no": None, "frame": None})
+                    continue
                 for i in range(0, len(frames), every_k):
                     rows.append({**base, "frame_no": i, "frame": frames[i]})
             yield pd.DataFrame(rows, columns=[*passthrough, "frame_no", "frame"])

@@ -29,17 +29,45 @@ def assign_keys(
 
     contiguous=True reproduces the reference's row layout exactly via a
     global row_number (single-pass window — fine up to ~10^8 rows;
-    correctness/test path). contiguous=False uses
-    ``monotonically_increasing_id`` — fully parallel, unique but not dense;
-    the 100 TB path (key layout preserved, shard sizes approximate)."""
+    correctness/test path). contiguous=False computes a DENSE global index
+    without a global sort (the zipWithIndex shape): per-partition row
+    counts (one tiny job, one row per partition on the driver) turned
+    into broadcast offsets, plus the partition-local index carried in
+    ``monotonically_increasing_id``'s low 33 bits. Raw monotonic ids
+    would NOT work here — partition 1 starts at 2^33, so
+    ``shard_id * 10^oom`` would blow past the fixed zero-pad width the
+    reference's key layout contract requires."""
     n_per_shard = cfg.number_sample_per_shard
     width = cfg.oom_sample_per_shard + cfg.oom_shard_count
     if contiguous:
         w = Window.orderBy("url")
-        rid = F.row_number().over(w) - 1
+        df = df.withColumn("_rid", F.row_number().over(w) - 1)
     else:
-        rid = F.monotonically_increasing_id()
-    df = df.withColumn("_rid", rid)
+        mid = F.monotonically_increasing_id()
+        df = df.withColumn("_mid", mid).localCheckpoint(eager=True)
+        # _mid layout: (partition_index << 33) | partition_local_row
+        pid = (F.col("_mid") / (1 << 33)).cast("long")
+        local = F.col("_mid") % (1 << 33)
+        counts = (
+            df.select(pid.alias("_pid"))
+            .groupBy("_pid")
+            .count()
+            .orderBy("_pid")
+            .collect()
+        )
+        offsets, acc = [], 0
+        for r in counts:
+            offsets.append((r["_pid"], acc))
+            acc += r["count"]
+        spark = df.sparkSession
+        off = spark.createDataFrame(offsets, "_pid long, _off long")
+        df = (
+            df.withColumn("_pid", pid)
+            .withColumn("_local", local)
+            .join(F.broadcast(off), "_pid")
+            .withColumn("_rid", F.col("_off") + F.col("_local"))
+            .drop("_pid", "_local", "_off", "_mid")
+        )
     df = df.withColumn(
         "shard_id", (F.col("_rid") / n_per_shard).cast("long")
     ).withColumn(

@@ -20,12 +20,15 @@ from doc2dataset_spark.config import DownloadConfig
 
 def _column_list(cfg: DownloadConfig) -> list[str]:
     """Input projection (reference `reader.py:60-71`): additional columns +
-    the verify-hash column + the url column."""
+    the verify-hash column + the url column. Deduplicated — a custom
+    url_col or hash column also listed in save_additional_columns would
+    otherwise be selected twice, and the later withColumnRenamed would
+    rename BOTH copies into an ambiguous duplicate."""
     cols = list(cfg.save_additional_columns or [])
     if cfg.verify_hash is not None:
         cols.append(cfg.verify_hash[0])
     cols.append(cfg.url_col)
-    return cols
+    return list(dict.fromkeys(cols))
 
 
 def read_url_list(spark: SparkSession, cfg: DownloadConfig) -> DataFrame:
@@ -40,8 +43,13 @@ def read_url_list(spark: SparkSession, cfg: DownloadConfig) -> DataFrame:
         path = os.path.join(path, f"*.{fmt}*")
 
     if fmt == "txt":
-        df = spark.read.text(path).withColumnRenamed("value", cfg.url_col)
-        df = df.filter(F.length(F.trim(F.col(cfg.url_col))) > 0)
+        # TRIM the value, not just the emptiness test: spark.read.text
+        # strips only \n, so CRLF files would leave a trailing \r on every
+        # url and every fetch would fail
+        df = spark.read.text(path).select(
+            F.trim(F.col("value")).alias(cfg.url_col)
+        )
+        df = df.filter(F.length(F.col(cfg.url_col)) > 0)
     elif fmt == "csv":
         df = spark.read.csv(path, header=True, inferSchema=False)
     elif fmt == "tsv":

@@ -72,24 +72,44 @@ class WebDatasetReader(DataSourceReader):
         return [TarShard(p) for p in tars]
 
     def read(self, partition: TarShard):
-        """Stream one tar shard: members are contiguous per sample key
-        (writer guarantee), but we group defensively by key prefix so
-        arbitrary member order is also correct."""
-        samples: dict[str, dict[str, bytes]] = {}
+        """Stream one tar shard with O(one sample) memory: members are
+        contiguous per sample key (the writer guarantees it, and the
+        WebDataset format itself mandates it), so a sample is complete the
+        moment the key prefix changes — no whole-shard dict (a ~1 GB shard
+        would otherwise sit fully in Python heap before the first row).
+
+        The extension is the LAST dot segment (rsplit): keys containing
+        dots ('doc.v2') round-trip intact instead of being truncated at
+        the first dot."""
+
+        def emit(key: str, parts: dict):
+            text = parts.get(self.text_ext)
+            meta = parts.get(self.meta_ext)
+            return (
+                key,
+                text,
+                meta.decode("utf-8") if meta is not None else None,
+            )
+
+        cur_key, cur_parts = None, {}
         with tarfile.open(partition.path, "r") as tar:
             for member in tar:
                 if not member.isfile():
                     continue
-                key, dot, ext = member.name.partition(".")
+                if "." in member.name:
+                    key, ext = member.name.rsplit(".", 1)
+                else:
+                    key, ext = member.name, ""
                 fh = tar.extractfile(member)
                 if fh is None:
                     continue
-                samples.setdefault(key, {})[ext if dot else ""] = fh.read()
-        for key in sorted(samples):
-            parts = samples[key]
-            text = parts.get(self.text_ext)
-            meta = parts.get(self.meta_ext)
-            yield (key, text, meta.decode("utf-8") if meta is not None else None)
+                if key != cur_key and cur_key is not None:
+                    yield emit(cur_key, cur_parts)
+                    cur_parts = {}
+                cur_key = key
+                cur_parts[ext] = fh.read()
+        if cur_key is not None:
+            yield emit(cur_key, cur_parts)
 
 
 class WebDatasetStreamReader(DataSourceStreamReader):
@@ -156,7 +176,10 @@ class WebDatasetWriter(DataSourceWriter):
         # attempt-unique temp name: retried/speculative tasks never collide
         token = uuid.uuid4().hex[:8]
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"_tmp-{pid:05d}-{token}.tar")
+        # suffix must NOT match the readers' *.tar glob: a leaked temp
+        # (executor death between write and commit message) would
+        # otherwise be read back as a data shard
+        tmp = os.path.join(self.path, f"_tmp-{pid:05d}-{token}.tar.inprogress")
         final = os.path.join(self.path, f"part-{pid:05d}.tar")
         meta_cols = [
             f.name

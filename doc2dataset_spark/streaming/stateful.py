@@ -78,14 +78,36 @@ def sessionize_fn(
     values = ev["value"].tolist()
     if state.exists:
         start, last, n, total = state.get
-        if ts_us and ts_us[0] - last <= GAP_US:
-            # open session continues into this batch: prepend its state by
-            # folding the accumulators into the first derived session
-            sessions = _sessions_of(ts_us, values)
-            s0 = sessions[0]
-            sessions[0] = (start, s0[1], n + s0[2], total + s0[3])
-        else:
-            sessions = [(start, last, n, total)] + _sessions_of(ts_us, values)
+        # Out-of-order (late-but-within-watermark) events need signed-gap
+        # care: a naive `ts[0] - last <= GAP` is ALWAYS true for a late
+        # event, and folding batch-derived sessions onto the state could
+        # regress the stored session end below its start. Instead:
+        # 1. events more than a gap BEFORE the open session's start form
+        #    their own already-closed session(s);
+        # 2. the rest merge-walk the open session, extending it in BOTH
+        #    directions (start can move down, end only up), with in-gap
+        #    chaining carried forward.
+        # (Transitive chains across the early/open split are approximated
+        # — summary state cannot re-sessionize full history.)
+        early = [(t, v) for t, v in zip(ts_us, values) if t < start - GAP_US]
+        rest = [(t, v) for t, v in zip(ts_us, values) if t >= start - GAP_US]
+        early_sessions = (
+            _sessions_of([t for t, _ in early], [v for _, v in early])
+            if early
+            else []
+        )
+        i = 0
+        while i < len(rest) and rest[i][0] <= last + GAP_US:
+            t, v = rest[i]
+            start, last = min(start, t), max(last, t)
+            n += 1
+            total += v
+            i += 1
+        sessions = (
+            early_sessions
+            + [(start, last, n, total)]
+            + _sessions_of([t for t, _ in rest[i:]], [v for _, v in rest[i:]])
+        )
     else:
         sessions = _sessions_of(ts_us, values)
 

@@ -106,3 +106,30 @@ def audio_features_import():
     from doc2dataset_spark.operators.multimodal import audio_features
 
     return audio_features
+
+
+def test_null_and_corrupt_media_degrade_not_crash(spark):
+    """Every multimodal operator must emit a null row for a corrupt or
+    NULL media value (T14 discipline) instead of failing the task."""
+    from doc2dataset_spark.operators.multimodal import (
+        image_metadata,
+        image_resize,
+        video_frame_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an image")), (2, None)],
+        "id long, media binary",
+    )
+    meta = image_metadata(df).collect()
+    assert len(meta) == 2
+    assert all(r["width"] is None for r in meta)
+    assert {r["n_bytes"] for r in meta} == {len(b"not an image"), 0}
+
+    resized = image_resize(df, 4, 4).collect()
+    assert len(resized) == 2
+    assert all(r["media"] is None for r in resized)
+
+    frames = video_frame_sample(df, 2).collect()
+    assert len(frames) == 2
+    assert all(r["frame"] is None for r in frames)

@@ -91,9 +91,10 @@ def test_pipeline_statuses(spark, corpus, tmp_path):
 
     images = by_url["images.fake"]
     assert all(r["status"] == "success" for r in images)
-    # page 0: ok.png kept, tiny.png removed; page 1: wide + noattr removed
+    # reference parity (`extractor.py:152`): images_per_page counts images
+    # FOUND (2 per page here), not kept — removal edits the text only
     ipp = {r["page_no"]: r["images_per_page"] for r in images}
-    assert ipp == {0: 1, 1: 0}
+    assert ipp == {0: 2, 1: 2}
     texts = {r["page_no"]: r["text"] for r in images}
     assert 'src="ok.png"' in texts[0]
     assert 'src="tiny.png"' not in texts[0]
@@ -344,3 +345,23 @@ def test_return_frames_keeps_pages_materialized(spark, corpus, tmp_path):
     assert pages.storageLevel.useMemory  # still persisted
     assert pages.count() > 0
     pages.unpersist()
+
+
+def test_noncontiguous_keys_are_dense_and_fixed_width(spark):
+    """The scalable (no-global-sort) key path must produce the same dense
+    fixed-width layout as the contiguous path — raw monotonic ids from
+    partition >= 1 start at 2^33 and would blow the zero-pad width."""
+    from doc2dataset_spark.operators.sharding import assign_keys
+
+    cfg = DownloadConfig(
+        url_list="unused", output_folder="unused", number_sample_per_shard=10
+    )
+    df = spark.range(95).select(
+        F.format_string("http://x/%d", F.col("id")).alias("url")
+    ).repartition(7)  # force several input partitions
+    keyed = assign_keys(df, cfg, contiguous=False)
+    rows = keyed.select("shard_id", "key").collect()
+    width = cfg.oom_sample_per_shard + cfg.oom_shard_count
+    assert all(len(r["key"]) == width for r in rows)  # fixed width held
+    assert len({r["key"] for r in rows}) == 95  # unique
+    assert sorted({r["shard_id"] for r in rows}) == list(range(10))  # dense

@@ -151,3 +151,32 @@ def test_robots_directives(headers, ua, expect):
         _check_robots_headers(_Headers(headers), ["noai", "noindex"], ua)
         is expect
     )
+
+
+def test_txt_urls_are_trimmed(spark, tmp_path):
+    """CRLF-authored url lists: the trailing \\r must be stripped from the
+    VALUE, not just ignored by the blank-line filter."""
+    p = tmp_path / "urls.txt"
+    p.write_bytes(b"http://a.com/x.pdf\r\n  http://b.com/y.pdf \r\n\r\n")
+    cfg = DownloadConfig(
+        url_list=str(p), output_folder=str(tmp_path / "o"), input_format="txt"
+    )
+    urls = [r["url"] for r in read_url_list(spark, cfg).collect()]
+    assert urls == ["http://a.com/x.pdf", "http://b.com/y.pdf"]
+
+
+def test_custom_url_col_also_in_additional_columns(spark, tmp_path):
+    """A url_col repeated in save_additional_columns must not produce an
+    ambiguous duplicate column after the rename."""
+    p = tmp_path / "urls.csv"
+    p.write_text("link,caption\nhttp://a.com/x.pdf,hello\n")
+    cfg = DownloadConfig(
+        url_list=str(p),
+        output_folder=str(tmp_path / "o"),
+        input_format="csv",
+        url_col="link",
+        save_additional_columns=["link", "caption"],
+    )
+    df = read_url_list(spark, cfg)
+    assert df.columns.count("url") == 1
+    assert [r["url"] for r in df.collect()] == ["http://a.com/x.pdf"]

@@ -88,3 +88,64 @@ def test_stateful_session_boundaries_respect_gap(spark, sf_dir):
             - grp["session_end"].iloc[:-1].values
         ).astype("timedelta64[ns]").astype("int64")
         assert (gaps_ns > 30 * 60 * 1_000_000_000).all()
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving sessionize_fn directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+
+def test_late_event_never_regresses_session_end():
+    """A late-but-within-watermark event must not shrink the open
+    session's end below its start (the signed-gap trap: late_ts - last is
+    negative, so a naive <= GAP check always merges and then overwrites
+    the end with the earlier timestamp)."""
+    import pandas as pd
+
+    from doc2dataset_spark.streaming.stateful import GAP_US, sessionize_fn
+
+    t0 = 1_000_000_000_000  # µs
+    state = _FakeState((t0, t0, 1, 1.0))  # open session [t0, t0]
+    late = t0 - (GAP_US + GAP_US // 2)  # 45 min earlier (gap = 30 min)
+    batch = pd.DataFrame(
+        {"ts_us": [late], "value": [2.0], "event_id": [7]}
+    )
+    list(sessionize_fn((42,), iter([batch]), state))
+    start, last, n, total = state.get
+    assert last >= start  # end never regresses below start
+    assert last == t0  # stored end unchanged by the earlier event
+
+
+def test_late_event_within_gap_extends_start_downward():
+    import pandas as pd
+
+    from doc2dataset_spark.streaming.stateful import GAP_US, sessionize_fn
+
+    t0 = 1_000_000_000_000
+    state = _FakeState((t0, t0, 1, 1.0))
+    late = t0 - GAP_US // 2  # 15 min earlier: inside the gap -> merges
+    batch = pd.DataFrame({"ts_us": [late], "value": [2.0], "event_id": [7]})
+    out = list(sessionize_fn((42,), iter([batch]), state))
+    assert not out  # nothing closed
+    start, last, n, total = state.get
+    assert (start, last, n) == (late, t0, 2)

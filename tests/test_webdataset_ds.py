@@ -145,3 +145,37 @@ def test_stream_reader_incremental_shards(registered, tmp_path):
         spark.sql("SELECT count(DISTINCT key) FROM wds_stream").collect()[0][0]
         == 12
     )
+
+
+def test_leaked_temp_not_read_as_shard(registered, spark, tmp_path):
+    """A temp file orphaned by an executor death (written, never committed)
+    must not match the readers' *.tar glob — it would duplicate or corrupt
+    every sample in that shard on the next read."""
+    out = str(tmp_path / "wds")
+    df = spark.createDataFrame(
+        [("k1", "text one", "m1"), ("k2", "text two", "m2")],
+        "key string, text string, caption string",
+    )
+    df.coalesce(1).write.format("webdataset").mode("overwrite").save(out)
+    n1 = spark.read.format("webdataset").load(out).count()
+    # orphan a half-written temp alongside the committed shard
+    leaked = os.path.join(out, "_tmp-00000-deadbeef.tar.inprogress")
+    with open(leaked, "wb") as fh:
+        fh.write(b"torn half-written tar bytes")
+    assert spark.read.format("webdataset").load(out).count() == n1
+
+
+def test_key_with_dots_roundtrips(registered, spark, tmp_path):
+    """Extensions split from the RIGHT: 'doc.v2' must come back intact,
+    not truncated to 'doc' with unmatched extensions."""
+    out = str(tmp_path / "wds")
+    df = spark.createDataFrame(
+        [("doc.v1", "first", "a"), ("doc.v2", "second", "b")],
+        "key string, text string, caption string",
+    )
+    df.coalesce(1).write.format("webdataset").mode("overwrite").save(out)
+    got = {
+        r["key"]: bytes(r["text"])
+        for r in spark.read.format("webdataset").load(out).collect()
+    }
+    assert got == {"doc.v1": b"first", "doc.v2": b"second"}
