@@ -22,6 +22,20 @@ from pyspark.sql import functions as F
 from doc2dataset_spark.config import DownloadConfig
 
 
+def _mid_pid(col: str = "_mid"):
+    """Partition index from a monotonically_increasing_id value.
+
+    Integer shift, NOT float division: ``_mid / 2^33`` goes through
+    double and rounds once ``_mid >= 2^53`` (partition index ~2^20 —
+    the ~1M-partition regime the dense-index path targets)."""
+    return F.shiftright(col, 33)
+
+
+def _mid_local(col: str = "_mid"):
+    """Partition-local row index: low 33 bits, integer mask."""
+    return F.col(col).bitwiseAND((1 << 33) - 1)
+
+
 def assign_keys(
     df: DataFrame, cfg: DownloadConfig, contiguous: bool = True
 ) -> DataFrame:
@@ -46,8 +60,8 @@ def assign_keys(
         mid = F.monotonically_increasing_id()
         df = df.withColumn("_mid", mid).localCheckpoint(eager=True)
         # _mid layout: (partition_index << 33) | partition_local_row
-        pid = (F.col("_mid") / (1 << 33)).cast("long")
-        local = F.col("_mid") % (1 << 33)
+        pid = _mid_pid()
+        local = _mid_local()
         counts = (
             df.select(pid.alias("_pid"))
             .groupBy("_pid")
@@ -69,7 +83,7 @@ def assign_keys(
             .drop("_pid", "_local", "_off", "_mid")
         )
     df = df.withColumn(
-        "shard_id", (F.col("_rid") / n_per_shard).cast("long")
+        "shard_id", F.expr(f"_rid DIV {n_per_shard}")
     ).withColumn(
         "key",
         F.format_string(

@@ -116,12 +116,18 @@ def agg_percentiles(spark, sf_dir):
 def agg_percentiles_approx(spark, sf_dir):
     """approx_percentile (KLL-style sketch, mergeable across partitions —
     the 100 TB path; accuracy set by the 10000 parameter). Rows-only gate;
-    agg_percentiles is the exact oracle twin."""
+    agg_percentiles is the exact oracle twin. The sketch result is unpacked
+    into scalar p50/p90/p99 columns (array columns break the driver's
+    pandas-based canonicalization — lists are unhashable in sort keys)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
-        ).alias("pcts")
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+    )
+    return li.groupBy("l_returnflag").agg(pcts.alias("_pcts")).select(
+        "l_returnflag",
+        F.element_at("_pcts", 1).alias("p50"),
+        F.element_at("_pcts", 2).alias("p90"),
+        F.element_at("_pcts", 3).alias("p99"),
     )
 
 

@@ -365,3 +365,38 @@ def test_noncontiguous_keys_are_dense_and_fixed_width(spark):
     assert all(len(r["key"]) == width for r in rows)  # fixed width held
     assert len({r["key"] for r in rows}) == 95  # unique
     assert sorted({r["shard_id"] for r in rows}) == list(range(10))  # dense
+
+
+def test_mid_decode_exact_above_2_53(spark):
+    """The monotonic-id decode must stay exact past 2^53, i.e. partition
+    index >= ~2^20 — the ~1M-partition regime of the dense-index path.
+    Float division ((_mid / 2^33).cast('long')) rounds there and collides
+    keys; the integer shift/mask must round-trip every (pid, local) pair."""
+    from doc2dataset_spark.operators.sharding import _mid_local, _mid_pid
+
+    pairs = [
+        (0, 0),
+        (1, 5),
+        (2**20 - 1, 2**33 - 1),
+        (2**20, 0),  # _mid = 2^53: first value double can't hold exactly +1
+        (2**20 + 1, 12345),
+        (2**25, 2**33 - 1),
+        (2**30 - 1, 7),  # max 63-bit-safe partition index territory
+    ]
+    df = spark.createDataFrame(
+        [((p << 33) | l, p, l) for p, l in pairs],
+        "_mid long, want_pid long, want_local long",
+    )
+    bad = df.select(
+        _mid_pid().alias("pid"), _mid_local().alias("local"),
+        "want_pid", "want_local",
+    ).where(
+        (F.col("pid") != F.col("want_pid"))
+        | (F.col("local") != F.col("want_local"))
+    )
+    assert bad.count() == 0
+    # and the float path really is broken up there (guards the rationale)
+    float_pid = df.select(
+        (F.col("_mid") / (1 << 33)).cast("long").alias("pid"), "want_pid"
+    ).where(F.col("pid") != F.col("want_pid"))
+    assert float_pid.count() > 0
