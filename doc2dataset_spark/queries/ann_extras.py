@@ -94,10 +94,16 @@ def sim_ann_ivf_probe2(spark, sf_dir):
     corpus = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cid"), F.col("ne").alias("cne"), "cent_id"
     )
-    scored = probe.join(
-        corpus, (probe.cent_id == corpus.cent_id) & (F.col("cid") != F.col("qid"))
-    ).select(
-        "qid", "cid", spark_dot(F.col("qne"), F.col("cne")).alias("cos")
+    # USING-form join: probe/corpus derive from the same `ranked` plan, so
+    # `probe.cent_id == corpus.cent_id` is an ambiguous self-join reference
+    # (Spark warns "trivially true equals predicate"); the string key is
+    # unambiguous and keeps the same equi-join shape.
+    scored = (
+        probe.join(corpus, "cent_id")
+        .where(F.col("cid") != F.col("qid"))
+        .select(
+            "qid", "cid", spark_dot(F.col("qne"), F.col("cne")).alias("cos")
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
     return (

@@ -154,11 +154,12 @@ def _samples_frame(df: DataFrame, cfg: DownloadConfig) -> DataFrame:
 def write_parquet(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
     """W1/W2: sample parquet partitioned by shard (file-per-shard parity
     comes from partitionBy, not manual writer management)."""
-    # append: incremental resume filters done shards upstream, so each run
-    # contributes only new shard partitions (overwrite would clobber them)
-    _samples_frame(df, cfg).write.mode("append").partitionBy(
-        "shard_id"
-    ).parquet(fsio.join(out, "samples"))
+    # dynamic partition overwrite: replaces ONLY the shard partitions this
+    # run writes — prior runs' shards survive (resume), and a crash-replay
+    # of the same shards is idempotent where append would duplicate rows
+    _samples_frame(df, cfg).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("shard_id").parquet(fsio.join(out, "samples"))
 
 
 def write_jsonl(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
@@ -198,6 +199,39 @@ def write_files(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
     frame.foreachPartition(write_partition)
 
 
+def _write_meta_sidecar(meta_frame, out: str) -> None:
+    """Shard-partitioned parquet metadata next to the payload files.
+
+    Dynamic partition overwrite, NOT append: a run that crashes after the
+    payload rename but before the ``_stats`` manifest write gets its shards
+    reprocessed on resume — overwrite-by-partition replays them idempotently
+    (matching the payload's whole-file-rename discipline) where append would
+    stack duplicate metadata rows. Prior runs' shard partitions are never
+    touched (dynamic mode only replaces partitions present in this frame)."""
+    meta_frame.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("shard_id").parquet(fsio.join(out, "_meta"))
+
+
+def _sweep_orphan_tmps(fs, out: str, ext: str) -> None:
+    """Remove ``._tmp_*.<ext>`` litter left by dead task attempts of a
+    PRIOR run (dot-prefixed names are invisible to Spark and this repo's
+    readers, so this is cost hygiene on object stores, not correctness).
+    Assumes one writing job per output dir — same contract as the rename
+    commit protocol itself."""
+    try:
+        paths = fs.find(out)
+    except FileNotFoundError:
+        return
+    for p in paths:
+        base = p.rsplit("/", 1)[-1].rsplit("\\", 1)[-1]
+        if base.startswith("._tmp_") and base.endswith(f".{ext}"):
+            try:
+                fs.rm(p)
+            except FileNotFoundError:
+                pass
+
+
 def _write_sharded(frame, out: str, ext: str, open_writer, add_row) -> None:
     """Shared shape for the per-shard file sinks (webdataset/tfrecord):
 
@@ -209,13 +243,18 @@ def _write_sharded(frame, out: str, ext: str, open_writer, add_row) -> None:
       rolls to a new file at each shard boundary;
     - temp names carry the task ATTEMPT id, so a speculative or zombie
       duplicate attempt can never interleave writes into the same temp
-      file (last rename wins with whole-file contents either way).
+      file (last rename wins with whole-file contents either way);
+    - a failing task closes and removes its own in-flight temp file, and
+      job start sweeps any ``._tmp_*`` orphans a killed attempt (no chance
+      to run finally) left behind.
 
     ``open_writer(fs, path) -> handle``; ``add_row(handle, row)``;
     handle must have ``close()``.
     """
     frame = frame.repartition("shard_id").sortWithinPartitions("shard_id", "key")
-    fsio.url_to_fs(out)[0].makedirs(out, exist_ok=True)
+    fs0, _ = fsio.url_to_fs(out)
+    fs0.makedirs(out, exist_ok=True)
+    _sweep_orphan_tmps(fs0, out, ext)
 
     def write_partition(rows) -> None:
         from pyspark import TaskContext
@@ -225,19 +264,37 @@ def _write_sharded(frame, out: str, ext: str, open_writer, add_row) -> None:
         shard, handle, tmp = None, None, None
 
         def roll() -> None:
+            nonlocal handle
             if handle is None:
                 return
             handle.close()
             fs.mv(tmp, fsio.join(out, f"{int(shard):05d}.{ext}"))
+            handle = None
 
-        for row in rows:
-            if row["shard_id"] != shard:
-                roll()
-                shard = row["shard_id"]
-                tmp = fsio.join(out, f"._tmp_{int(shard):05d}_{attempt}.{ext}")
-                handle = open_writer(fs, tmp)
-            add_row(handle, row)
-        roll()
+        try:
+            for row in rows:
+                if row["shard_id"] != shard:
+                    roll()
+                    shard = row["shard_id"]
+                    tmp = fsio.join(
+                        out, f"._tmp_{int(shard):05d}_{attempt}.{ext}"
+                    )
+                    handle = open_writer(fs, tmp)
+                add_row(handle, row)
+            roll()
+        except BaseException:
+            # close + remove the in-flight temp so a failed/retried task
+            # leaves no litter (the retry writes its own attempt-id name)
+            if handle is not None:
+                try:
+                    handle.close()
+                except Exception:
+                    pass
+                try:
+                    fs.rm(tmp)
+                except FileNotFoundError:
+                    pass
+            raise
 
     frame.foreachPartition(write_partition)
 
@@ -276,11 +333,7 @@ def write_webdataset(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
 
     _write_sharded(frame, out, "tar", _TarWriter, add_row)
     # parquet meta sidecar (reference writes one per tar, `writer.py:88-126`)
-    # append: resume runs contribute only NEW shards; overwrite would wipe
-    # every prior run's metadata (and a no-op rerun would empty it)
-    frame.drop(enc).write.mode("append").partitionBy("shard_id").parquet(
-        fsio.join(out, "_meta")
-    )
+    _write_meta_sidecar(frame.drop(enc), out)
 
 
 def write_tfrecord(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
@@ -306,9 +359,7 @@ def write_tfrecord(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
         w.fh.write(tfrecord_frame(example))
 
     _write_sharded(frame, out, "tfrecord", _RecWriter, add_row)
-    frame.drop(enc).write.mode("append").partitionBy("shard_id").parquet(
-        fsio.join(out, "_meta")
-    )
+    _write_meta_sidecar(frame.drop(enc), out)
 
 
 def write_dummy(df: DataFrame, cfg: DownloadConfig, out: str) -> None:

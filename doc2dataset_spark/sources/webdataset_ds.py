@@ -80,7 +80,13 @@ class WebDatasetReader(DataSourceReader):
 
         The extension is the LAST dot segment (rsplit): keys containing
         dots ('doc.v2') round-trip intact instead of being truncated at
-        the first dot."""
+        the first dot.
+
+        A tar from another tool with INTERLEAVED sample members would
+        silently come out as duplicate keys with split samples under this
+        streaming discipline — a reappearing key raises instead (the key
+        set is tiny next to the payloads, so tracking it keeps the O(one
+        sample) payload memory bound)."""
 
         def emit(key: str, parts: dict):
             text = parts.get(self.text_ext)
@@ -92,6 +98,7 @@ class WebDatasetReader(DataSourceReader):
             )
 
         cur_key, cur_parts = None, {}
+        emitted: set[str] = set()
         with tarfile.open(partition.path, "r") as tar:
             for member in tar:
                 if not member.isfile():
@@ -105,7 +112,15 @@ class WebDatasetReader(DataSourceReader):
                     continue
                 if key != cur_key and cur_key is not None:
                     yield emit(cur_key, cur_parts)
+                    emitted.add(cur_key)
                     cur_parts = {}
+                if key != cur_key and key in emitted:
+                    raise ValueError(
+                        f"non-contiguous sample members in "
+                        f"{partition.path!r}: key {key!r} reappears after "
+                        f"its sample was emitted (WebDataset requires all "
+                        f"of a sample's members to be adjacent)"
+                    )
                 cur_key = key
                 cur_parts[ext] = fh.read()
         if cur_key is not None:

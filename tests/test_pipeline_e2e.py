@@ -308,6 +308,78 @@ def test_webdataset_resume_preserves_prior_shards(spark, corpus, tmp_path):
     assert meta2 > meta1  # sidecar accumulated
 
 
+def test_meta_sidecar_crash_replay_idempotent(spark, corpus, tmp_path):
+    """A run that crashes after writing payloads+_meta but BEFORE the
+    _stats manifest gets its shards fully reprocessed on resume. The _meta
+    sidecar must replay idempotently (dynamic partition overwrite), not
+    stack duplicate rows the way a plain append would."""
+    root, meta = corpus
+    write_url_csv(root, meta)
+    out = str(tmp_path / "out")
+    cfg = _base_cfg(root, out, output_format="webdataset")
+    download(spark, cfg)
+    meta_df = spark.read.parquet(os.path.join(out, "_meta"))
+    rows1 = sorted(r["key"] for r in meta_df.select("key").collect())
+    # simulate the crash window: _stats never landed -> resume re-runs all
+    import shutil as _sh
+
+    _sh.rmtree(os.path.join(out, "_stats"))
+    download(spark, cfg)
+    meta_df2 = spark.read.parquet(os.path.join(out, "_meta"))
+    rows2 = sorted(r["key"] for r in meta_df2.select("key").collect())
+    assert rows2 == rows1  # same keys, same count — no duplicates
+    # samples parquet sink gets the same discipline
+    out2 = str(tmp_path / "out_pq")
+    cfg2 = _base_cfg(root, out2, output_format="parquet")
+    download(spark, cfg2)
+    n1 = spark.read.parquet(os.path.join(out2, "samples")).count()
+    _sh.rmtree(os.path.join(out2, "_stats"))
+    download(spark, cfg2)
+    n2 = spark.read.parquet(os.path.join(out2, "samples")).count()
+    assert n2 == n1
+
+
+def test_sharded_sink_cleans_tmp_litter(spark, tmp_path):
+    """Orphan ``._tmp_*`` files: a failing task removes its own in-flight
+    temp, and job start sweeps leftovers from killed attempts of prior
+    runs (which never got to run their finally)."""
+    from doc2dataset_spark.sinks.writer import _write_sharded
+
+    out = str(tmp_path / "shards")
+    frame = spark.createDataFrame(
+        [(i // 4, f"k{i:03d}", f"payload {i}") for i in range(16)],
+        "shard_id long, key string, text string",
+    )
+
+    class _W:
+        def __init__(self, fs, path):
+            self.fh = fs.open(path, "wb")
+
+        def close(self):
+            self.fh.close()
+
+    def boom(handle, row):
+        if row["key"] == "k009":
+            raise RuntimeError("simulated row failure")
+        handle.fh.write(row["text"].encode())
+
+    with pytest.raises(Exception, match="simulated row failure"):
+        _write_sharded(frame, out, "bin", _W, boom)
+    litter = [f for f in os.listdir(out) if f.startswith("._tmp_")]
+    assert litter == []  # failing task removed its own temp
+
+    # killed-attempt orphan from a "previous run": swept at job start
+    orphan = os.path.join(out, "._tmp_00042_7.bin")
+    with open(orphan, "wb") as fh:
+        fh.write(b"zombie")
+    _write_sharded(
+        frame, out, "bin", _W,
+        lambda h, r: h.fh.write(r["text"].encode()),
+    )
+    assert not os.path.exists(orphan)
+    assert len(glob.glob(os.path.join(out, "*.bin"))) == 4  # all shards land
+
+
 def test_tfrecord_negative_int_column(spark, corpus, tmp_path):
     """int64 features must varint-encode negatives (two's complement) —
     a bare shift loop on a negative value never terminates."""

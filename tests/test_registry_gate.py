@@ -12,6 +12,9 @@ late registration within a module); promoting one into the gate means
 choosing which current member it evicts.
 """
 
+import pytest
+
+from doc2dataset_spark.oracle import run_compare
 from doc2dataset_spark.queries import REGISTRY
 
 DRIVER_GATE_SIZE = 50
@@ -94,3 +97,22 @@ def test_gate_members_are_oracle_backed():
         if name in rows_only_by_design:
             continue
         assert spec.oracle, f"gated query {name} has no oracle SQL"
+
+
+def _degated_oracle_names() -> list[str]:
+    return [
+        name
+        for name in list(REGISTRY)[DRIVER_GATE_SIZE:]
+        if REGISTRY[name].oracle
+    ]
+
+
+@pytest.mark.parametrize("name", _degated_oracle_names())
+def test_degated_queries_keep_oracle_parity(spark, sf_dir, name):
+    """Queries registered PAST the 50-row driver snapshot (the q01-q19
+    relational surface and late additions) lose external verification —
+    the driver's CORRECTNESS file never sees them again. This keeps them
+    under an automated oracle gate: every de-gated oracle-backed query is
+    hash-compared against DuckDB at smoke scale on each test run."""
+    res = run_compare(spark, sf_dir, name)
+    assert res.ok, f"{name}: {res}"

@@ -165,6 +165,28 @@ def test_leaked_temp_not_read_as_shard(registered, spark, tmp_path):
     assert spark.read.format("webdataset").load(out).count() == n1
 
 
+def test_interleaved_members_raise(registered, spark, tmp_path):
+    """A foreign tar with INTERLEAVED sample members violates WebDataset's
+    adjacency contract; the streaming reader must raise a clear error, not
+    silently emit duplicate keys with split samples."""
+    out = str(tmp_path / "wds")
+    os.makedirs(out)
+    with tarfile.open(os.path.join(out, "part-00000.tar"), "w") as tar:
+        for name, payload in [
+            ("a.text", b"alpha"),
+            ("b.text", b"beta"),   # a's members split around b's
+            ("a.json", b"{}"),
+            ("b.json", b"{}"),
+        ]:
+            ti = tarfile.TarInfo(name=name)
+            ti.size = len(payload)
+            import io as _io
+
+            tar.addfile(ti, _io.BytesIO(payload))
+    with pytest.raises(Exception, match="non-contiguous sample members"):
+        spark.read.format("webdataset").load(out).collect()
+
+
 def test_key_with_dots_roundtrips(registered, spark, tmp_path):
     """Extensions split from the RIGHT: 'doc.v2' must come back intact,
     not truncated to 'doc' with unmatched extensions."""
