@@ -32,10 +32,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
+    elif ts_type == "timestamp_ntz":
+        # µs-precision parquet without the UTC annotation reads as NTZ,
+        # which withWatermark rejects; session TZ is pinned UTC above, so
+        # the cast is value-preserving (same handling as session.load_table)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
