@@ -539,7 +539,13 @@ def dedup_embedding_cosine(spark, sf_dir):
     right = v.join(F.broadcast(tiles), F.col("blk") == F.col("bb")).select(
         "ba", "bb", F.col("vec_id").alias("ub"), F.col("ne").alias("nb")
     )
-    cand = left.join(right, ["ba", "bb"]).filter(
+    # SHUFFLE_HASH over the default sort-merge: tile keys are a handful of
+    # hot groups, and SMJ evaluates the (interpreted, HOF) cosine residual
+    # inside its pair-matching loop after two full sorts — the hash join
+    # streams the probe side with no sort, measured ~1.9× faster at sf0.1.
+    # Memory contract is unchanged: one n/B block hashed per task, which is
+    # exactly the per-task footprint the tiling already budgets for.
+    cand = left.hint("SHUFFLE_HASH").join(right, ["ba", "bb"]).filter(
         # off-diagonal tiles meet each unordered pair once by construction;
         # diagonal tiles see both orders -> keep the ascending one
         (F.col("ba") != F.col("bb")) | (F.col("ua") < F.col("ub"))
@@ -627,7 +633,10 @@ def dedup_embedding_cell(spark, sf_dir):
     b = assign.alias("b")
     cos = spark_dot(F.col("a.ne"), F.col("b.ne"))
     return (
-        a.join(
+        # SHUFFLE_HASH for the same reason as dedup_embedding_cosine's tile
+        # join: hash the cell build side instead of sorting both sides
+        # around an interpreted-HOF residual predicate
+        a.hint("SHUFFLE_HASH").join(
             b,
             (F.col("a.cent_id") == F.col("b.cent_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
