@@ -44,3 +44,4 @@ from doc2dataset_spark.queries import relational  # noqa: F401, E402
 from doc2dataset_spark.queries import pipeline_demo  # noqa: F401, E402
 from doc2dataset_spark.queries import multimodal_demo  # noqa: F401, E402
 from doc2dataset_spark.queries import ann_extras  # noqa: F401, E402
+from doc2dataset_spark.queries import pipeline_extras  # noqa: F401, E402

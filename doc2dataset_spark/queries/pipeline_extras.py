@@ -1,0 +1,320 @@
+"""Training-data pipeline extras: the corpus-preparation operators a
+100 TB LLM data pipeline runs between raw dedup and the training sink.
+Registered AFTER the frozen driver gate (see queries/__init__.py — the
+driver snapshots the first 50 registrations), locally oracle-checked via
+scripts/check_oracle.py / driver_mirror.py like everything else.
+
+- ``pack_sequences``            greedy contiguous token packing into
+                                fixed-budget training sequences (the
+                                "concat-then-chunk" GPT batching recipe),
+                                per-shard so no global sort exists.
+- ``text_repetition_bigram``    Gopher-style repetition quality rule:
+                                top-bigram fraction per document
+                                (Rae et al. 2021 §A1.1 use the same
+                                top-2-gram fraction family).
+- ``dedup_boilerplate_spans``   exact repeated-span mining: 8-word
+                                non-overlapping chunks shared by ≥3
+                                documents — the boilerplate candidates a
+                                span-removal pass would strip.
+- ``shuffle_deterministic``     seedless deterministic global shuffle for
+                                training order: md5 bucket + in-bucket
+                                position, no RNG, no driver coordination.
+- ``dedup_cross_source``        dataset-priority head dedup: when the
+                                same document head appears in several
+                                sources, keep the copy from the
+                                highest-priority (lowest-numbered) source.
+
+Scale notes, per operator, are in the docstrings; none of these ever
+holds unbounded state per task or sorts globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import query
+from doc2dataset_spark.queries.textops import _DTOKS, _TOKS
+from doc2dataset_spark.session import load_table
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+PACK_SHARDS = 8  # packing parallelism unit (order only exists per shard)
+REP_FLAG = 0.1  # top-bigram fraction above which a doc is flagged
+SPAN_WORDS = 8  # boilerplate chunk width (words, non-overlapping)
+SPAN_MIN_DOCS = 3  # chunk must appear in >= this many distinct docs
+HEAD_WORDS = 8  # cross-source fingerprint = first HEAD_WORDS words
+SHUFFLE_BUCKETS = 64
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+             len({_DTOKS}) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             (sum(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING
+              ) - n_tokens)::BIGINT AS start_off
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens, start_off,
+           (start_off // {PACK_BUDGET})::BIGINT AS seq_id
+    FROM c
+    """,
+    tags=("pipeline", "documents", "packing"),
+)
+def pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing, the "concatenate documents then cut
+    every PACK_BUDGET tokens" training-batch recipe: each document is
+    assigned to the packed sequence its first token lands in (documents
+    may straddle a boundary — the trainer's loader splits them, exactly
+    like GPT-style pretraining concatenation).
+
+    Scale shape: packing order is declared PER SHARD (doc_id mod
+    PACK_SHARDS), so the running sum is a window over a bounded
+    partition — there is no global ORDER BY anywhere, and shards are
+    independent tasks at any corpus size. A global packing order at
+    100 TB would serialize the whole corpus through one sorter for no
+    training benefit (loaders shuffle shards anyway)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.expr(f"doc_id % {PACK_SHARDS}").alias("shard"),
+        F.size(F.expr(_TOKS)).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = base.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return c.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_off",
+        F.expr(f"start_off DIV {PACK_BUDGET}").alias("seq_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition quality rule
+# ---------------------------------------------------------------------------
+# adjacent-bigram list via zip_with against the tail: the trailing element
+# pairs with NULL -> concat is NULL -> filtered, so 1-word docs are safe
+_BIGRAMS = (
+    f"filter(zip_with({_TOKS}, slice({_TOKS}, 2, greatest(size({_TOKS}) - 1, 1)), "
+    "(a, b) -> concat(a, ' ', b)), x -> x IS NOT NULL)"
+)
+
+
+@query(
+    "text_repetition_bigram",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DTOKS} AS w FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM ws
+    ), pc AS (
+      SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_bigrams,
+           max(c)::BIGINT AS top_n,
+           round(max(c)::DOUBLE / sum(c), 4) AS top_ratio,
+           max(c)::DOUBLE / sum(c) > {REP_FLAG} AS flagged
+    FROM pc GROUP BY doc_id
+    """,
+    tags=("pipeline", "text", "quality"),
+)
+def text_repetition_bigram(spark, sf_dir):
+    """Gopher-family repetition rule: fraction of a document's bigrams
+    taken by its single most frequent bigram; docs above REP_FLAG are
+    flagged as repetitive (the "top-2-gram fraction" quality filter —
+    word soup that loops a phrase scores high, diverse prose scores low).
+
+    Scale shape: one explode (linear in corpus tokens) and two partial
+    aggregations keyed by doc_id — map-side combinable, no window, no
+    join. All string work is JVM expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    pc = (
+        d.select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = pc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_n")
+    )
+    ratio = F.col("top_n") / F.col("n_bigrams")
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "top_n",
+        F.round(ratio, 4).alias("top_ratio"),
+        (ratio > REP_FLAG).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate span mining
+# ---------------------------------------------------------------------------
+# non-overlapping SPAN_WORDS-word chunks; the CASE guard nulls out the
+# ragged tail (and the whole list for docs shorter than one chunk), the
+# filter drops the nulls
+_CHUNKS = (
+    f"filter(transform(sequence(0, greatest(size({_TOKS}) DIV {SPAN_WORDS} - 1, 0)), "
+    f"j -> CASE WHEN (j + 1) * {SPAN_WORDS} <= size({_TOKS}) "
+    f"THEN array_join(slice({_TOKS}, j * {SPAN_WORDS} + 1, {SPAN_WORDS}), ' ') END), "
+    "x -> x IS NOT NULL)"
+)
+
+
+@query(
+    "dedup_boilerplate_spans",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DTOKS} AS w FROM documents
+    ), ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(w) // {SPAN_WORDS}),
+                    j -> array_to_string(
+                           w[j * {SPAN_WORDS} + 1 : j * {SPAN_WORDS} + {SPAN_WORDS}],
+                           ' '))) AS span
+      FROM ws
+    )
+    SELECT span,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           min(doc_id) AS first_doc
+    FROM ch GROUP BY span
+    HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+    """,
+    tags=("pipeline", "dedup", "documents"),
+)
+def dedup_boilerplate_spans(spark, sf_dir):
+    """Exact repeated-span mining: tile every document into
+    non-overlapping SPAN_WORDS-word chunks and keep the chunks shared by
+    at least SPAN_MIN_DOCS distinct documents — the candidate set a
+    boilerplate-removal pass (nav bars, license headers, cookie banners)
+    strips from every page that carries them.
+
+    Scale shape: explode is linear in corpus tokens (1/SPAN_WORDS the
+    rows of a shingle explode, since chunks don't overlap), then one
+    aggregation keyed by span text. count(DISTINCT doc_id) is a two-level
+    hash agg (span,doc then span) — map-side combinable, no join."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select("doc_id", F.explode(F.expr(_CHUNKS)).alias("span"))
+    return (
+        ch.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-order shuffle
+# ---------------------------------------------------------------------------
+@query(
+    "shuffle_deterministic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents
+    ), b AS (
+      SELECT doc_id, h,
+             ('0x' || substr(h, 1, 12))::BIGINT % {SHUFFLE_BUCKETS} AS bucket
+      FROM t
+    )
+    SELECT doc_id, bucket,
+           row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS pos
+    FROM b
+    """,
+    tags=("pipeline", "sampling", "scale"),
+)
+def shuffle_deterministic(spark, sf_dir):
+    """Deterministic global shuffle for training order: every document
+    gets an md5-derived (bucket, pos) address; a loader reading buckets
+    in order sees a reproducible pseudo-random permutation — no RNG
+    state, no seed file, no driver-side shuffle of anything.
+
+    Scale shape: the bucket id is computed row-locally (a map-side
+    expression), and the only ordered structure is the row_number window
+    WITHIN a bucket — SHUFFLE_BUCKETS bounded sorts instead of one
+    global one. At 100 TB you raise SHUFFLE_BUCKETS so each bucket's
+    sort fits an executor; the semantics don't change."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("h"))
+    b = t.withColumn(
+        "bucket",
+        F.pmod(
+            F.expr("cast(conv(substring(h, 1, 12), 16, 10) AS bigint)"),
+            F.lit(SHUFFLE_BUCKETS),
+        ),
+    )
+    w = W.partitionBy("bucket").orderBy("h", "doc_id")
+    return b.select(
+        "doc_id", "bucket", F.row_number().over(w).alias("pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-source priority dedup
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cross_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             md5(array_to_string(({_DTOKS})[1:{HEAD_WORDS}], ' ')) AS fingerprint,
+             CAST(substr(source, 4) AS INT) AS prio
+      FROM documents
+    )
+    SELECT doc_id, source, fingerprint,
+           row_number() OVER (
+             PARTITION BY fingerprint ORDER BY prio, doc_id
+           ) = 1 AS kept
+    FROM t
+    """,
+    tags=("pipeline", "dedup", "documents"),
+)
+def dedup_cross_source(spark, sf_dir):
+    """Dataset-priority dedup across sources: documents sharing the same
+    head fingerprint (md5 of the first HEAD_WORDS words — the classic
+    head-dup detector for truncated/re-crawled copies) keep only the
+    copy from the highest-priority source (lowest source number,
+    doc_id tiebreak). This is how multi-corpus training mixes drop the
+    CommonCrawl copy of a page when the curated corpus already has it.
+
+    Scale shape: fingerprint is a row-local expression; the keep
+    decision is a row_number window keyed by fingerprint — partitions
+    are duplicate groups (tiny), and the shuffle key is the digest, so
+    data skew is bounded by the true duplication factor."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.expr(f"array_join(slice({_TOKS}, 1, {HEAD_WORDS}), ' ')")
+        ).alias("fingerprint"),
+        F.expr("CAST(substring(source, 4, 10) AS int)").alias("prio"),
+    )
+    w = W.partitionBy("fingerprint").orderBy("prio", "doc_id")
+    return t.select(
+        "doc_id",
+        "source",
+        "fingerprint",
+        (F.row_number().over(w) == 1).alias("kept"),
+    )

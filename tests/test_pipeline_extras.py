@@ -1,0 +1,106 @@
+"""Invariant tests for the training-pipeline extras (queries/
+pipeline_extras.py). Value-level correctness is oracle-gated
+(scripts/check_oracle.py); these pin the semantic properties a trainer
+relies on — conservation, contiguity, determinism — which a hash match
+alone wouldn't explain."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries import REGISTRY
+from doc2dataset_spark.queries.pipeline_extras import (
+    HEAD_WORDS,
+    PACK_BUDGET,
+    PACK_SHARDS,
+    REP_FLAG,
+    SPAN_MIN_DOCS,
+    SPAN_WORDS,
+)
+from doc2dataset_spark.session import load_table
+
+
+def test_pack_sequences_conserves_and_fills(spark, sf_dir):
+    rows = REGISTRY["pack_sequences"].builder(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    assert len(rows) == n_docs  # every doc packed exactly once
+    # offsets tile each shard contiguously: sorted by doc_id, each doc
+    # starts where the previous ended, starting at 0
+    by_shard = defaultdict(list)
+    for r in rows:
+        assert r.shard == r.doc_id % PACK_SHARDS
+        by_shard[r.shard].append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in shard_rows:
+            assert r.start_off == off
+            assert r.seq_id == off // PACK_BUDGET
+            off += r.n_tokens
+    # a sequence never starts beyond the shard's token count, and seq_ids
+    # within a shard are gapless (greedy fill leaves no empty bins)
+    for shard_rows in by_shard.values():
+        seqs = sorted({r.seq_id for r in shard_rows})
+        assert seqs == list(range(len(seqs)))
+
+
+def test_repetition_ratio_bounds_and_flag(spark, sf_dir):
+    rows = REGISTRY["text_repetition_bigram"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.top_n <= r.n_bigrams
+        assert 0.0 < r.top_ratio <= 1.0
+        # flag is computed from the unrounded ratio; allow the rounded
+        # value as a proxy only away from the threshold
+        if abs(r.top_ratio - REP_FLAG) > 1e-3:
+            assert r.flagged == (r.top_ratio > REP_FLAG)
+
+
+def test_boilerplate_spans_shape(spark, sf_dir):
+    rows = REGISTRY["dedup_boilerplate_spans"].builder(spark, sf_dir).collect()
+    for r in rows:
+        assert len(r.span.split(" ")) == SPAN_WORDS
+        assert r.n_docs >= SPAN_MIN_DOCS
+
+
+def test_shuffle_deterministic_is_a_permutation(spark, sf_dir):
+    q = REGISTRY["shuffle_deterministic"].builder
+    rows = q(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").count()
+    assert len({r.doc_id for r in rows}) == len(rows) == docs
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r.bucket].append(r.pos)
+    for positions in by_bucket.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # same input -> identical addresses (no RNG anywhere)
+    again = {(r.doc_id, r.bucket, r.pos) for r in q(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.bucket, r.pos) for r in rows}
+
+
+def test_cross_source_keeps_exactly_one_per_group(spark, sf_dir):
+    rows = REGISTRY["dedup_cross_source"].builder(spark, sf_dir).collect()
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r.fingerprint].append(r)
+    for grp in groups.values():
+        kept = [r for r in grp if r.kept]
+        assert len(kept) == 1
+        # the keeper is the (min source number, min doc_id) copy
+        best = min(grp, key=lambda r: (int(r.source[3:]), r.doc_id))
+        assert kept[0].doc_id == best.doc_id
+    # fingerprints really are head fingerprints: same head -> same group
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.expr(
+                "array_join(slice(filter(split(lower(text), '\\\\s+'),"
+                f" t -> t <> ''), 1, {HEAD_WORDS}), ' ')"
+            )
+        ).alias("fp"),
+    ).collect()
+    expect = {r.doc_id: r.fp for r in docs}
+    assert all(r.fingerprint == expect[r.doc_id] for r in rows)
