@@ -99,7 +99,11 @@ def sim_ann_ivf_probe2(spark, sf_dir):
     # (Spark warns "trivially true equals predicate"); the string key is
     # unambiguous and keeps the same equi-join shape.
     scored = (
-        probe.join(corpus, "cent_id")
+        # SHUFFLE_HASH as in the other embedding pair kernels: hash one
+        # cell's worth of build rows instead of sorting both sides
+        # (measured ~1.3 s faster at sf0.1)
+        probe.hint("SHUFFLE_HASH")
+        .join(corpus, "cent_id")
         .where(F.col("cid") != F.col("qid"))
         .select(
             "qid", "cid", spark_dot(F.col("qne"), F.col("cne")).alias("cos")

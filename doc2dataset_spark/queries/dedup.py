@@ -690,9 +690,14 @@ def dedup_cluster_cc(spark, sf_dir):
     rounds instead of O(diameter); measured 13 → 8 → 6 rounds across the
     1-hop → 2-hop jump variants, ~15% faster again at sf0.1 (the extra
     join is on the node-sized labels frame, cheaper than a whole extra
-    round of edge-sized neighbor propagation). The driver
-    sees only a scalar convergence counter (checked every second round);
-    all data stays distributed, each round is shuffle-keyed by node, and
+    round of edge-sized neighbor propagation). Convergence is a single
+    scalar: labels are monotonically non-increasing (each round takes a
+    min over a set containing the node's current label), so the label
+    sum strictly decreases until the fixpoint — an unchanged sum IS
+    convergence. That probe is one exact-decimal aggregate over the
+    already-checkpointed labels (no join, no second frame), cheap
+    enough to run every round and exit at the earliest stable round.
+    All data stays distributed, each round is shuffle-keyed by node, and
     lineage is cut via localCheckpoint so plans don't grow with
     iterations. The fixpoint (min id per component) is independent of the
     propagation schedule, so DuckDB's recursive-CTE transitive closure
@@ -707,7 +712,8 @@ def dedup_cluster_cc(spark, sf_dir):
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for rounds in range(1, 21):  # log-diameter bound; exits on convergence
+    prev_sum = None
+    for _ in range(1, 21):  # log-diameter bound; exits on convergence
         nbr = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
@@ -724,16 +730,15 @@ def dedup_cluster_cc(spark, sf_dir):
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        converged = rounds % 2 == 0 and (
-            prop.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-            == 0
-        )
+        # decimal(38,0): exact at any node-count × id-magnitude, so the
+        # sum-equality probe can't be fooled by long overflow at scale
+        label_sum = prop.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = prop
-        if converged:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
