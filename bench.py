@@ -53,6 +53,11 @@ HEADLINE = [
     "text_tfidf_topk",           # two-shuffle TF-IDF
     "sample_deterministic",      # map-side hash sampling
     "dedup_cluster_cc",          # iterative connected components
+    # round-5 training-pipeline ops (agg-shaped: their work survives the
+    # bench's count() action; the window-only extras would be pruned away)
+    "dedup_boilerplate_spans",   # repeated-span mining (chunk explode + agg)
+    "text_repetition_bigram",    # Gopher top-bigram repetition rule
+    "curate_corpus",             # composed quality->dedup->pack chain
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

@@ -318,3 +318,109 @@ def dedup_cross_source(spark, sf_dir):
         "fingerprint",
         (F.row_number().over(w) == 1).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation: quality gate -> cross-source dedup -> packing
+# ---------------------------------------------------------------------------
+@query(
+    "curate_corpus",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, source, {_DTOKS} AS w FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM ws
+    ), pc AS (
+      SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+    ), rep AS (
+      SELECT doc_id FROM pc GROUP BY doc_id
+      HAVING max(c)::DOUBLE / sum(c) > {REP_FLAG}
+    ), clean AS (
+      SELECT doc_id, source, len(w) AS n_tokens,
+             md5(array_to_string(w[1:{HEAD_WORDS}], ' ')) AS fingerprint,
+             CAST(substr(source, 4) AS INT) AS prio
+      FROM ws
+      WHERE doc_id NOT IN (SELECT doc_id FROM rep)
+    ), sole AS (
+      SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (
+                 PARTITION BY fingerprint ORDER BY prio, doc_id
+               ) AS rn
+        FROM clean
+      ) WHERE rn = 1
+    ), packed AS (
+      SELECT doc_id, doc_id % {PACK_SHARDS} AS shard, n_tokens,
+             (sum(n_tokens) OVER (
+                PARTITION BY doc_id % {PACK_SHARDS} ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING
+              ) - n_tokens)::BIGINT AS start_off
+      FROM sole
+    )
+    SELECT doc_id, shard, n_tokens, start_off,
+           (start_off // {PACK_BUDGET})::BIGINT AS seq_id
+    FROM packed
+    """,
+    tags=("pipeline", "documents", "composition"),
+)
+def curate_corpus(spark, sf_dir):
+    """The end-to-end curation chain a training-data run executes, as ONE
+    declarative plan: drop repetitive documents (top-bigram fraction >
+    REP_FLAG), dedup survivors across sources by head fingerprint
+    (priority: lowest source number), pack what remains into
+    PACK_BUDGET-token sequences. Order is part of the semantics —
+    quality first (cheap row-local-ish test prunes the dedup shuffle),
+    dedup before packing (so sequences hold unique text) — and the
+    oracle executes the identical three stages.
+
+    Scale shape: each stage keeps the previous stage's pruning (Catalyst
+    pushes the survivors' anti-join below the fingerprint window input),
+    and the only state anywhere is one window partition at a time:
+    duplicate group, then shard. No stage widens data; every shuffle key
+    (doc_id, fingerprint, shard) is bounded-skew."""
+    d = load_table(spark, sf_dir, "documents")
+    pc = (
+        d.select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+    )
+    rep = (
+        pc.groupBy("doc_id")
+        .agg((F.max("c") / F.sum("c")).alias("r"))
+        .filter(F.col("r") > REP_FLAG)
+        .select("doc_id")
+    )
+    clean = d.join(rep, "doc_id", "left_anti").select(
+        "doc_id",
+        F.size(F.expr(_TOKS)).alias("n_tokens"),
+        F.md5(
+            F.expr(f"array_join(slice({_TOKS}, 1, {HEAD_WORDS}), ' ')")
+        ).alias("fingerprint"),
+        F.expr("CAST(substring(source, 4, 10) AS int)").alias("prio"),
+    )
+    wdup = W.partitionBy("fingerprint").orderBy("prio", "doc_id")
+    sole = (
+        clean.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    wpack = (
+        W.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    packed = sole.withColumn(
+        "shard", F.expr(f"doc_id % {PACK_SHARDS}")
+    ).withColumn(
+        "start_off", F.sum("n_tokens").over(wpack) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        "start_off",
+        F.expr(f"start_off DIV {PACK_BUDGET}").alias("seq_id"),
+    )

@@ -104,3 +104,39 @@ def test_cross_source_keeps_exactly_one_per_group(spark, sf_dir):
     ).collect()
     expect = {r.doc_id: r.fp for r in docs}
     assert all(r.fingerprint == expect[r.doc_id] for r in rows)
+
+
+def test_curate_corpus_composes_the_stages(spark, sf_dir):
+    curated = {
+        r.doc_id: r
+        for r in REGISTRY["curate_corpus"].builder(spark, sf_dir).collect()
+    }
+    rep = {
+        r.doc_id
+        for r in REGISTRY["text_repetition_bigram"].builder(spark, sf_dir).collect()
+        if r.flagged
+    }
+    # repetitive docs never reach the packed output
+    assert not rep & set(curated)
+    # cross-source dedup among quality survivors: at most one packed doc
+    # per head fingerprint (dedup_cross_source's grouping restricted to
+    # the survivor set)
+    xs = REGISTRY["dedup_cross_source"].builder(spark, sf_dir).collect()
+    survivors = [r for r in xs if r.doc_id not in rep]
+    per_fp = defaultdict(list)
+    for r in survivors:
+        per_fp[r.fingerprint].append(r.doc_id)
+    for fp, ids in per_fp.items():
+        packed = [i for i in ids if i in curated]
+        assert len(packed) <= 1, fp
+    # packing invariant holds on the curated set too
+    by_shard = defaultdict(list)
+    for r in curated.values():
+        by_shard[r.shard].append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in shard_rows:
+            assert r.start_off == off
+            assert r.seq_id == off // PACK_BUDGET
+            off += r.n_tokens
