@@ -101,9 +101,10 @@ def sim_ann_ivf_probe2(spark, sf_dir):
     scored = (
         # SHUFFLE_HASH as in the other embedding pair kernels: hash one
         # cell's worth of build rows instead of sorting both sides
-        # (measured ~1.3 s faster at sf0.1)
-        probe.hint("SHUFFLE_HASH")
-        .join(corpus, "cent_id")
+        # (measured ~1.3 s faster at sf0.1). The hint sits on CORPUS so
+        # the hash-map build side is the smaller one — probe carries
+        # N_PROBE rows per vector, corpus exactly one.
+        probe.join(corpus.hint("SHUFFLE_HASH"), "cent_id")
         .where(F.col("cid") != F.col("qid"))
         .select(
             "qid", "cid", spark_dot(F.col("qne"), F.col("cne")).alias("cos")

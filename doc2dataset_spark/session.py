@@ -92,6 +92,24 @@ TABLES = (
 )
 
 
+def normalize_ts(df, col: str = "ts"):
+    """Normalize the events timestamp column to a session-TZ TimestampType
+    regardless of how the parquet encoded it: TIMESTAMP(NANOS) read as raw
+    nanos (legacy.parquet.nanosAsLong) becomes µs via integer DIV (never
+    float division, which loses precision above 2^53); a µs file without
+    the UTC annotation reads as TIMESTAMP_NTZ and is cast (session TZ is
+    pinned UTC, so the cast is value-preserving). Shared by the batch
+    loader and the streaming reader so the two can never diverge."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get(col)
+    if ts_type == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one synthetic table (TESTDATA.md layout).
 
@@ -107,16 +125,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        from pyspark.sql import functions as F
-
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif ts_type == "timestamp_ntz":
-            # a rewritten copy of the table (e.g. DuckDB COPY for the
-            # scaling bench) loses the UTC annotation; session TZ is pinned
-            # UTC above, so this cast is value-preserving
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_ts(df)
     return df
 
 

@@ -32,17 +32,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
-    elif ts_type == "timestamp_ntz":
-        # µs-precision parquet without the UTC annotation reads as NTZ,
-        # which withWatermark rejects; session TZ is pinned UTC above, so
-        # the cast is value-preserving (same handling as session.load_table)
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    from doc2dataset_spark.session import normalize_ts
+
+    # withWatermark rejects both bigint-nanos and TIMESTAMP_NTZ; the shared
+    # helper applies the same normalization the batch loader uses, so
+    # stream==batch equivalence can't be broken by an encoding change
+    return normalize_ts(stream)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
