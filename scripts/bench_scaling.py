@@ -52,6 +52,9 @@ HEADLINE = [
     "text_fingerprint", "q12b_bucketed_range_join", "sim_ann_ivf",
     "agg_percentiles", "text_tfidf_topk", "sample_deterministic",
     "dedup_cluster_cc",
+    # round-5 training-pipeline ops
+    "pack_sequences", "text_repetition_bigram", "dedup_boilerplate_spans",
+    "shuffle_deterministic", "dedup_cross_source", "curate_corpus",
 ]
 # heavy subset for the replicated big run (DuckDB skipped where its oracle
 # is known 10-100x slower already — the point is the Spark slope)
@@ -61,6 +64,8 @@ BIG_SET = [
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_embedding_cosine", "sim_ann_hyperplane", "text_tfidf_topk",
     "text_quality_score", "dedup_cluster_cc",
+    "pack_sequences", "text_repetition_bigram", "dedup_boilerplate_spans",
+    "curate_corpus",
 ]
 
 TABLES = [
