@@ -424,3 +424,167 @@ def curate_corpus(spark, sf_dir):
         "start_off",
         F.expr(f"start_off DIV {PACK_BUDGET}").alias("seq_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing stats
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_mix_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, count(*) AS n_docs,
+             sum(len({_DTOKS}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, n_tokens,
+           round(n_tokens::DOUBLE / (sum(n_tokens) OVER ())::DOUBLE, 6)
+             AS token_share
+    FROM t
+    """,
+    tags=("pipeline", "documents", "mixing"),
+)
+def corpus_mix_stats(spark, sf_dir):
+    """Data-mixture accounting: per (source, lang) document and token
+    counts plus each cell's share of total tokens — the table a mixture
+    designer turns into sampling weights (and the denominator of every
+    "epochs over source X" decision).
+
+    Scale shape: one map-side-combinable aggregation keyed by
+    (source, lang); the share denominator is an unpartitioned window over
+    the AGGREGATED frame (|sources|x|langs| rows, not corpus rows), so
+    the single-partition window touches a frame the size of the config
+    space, never the data."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.expr(_TOKS))).alias("n_tokens"),
+    )
+    return t.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double")
+            / F.sum("n_tokens").over(W.partitionBy()).cast("double"),
+            6,
+        ).alias("token_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling
+# ---------------------------------------------------------------------------
+N_NEGATIVES = 3
+
+
+@query(
+    "sample_negatives",
+    oracle=f"""
+    WITH n AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+    anchors AS (
+      SELECT doc_id, unnest(range(0, {N_NEGATIVES})) AS k FROM documents
+    ),
+    raw AS (
+      SELECT a.doc_id, a.k,
+             ('0x' || substr(md5((a.doc_id * {N_NEGATIVES} + a.k)::VARCHAR),
+                             1, 12))::BIGINT % n.n_ids AS neg_raw,
+             n.n_ids AS n_ids
+      FROM anchors a CROSS JOIN n
+    )
+    SELECT doc_id, k,
+           CASE WHEN neg_raw = doc_id THEN (neg_raw + 1) % n_ids
+                ELSE neg_raw END AS neg_id
+    FROM raw
+    """,
+    tags=("pipeline", "sampling", "documents"),
+)
+def sample_negatives(spark, sf_dir):
+    """Deterministic negative sampling for contrastive training: each
+    document gets N_NEGATIVES pseudo-random partner ids drawn from the
+    id space [0, max_id] via an md5 counter — reproducible on any
+    engine, any partitioning, with no RNG state or driver-side shuffle.
+    A sampled negative that collides with its own anchor shifts to the
+    next id (the standard rejection-free fixup).
+
+    Scale shape: entirely row-local — one explode of a constant k range
+    and a 1-row broadcast scalar for the id-space size. No shuffle at
+    all beyond the scalar's; ids are assumed dense in [0, max_id] (the
+    generator's contract for this table; gaps would merely make some
+    negatives no-ops, never collisions)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg((F.max("doc_id") + 1).alias("n_ids"))
+    anchors = d.select(
+        "doc_id", F.explode(F.expr(f"sequence(0, {N_NEGATIVES} - 1)")).alias("k")
+    )
+    raw = anchors.crossJoin(F.broadcast(n)).withColumn(
+        "neg_raw",
+        F.pmod(
+            F.expr(
+                f"cast(conv(substring(md5(cast(doc_id * {N_NEGATIVES} + k "
+                "AS string)), 1, 12), 16, 10) AS bigint)"
+            ),
+            F.col("n_ids"),
+        ),
+    )
+    return raw.select(
+        "doc_id",
+        "k",
+        F.when(
+            F.col("neg_raw") == F.col("doc_id"),
+            F.pmod(F.col("neg_raw") + 1, F.col("n_ids")),
+        )
+        .otherwise(F.col("neg_raw"))
+        .alias("neg_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# length-bucketed batching
+# ---------------------------------------------------------------------------
+LENGTH_QUANTILES = (0.25, 0.5, 0.75)
+
+
+@query(
+    "length_bucket_batches",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_DTOKS}) AS n_tokens FROM documents
+    ), b AS (
+      SELECT quantile_cont(n_tokens, 0.25) AS b1,
+             quantile_cont(n_tokens, 0.5) AS b2,
+             quantile_cont(n_tokens, 0.75) AS b3
+      FROM t
+    )
+    SELECT t.doc_id, t.n_tokens,
+           (CASE WHEN t.n_tokens > b.b1 THEN 1 ELSE 0 END
+            + CASE WHEN t.n_tokens > b.b2 THEN 1 ELSE 0 END
+            + CASE WHEN t.n_tokens > b.b3 THEN 1 ELSE 0 END)::INT AS bucket
+    FROM t CROSS JOIN b
+    """,
+    tags=("pipeline", "documents", "batching"),
+)
+def length_bucket_batches(spark, sf_dir):
+    """Length-bucketed batch assignment: documents are split at the
+    exact token-count quartiles into 4 buckets, so batches built within
+    a bucket waste minimal padding (the dynamic-batching trick every
+    seq2seq/encoder training loop uses). Spark ``percentile`` and DuckDB
+    ``quantile_cont`` interpolate identically at rank (n-1)·p, making
+    the boundaries — and therefore the bucket of every doc — engine-exact.
+
+    Scale shape: the quartile boundaries are a 1-row aggregate broadcast
+    to a row-local bucket expression — one pass for the boundaries, one
+    map-only pass for assignment. No window, no sort; the classic
+    "aggregate scalar, broadcast, assign" pattern."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(F.expr(_TOKS)).alias("n_tokens"))
+    qs = ", ".join(str(q) for q in LENGTH_QUANTILES)
+    b = t.agg(F.expr(f"percentile(n_tokens, array({qs}))").alias("bnds"))
+    return t.crossJoin(F.broadcast(b)).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            "cast(size(filter(bnds, b -> b < n_tokens)) AS int)"
+        ).alias("bucket"),
+    )

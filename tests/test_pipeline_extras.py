@@ -140,3 +140,44 @@ def test_curate_corpus_composes_the_stages(spark, sf_dir):
             assert r.start_off == off
             assert r.seq_id == off // PACK_BUDGET
             off += r.n_tokens
+
+
+def test_corpus_mix_shares_sum_to_one(spark, sf_dir):
+    rows = REGISTRY["corpus_mix_stats"].builder(spark, sf_dir).collect()
+    assert rows
+    total_share = sum(r.token_share for r in rows)
+    assert abs(total_share - 1.0) < 1e-3  # rounding to 6dp per cell
+    docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == docs
+
+
+def test_sample_negatives_shape(spark, sf_dir):
+    from doc2dataset_spark.queries.pipeline_extras import N_NEGATIVES
+
+    rows = REGISTRY["sample_negatives"].builder(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    max_id = docs.agg({"doc_id": "max"}).collect()[0][0]
+    assert len(rows) == n_docs * N_NEGATIVES
+    for r in rows:
+        assert 0 <= r.neg_id <= max_id
+        assert r.neg_id != r.doc_id  # anchor never its own negative
+    # deterministic: k-th negative of a doc is a pure function of ids
+    again = REGISTRY["sample_negatives"].builder(spark, sf_dir).collect()
+    assert {(r.doc_id, r.k, r.neg_id) for r in again} == {
+        (r.doc_id, r.k, r.neg_id) for r in rows
+    }
+
+
+def test_length_buckets_are_quartiles(spark, sf_dir):
+    rows = REGISTRY["length_bucket_batches"].builder(spark, sf_dir).collect()
+    assert {r.bucket for r in rows} <= {0, 1, 2, 3}
+    # bucket assignment is monotone in n_tokens
+    by_len = sorted(rows, key=lambda r: r.n_tokens)
+    buckets = [r.bucket for r in by_len]
+    assert buckets == sorted(buckets)
+    # roughly balanced: no bucket holds more than half the corpus
+    from collections import Counter
+
+    counts = Counter(buckets)
+    assert max(counts.values()) <= len(rows) * 0.55
