@@ -588,3 +588,63 @@ def length_bucket_batches(spark, sf_dir):
             "cast(size(filter(bnds, b -> b < n_tokens)) AS int)"
         ).alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (multi-dimensional clustering for data skipping)
+# ---------------------------------------------------------------------------
+ZBITS = 16  # bits per dimension interleaved into the 2*ZBITS-bit Morton key
+
+
+def _morton_terms(xcol: str, ycol: str) -> str:
+    """SQL expression interleaving ZBITS bits of x (even positions) and y
+    (odd positions); bits are disjoint so addition == bitwise OR, and the
+    identical arithmetic runs on both engines."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "layout_zorder",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_id,
+             user_id & 65535 AS ux,
+             (epoch_us(ts) // 3600000000) & 65535 AS hy
+      FROM events
+    )
+    SELECT event_id, ({_morton_terms('ux', 'hy')})::BIGINT AS zkey,
+           (({_morton_terms('ux', 'hy')}) >> {ZBITS})::BIGINT AS file_group
+    FROM d
+    """,
+    tags=("pipeline", "layout", "scale"),
+)
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton) layout key over (user_id, event-hour): the
+    lakehouse table-layout technique — rows sorted/partitioned by the
+    interleaved-bit key cluster BOTH dimensions at once, so a reader
+    filtering on either user ranges or time ranges skips most files
+    (min/max pruning works on a space-filling curve where it fails on a
+    single-column sort's second dimension). ``file_group`` (the key's
+    high half) is the write-partition assignment: every group spans at
+    most 2^(ZBITS/2) users x 2^(ZBITS/2) hours of the keyspace.
+
+    Scale shape: the key is pure row-local integer bit arithmetic
+    (whole-stage codegen, no UDF); laying out a 100 TB table is then
+    one repartitionByRange(zkey) write — the same shuffle any sorted
+    write pays, with two-dimensional skipping bought for it."""
+    d = load_table(spark, sf_dir, "events")
+    prepped = d.select(
+        "event_id",
+        F.expr("user_id & 65535").alias("ux"),
+        F.expr("(unix_micros(ts) DIV 3600000000) & 65535").alias("hy"),
+    )
+    z = _morton_terms("ux", "hy")
+    return prepped.select(
+        "event_id",
+        F.expr(f"cast(({z}) AS bigint)").alias("zkey"),
+        F.expr(f"cast((({z}) >> {ZBITS}) AS bigint)").alias("file_group"),
+    )

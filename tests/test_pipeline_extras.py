@@ -181,3 +181,28 @@ def test_length_buckets_are_quartiles(spark, sf_dir):
 
     counts = Counter(buckets)
     assert max(counts.values()) <= len(rows) * 0.55
+
+
+def test_zorder_file_groups_bound_both_dimensions(spark, sf_dir):
+    """The point of the space-filling curve: a file group confines BOTH
+    dimensions at once — its rows span at most 2^(ZBITS/2) distinct user
+    ids AND hours, so min/max pruning skips on either predicate."""
+    from doc2dataset_spark.queries.pipeline_extras import ZBITS
+
+    rows = REGISTRY["layout_zorder"].builder(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr("user_id & 65535").alias("ux"),
+        F.expr("(unix_micros(ts) DIV 3600000000) & 65535").alias("hy"),
+    ).collect()
+    dims = {r.event_id: (r.ux, r.hy) for r in ev}
+    span = 1 << (ZBITS // 2)
+    by_group = defaultdict(list)
+    for r in rows:
+        by_group[r.file_group].append(dims[r.event_id])
+    assert len(by_group) > 1
+    for pts in by_group.values():
+        uxs = [p[0] for p in pts]
+        hys = [p[1] for p in pts]
+        assert max(uxs) - min(uxs) < span
+        assert max(hys) - min(hys) < span
