@@ -594,6 +594,7 @@ def length_bucket_batches(spark, sf_dir):
 # Z-order layout (multi-dimensional clustering for data skipping)
 # ---------------------------------------------------------------------------
 ZBITS = 16  # bits per dimension interleaved into the 2*ZBITS-bit Morton key
+ZMASK = (1 << ZBITS) - 1  # single source for every dimension truncation
 
 
 def _morton_terms(xcol: str, ycol: str) -> str:
@@ -610,11 +611,13 @@ def _morton_terms(xcol: str, ycol: str) -> str:
 @query(
     "layout_zorder",
     oracle=f"""
-    WITH d AS (
+    WITH h0 AS (
+      SELECT min(epoch_us(ts) // 3600000000) AS min_hour FROM events
+    ), d AS (
       SELECT event_id,
-             user_id & 65535 AS ux,
-             (epoch_us(ts) // 3600000000) & 65535 AS hy
-      FROM events
+             user_id & {ZMASK} AS ux,
+             (epoch_us(ts) // 3600000000 - min_hour) & {ZMASK} AS hy
+      FROM events CROSS JOIN h0
     )
     SELECT event_id, ({_morton_terms('ux', 'hy')})::BIGINT AS zkey,
            (({_morton_terms('ux', 'hy')}) >> {ZBITS})::BIGINT AS file_group
@@ -632,15 +635,30 @@ def layout_zorder(spark, sf_dir):
     high half) is the write-partition assignment: every group spans at
     most 2^(ZBITS/2) users x 2^(ZBITS/2) hours of the keyspace.
 
+    The hour dimension is normalized to the table's minimum (a 1-row
+    broadcast scalar) before truncation to ZBITS, so locality holds for
+    any table spanning < 2^ZBITS hours (~7.5 years at 16 bits) rather
+    than depending on where the epoch happens to fall. The user
+    dimension is truncated directly: ZBITS must be sized to the id
+    domain (ids ZMASK+1 apart would otherwise collide on the curve and
+    defeat min/max pruning on the raw column — at 100 TB you either
+    raise ZBITS or bucket ids to rank space first).
+
     Scale shape: the key is pure row-local integer bit arithmetic
-    (whole-stage codegen, no UDF); laying out a 100 TB table is then
-    one repartitionByRange(zkey) write — the same shuffle any sorted
-    write pays, with two-dimensional skipping bought for it."""
+    (whole-stage codegen, no UDF) plus one broadcast scalar; laying out
+    a 100 TB table is then one repartitionByRange(zkey) write — the
+    same shuffle any sorted write pays, with two-dimensional skipping
+    bought for it."""
     d = load_table(spark, sf_dir, "events")
-    prepped = d.select(
+    h0 = d.agg(
+        F.expr("min(unix_micros(ts) DIV 3600000000)").alias("min_hour")
+    )
+    prepped = d.crossJoin(F.broadcast(h0)).select(
         "event_id",
-        F.expr("user_id & 65535").alias("ux"),
-        F.expr("(unix_micros(ts) DIV 3600000000) & 65535").alias("hy"),
+        F.expr(f"user_id & {ZMASK}").alias("ux"),
+        F.expr(
+            f"(unix_micros(ts) DIV 3600000000 - min_hour) & {ZMASK}"
+        ).alias("hy"),
     )
     z = _morton_terms("ux", "hy")
     return prepped.select(

@@ -48,18 +48,17 @@ def pack_fn(
     (next_off,) = state.get if state.exists else (0,)
     batch = pd.concat(list(pdfs), ignore_index=True)
     batch = batch.sort_values("doc_id", ignore_index=True)
-    offs = []
-    for n in batch["n_tokens"]:
-        offs.append(next_off)
-        next_off += int(n)
-    state.update((next_off,))
+    # vectorized running offsets: start_off[i] = next_off + sum(n[:i])
+    toks = batch["n_tokens"].astype("int64")
+    offs = next_off + toks.cumsum().shift(1, fill_value=0)
+    state.update((int(next_off + toks.sum()),))
     yield pd.DataFrame(
         {
             "doc_id": batch["doc_id"],
             "shard": shard,
             "n_tokens": batch["n_tokens"],
             "start_off": offs,
-            "seq_id": [o // PACK_BUDGET for o in offs],
+            "seq_id": offs // PACK_BUDGET,
         }
     )
 

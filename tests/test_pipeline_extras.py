@@ -187,13 +187,19 @@ def test_zorder_file_groups_bound_both_dimensions(spark, sf_dir):
     """The point of the space-filling curve: a file group confines BOTH
     dimensions at once — its rows span at most 2^(ZBITS/2) distinct user
     ids AND hours, so min/max pruning skips on either predicate."""
-    from doc2dataset_spark.queries.pipeline_extras import ZBITS
+    from doc2dataset_spark.queries.pipeline_extras import ZBITS, ZMASK
 
     rows = REGISTRY["layout_zorder"].builder(spark, sf_dir).collect()
-    ev = load_table(spark, sf_dir, "events").select(
+    events = load_table(spark, sf_dir, "events")
+    min_hour = events.agg(
+        F.expr("min(unix_micros(ts) DIV 3600000000)")
+    ).collect()[0][0]
+    ev = events.select(
         "event_id",
-        F.expr("user_id & 65535").alias("ux"),
-        F.expr("(unix_micros(ts) DIV 3600000000) & 65535").alias("hy"),
+        F.expr(f"user_id & {ZMASK}").alias("ux"),
+        F.expr(
+            f"(unix_micros(ts) DIV 3600000000 - {min_hour}) & {ZMASK}"
+        ).alias("hy"),
     ).collect()
     dims = {r.event_id: (r.ux, r.hy) for r in ev}
     span = 1 << (ZBITS // 2)
