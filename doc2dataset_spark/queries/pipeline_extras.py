@@ -666,3 +666,70 @@ def layout_zorder(spark, sf_dir):
         F.expr(f"cast(({z}) AS bigint)").alias("zkey"),
         F.expr(f"cast((({z}) >> {ZBITS}) AS bigint)").alias("file_group"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), s AS (
+      SELECT vec_id, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') AS mx
+      FROM v
+    ), q AS (
+      SELECT vec_id, mx,
+             list_transform(e, x -> floor(x * 127.0 / mx)) AS qe,
+             e
+      FROM s WHERE mx > 0
+    )
+    SELECT vec_id,
+           list_aggregate(qe, 'min')::BIGINT AS qmin,
+           list_aggregate(qe, 'max')::BIGINT AS qmax,
+           round(list_aggregate(
+             list_transform(range(1, len(e) + 1),
+                            i -> abs(e[i] - (qe[i] * mx) / 127.0)),
+             'max'), 6) AS max_abs_err
+    FROM q
+    """,
+    tags=("pipeline", "embeddings", "scale"),
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding table with per-vector
+    max-abs scale — the 4x storage/bandwidth compression every
+    100 TB-scale vector store applies before ANN serving — plus the
+    reconstruction-error audit a pipeline must emit alongside it
+    (quantized range and worst-case absolute error per vector).
+
+    Determinism: floor() (not round — engines disagree on tie rules) and
+    only order-independent reductions (min/max) over the arrays, so the
+    oracle is bit-exact. Scale shape: entirely row-local expressions, no
+    shuffle at all; at serving time the int8 vectors feed the same
+    tile/cell pair joins as the exact kernels with 4x less shuffle
+    volume."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> cast(x AS double))")
+    s = e.select(
+        "vec_id",
+        v.alias("e"),
+        F.expr(
+            "array_max(transform(embedding, x -> abs(cast(x AS double))))"
+        ).alias("mx"),
+    ).filter(F.col("mx") > 0)
+    q = s.withColumn(
+        "qe", F.expr("transform(e, x -> floor(x * 127.0 / mx))")
+    )
+    return q.select(
+        "vec_id",
+        F.expr("cast(array_min(qe) AS bigint)").alias("qmin"),
+        F.expr("cast(array_max(qe) AS bigint)").alias("qmax"),
+        F.round(
+            F.expr(
+                "array_max(zip_with(e, qe, (x, qx) -> abs(x - (qx * mx) / 127.0)))"
+            ),
+            6,
+        ).alias("max_abs_err"),
+    )

@@ -212,3 +212,26 @@ def test_zorder_file_groups_bound_both_dimensions(spark, sf_dir):
         hys = [p[1] for p in pts]
         assert max(uxs) - min(uxs) < span
         assert max(hys) - min(hys) < span
+
+
+def test_quantization_error_bounded_by_scale(spark, sf_dir):
+    """floor-quantization to int8 guarantees err <= scale/127 per element
+    (one quantization step); qmin/qmax must stay in the int8-symmetric
+    range [-128, 127] (floor can land exactly -128 for x = -mx)."""
+    rows = REGISTRY["embedding_quantize_int8"].builder(spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert len(rows) == emb.count()
+    scales = {
+        r.vec_id: r.mx
+        for r in emb.select(
+            "vec_id",
+            F.expr(
+                "array_max(transform(embedding, x -> abs(cast(x AS double))))"
+            ).alias("mx"),
+        ).collect()
+    }
+    for r in rows:
+        assert -128 <= r.qmin <= r.qmax <= 127
+        step = scales[r.vec_id] / 127.0
+        # max_abs_err is rounded to 6dp in the output: allow the half-step
+        assert 0.0 <= r.max_abs_err <= step + 5e-7
