@@ -1,0 +1,50 @@
+"""Invariant tests for the event-analytics extras; value equality is
+oracle-gated, these pin the semantic claims (ordering, monotonicity)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from doc2dataset_spark.queries import REGISTRY
+
+
+def test_funnel_stage_order_is_strict(spark, sf_dir):
+    rows = REGISTRY["events_funnel"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.stages_reached in (1, 2, 3)
+        # stage presence matches the count, and timestamps are ordered
+        assert (r.click_ts is not None) == (r.stages_reached >= 2)
+        assert (r.purchase_ts is not None) == (r.stages_reached == 3)
+        if r.click_ts is not None:
+            assert r.click_ts > r.view_ts
+        if r.purchase_ts is not None:
+            assert r.purchase_ts > r.click_ts
+    # the funnel narrows (weakly) at every stage
+    n1 = len(rows)
+    n2 = sum(1 for r in rows if r.stages_reached >= 2)
+    n3 = sum(1 for r in rows if r.stages_reached == 3)
+    assert n1 >= n2 >= n3 >= 0
+
+
+def test_retention_cohorts_shape(spark, sf_dir):
+    rows = REGISTRY["retention_cohorts"].builder(spark, sf_dir).collect()
+    assert rows
+    by_cohort = defaultdict(dict)
+    for r in rows:
+        assert 0.0 < r.retention <= 1.0
+        # nobody is active before their cohort week
+        assert r.active_week >= r.cohort_week
+        by_cohort[r.cohort_week][r.active_week] = r
+    for cohort, weeks in by_cohort.items():
+        # the cohort's own week retains (close to) everyone: every user is
+        # active in the week of their first event by construction
+        assert weeks[cohort].retention == 1.0
+
+
+def test_logprob_quality_orders_rarity(spark, sf_dir):
+    rows = REGISTRY["text_logprob_quality"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_nll > 0.0
+        assert r.n_tokens > 0
