@@ -230,3 +230,54 @@ def text_logprob_quality(spark, sf_dir):
             4,
         ).alias("mean_nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the near-dup graph
+# ---------------------------------------------------------------------------
+from doc2dataset_spark.queries.dedup import (  # noqa: E402
+    _SIMHASH_PAIRS_ORACLE,
+    dedup_simhash_pairs,
+)
+
+
+@query(
+    "graph_triangles",
+    oracle=f"""
+    WITH pr AS ({_SIMHASH_PAIRS_ORACLE})
+    SELECT a.da AS x, a.db AS y, b.db AS z
+    FROM pr a JOIN pr b ON a.db = b.da
+              JOIN pr c ON c.da = a.da AND c.db = b.db
+    """,
+    tags=("analytics", "graph", "documents"),
+)
+def graph_triangles(spark, sf_dir):
+    """Triangle enumeration over the SimHash near-dup graph: each
+    triangle (x < y < z) is three documents that are pairwise near-dups
+    — the density signal that separates a true duplicate CLUSTER from a
+    chain of borderline pairs (clustering coefficient, community
+    strength; the standard graph-quality diagnostic next to connected
+    components).
+
+    Scale shape: the canonical two-join triangle enumeration over an
+    ordered edge list (da < db everywhere, so each triangle is produced
+    exactly once): first join keyed on the shared vertex, closing join
+    keyed on BOTH endpoints — equi-joins only, never a cartesian. Edge
+    lists are near-dup output (sparse by construction), and the ordered
+    orientation bounds each vertex's join fan-out by its out-degree."""
+    p = dedup_simhash_pairs(spark, sf_dir).select("da", "db")
+    a = p.alias("a")
+    b = p.alias("b")
+    c = p.alias("c")
+    return (
+        a.join(b, F.col("a.db") == F.col("b.da"))
+        .join(
+            c,
+            (F.col("c.da") == F.col("a.da")) & (F.col("c.db") == F.col("b.db")),
+        )
+        .select(
+            F.col("a.da").alias("x"),
+            F.col("a.db").alias("y"),
+            F.col("b.db").alias("z"),
+        )
+    )

@@ -48,3 +48,17 @@ def test_logprob_quality_orders_rarity(spark, sf_dir):
     for r in rows:
         assert r.mean_nll > 0.0
         assert r.n_tokens > 0
+
+
+def test_triangles_are_real_and_ordered(spark, sf_dir):
+    tris = REGISTRY["graph_triangles"].builder(spark, sf_dir).collect()
+    edges = {
+        (r.da, r.db)
+        for r in REGISTRY["dedup_simhash_pairs"].builder(spark, sf_dir).collect()
+    }
+    for t in tris:
+        assert t.x < t.y < t.z  # canonical orientation: each triangle once
+        assert (t.x, t.y) in edges
+        assert (t.y, t.z) in edges
+        assert (t.x, t.z) in edges
+    assert len(tris) == len({(t.x, t.y, t.z) for t in tris})
