@@ -178,7 +178,7 @@ def retention_cohorts(spark, sf_dir):
     ), freq AS (
       SELECT token, count(*) AS cnt FROM tok GROUP BY token
     ), n AS (
-      SELECT count(*) AS total FROM tok
+      SELECT sum(cnt) AS total FROM freq
     ), scored AS (
       SELECT t.doc_id,
              round(-ln(f.cnt::DOUBLE / n.total), 12) AS nll
@@ -210,7 +210,8 @@ def text_logprob_quality(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("token"))
     freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
-    n = tok.agg(F.count("*").alias("total"))
+    # total tokens from the freq aggregate — not a third tokenize scan
+    n = freq.agg(F.sum("cnt").alias("total"))
     scored = (
         tok.join(freq, "token")
         .crossJoin(F.broadcast(n))

@@ -220,7 +220,12 @@ def test_quantization_error_bounded_by_scale(spark, sf_dir):
     range [-128, 127] (floor can land exactly -128 for x = -mx)."""
     rows = REGISTRY["embedding_quantize_int8"].builder(spark, sf_dir).collect()
     emb = load_table(spark, sf_dir, "embeddings")
-    assert len(rows) == emb.count()
+    # the audit covers exactly the quantizable vectors (mx > 0); all-zero
+    # vectors have no scale and are excluded by declared semantics
+    nonzero = emb.filter(
+        F.expr("array_max(transform(embedding, x -> abs(cast(x AS double)))) > 0")
+    ).count()
+    assert len(rows) == nonzero
     scales = {
         r.vec_id: r.mx
         for r in emb.select(
