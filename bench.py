@@ -58,6 +58,10 @@ HEADLINE = [
     "dedup_boilerplate_spans",   # repeated-span mining (chunk explode + agg)
     "text_repetition_bigram",    # Gopher top-bigram repetition rule
     "curate_corpus",             # composed quality->dedup->pack chain
+    "text_logprob_quality",      # unigram-LM quality proxy (freq join)
+    "events_funnel",             # ordered 3-stage funnel (chained aggs)
+    "retention_cohorts",         # weekly cohort triangle (distinct agg)
+    "graph_triangles",           # near-dup graph triangle enumeration
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup
