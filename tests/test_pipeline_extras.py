@@ -240,3 +240,46 @@ def test_quantization_error_bounded_by_scale(spark, sf_dir):
         step = scales[r.vec_id] / 127.0
         # max_abs_err is rounded to 6dp in the output: allow the half-step
         assert 0.0 <= r.max_abs_err <= step + 5e-7
+
+
+def test_zorder_layout_skipping_is_measurable(spark, tmp_path):
+    """Write events laid out by zkey vs by a plain ts sort (64 files each)
+    and measure per-file min/max spans: the z-layout must bound BOTH
+    dimensions at once, the single-column sort only its own. Runs at
+    sf0.01 (150 users) — the smoke SF has 15 users, too few to
+    discriminate; and 64 files, because range cuts only reach the
+    interleaved user bits once file count exceeds the dimensions'
+    high-bit imbalance (hours span ~2^10, users ~2^8)."""
+    sf = "/root/testdata/sf0.01"
+    z = REGISTRY["layout_zorder"].builder(spark, sf)
+    ev = load_table(spark, sf, "events").select("event_id", "user_id", "ts")
+    joined = ev.join(z, "event_id")
+
+    def spans(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name())
+            .agg(
+                (F.max("user_id") - F.min("user_id")).alias("uspan"),
+                (
+                    (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                    / 3600e6
+                ).alias("hspan"),
+            )
+            .collect()
+        )
+        n = len(per_file)
+        return sum(r.uspan for r in per_file) / n, sum(r.hspan for r in per_file) / n
+
+    zdir = (tmp_path / "bylayout").as_posix()
+    tdir = (tmp_path / "byts").as_posix()
+    joined.repartitionByRange(64, "zkey").write.parquet(zdir)
+    joined.repartitionByRange(64, "ts").write.parquet(tdir)
+    z_uspan, z_hspan = spans(zdir)
+    t_uspan, t_hspan = spans(tdir)
+    # single-column time sort scatters users across the full domain...
+    assert t_uspan > 120
+    # ...the z-layout confines users AND keeps time bounded (global span
+    # is ~720 hours)
+    assert z_uspan < t_uspan * 0.66, (z_uspan, t_uspan)
+    assert z_hspan < 120, z_hspan
