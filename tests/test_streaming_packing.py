@@ -62,3 +62,47 @@ def test_stream_packing_matches_batch_across_batches(
         for r in REGISTRY["pack_sequences"].builder(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_packing_survives_restart(spark, sf_dir, tmp_path):
+    """State recovery: pack batch 1, STOP the query, start a NEW query on
+    the same checkpoint after the second file arrives — offsets must
+    continue where the stopped query left off (the state store, not the
+    process, owns the next_off counters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src = tmp_path / "docs_restart"
+    os.makedirs(src, exist_ok=True)
+    out = (tmp_path / "out").as_posix()
+    ckpt = (tmp_path / "ckpt2").as_posix()
+    docs.filter(f"doc_id <= {int(mid)}").toPandas().to_parquet(
+        (src / "batch0.parquet").as_posix()
+    )
+
+    def run_once():
+        q = (
+            pack_stream(stream_documents(spark, src.as_posix()))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()  # only file 0 exists: first half packed, state checkpointed
+    docs.filter(f"doc_id > {int(mid)}").toPandas().to_parquet(
+        (src / "batch1.parquet").as_posix()
+    )
+    run_once()  # restarted query resumes from state and packs file 1
+
+    got = {
+        (r.doc_id, r.shard, r.n_tokens, r.start_off, r.seq_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.shard, r.n_tokens, r.start_off, r.seq_id)
+        for r in REGISTRY["pack_sequences"].builder(spark, sf_dir).collect()
+    }
+    assert got == want
