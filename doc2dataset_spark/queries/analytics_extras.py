@@ -282,3 +282,108 @@ def graph_triangles(spark, sf_dir):
             F.col("b.db").alias("z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# within-document duplicate-chunk fraction (Gopher dup-paragraph analog)
+# ---------------------------------------------------------------------------
+from doc2dataset_spark.queries.pipeline_extras import _CHUNKS, SPAN_WORDS  # noqa: E402
+
+DUP_CHUNK_FLAG = 0.2
+
+
+@query(
+    "text_dup_chunk_fraction",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DTOKS} AS w FROM documents
+    ), ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(w) // {SPAN_WORDS}),
+                    j -> array_to_string(
+                           w[j * {SPAN_WORDS} + 1 : j * {SPAN_WORDS} + {SPAN_WORDS}],
+                           ' '))) AS span
+      FROM ws
+    ), pc AS (
+      SELECT doc_id, span, count(*) AS c FROM ch GROUP BY doc_id, span
+    )
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_chunks,
+           sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup_chunks,
+           round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 4)
+             AS dup_fraction,
+           sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c)
+             > {DUP_CHUNK_FLAG} AS flagged
+    FROM pc GROUP BY doc_id
+    """,
+    tags=("analytics", "text", "quality"),
+)
+def text_dup_chunk_fraction(spark, sf_dir):
+    """Within-document self-repetition: the fraction of a document's
+    8-word chunks that occur more than once INSIDE the same document —
+    the Gopher "duplicate paragraph fraction" rule at chunk granularity
+    (catches looped boilerplate and template spam that the cross-doc
+    span miner and the top-bigram rule both miss).
+
+    Scale shape: the same non-overlapping chunk explode as
+    dedup_boilerplate_spans (linear, 1/8 of shingle volume) but keyed by
+    (doc_id, span) then doc_id — both aggregations map-side combinable,
+    no join anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    pc = (
+        d.select("doc_id", F.explode(F.expr(_CHUNKS)).alias("span"))
+        .groupBy("doc_id", "span")
+        .agg(F.count("*").alias("c"))
+    )
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+    frac = dup.cast("double") / F.sum("c")
+    return pc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_chunks"),
+        dup.cast("bigint").alias("dup_chunks"),
+        F.round(frac, 4).alias("dup_fraction"),
+        (frac > DUP_CHUNK_FLAG).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window counts (overlapping windows, batch form)
+# ---------------------------------------------------------------------------
+@query(
+    "events_sliding_counts",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             epoch_us(ts) // 3600000000 AS hr
+      FROM events
+    ), assigned AS (
+      -- a 2h-wide window sliding by 1h: each event belongs to the window
+      -- starting at its own hour and the one starting an hour earlier
+      SELECT event_type, unnest([hr, hr - 1]) AS win_start FROM b
+    )
+    SELECT win_start, event_type, count(*)::BIGINT AS n
+    FROM assigned GROUP BY win_start, event_type
+    """,
+    tags=("analytics", "events", "window"),
+)
+def events_sliding_counts(spark, sf_dir):
+    """Overlapping sliding-window counts (2-hour windows every hour) —
+    the batch twin of streaming's window(ts, '2 hours', '1 hour'): each
+    event is assigned to width/slide = 2 windows by explosion, then an
+    ordinary hash aggregate counts per (window, type). Window starts are
+    keyed by epoch hour.
+
+    Scale shape: the explode multiplies rows by the constant
+    width/slide factor (2), then one map-side-combinable aggregation —
+    the standard way to get overlapping windows without a range join or
+    a window function over a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("hr")
+    )
+    assigned = b.select(
+        "event_type",
+        F.explode(F.expr("array(hr, hr - 1)")).alias("win_start"),
+    )
+    return assigned.groupBy("win_start", "event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )

@@ -82,3 +82,21 @@ def test_triangles_are_real_and_ordered(spark, sf_dir):
         assert (t.y, t.z) in edges
         assert (t.x, t.z) in edges
     assert len(tris) == len({(t.x, t.y, t.z) for t in tris})
+
+
+def test_dup_chunk_fraction_bounds(spark, sf_dir):
+    rows = REGISTRY["text_dup_chunk_fraction"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dup_chunks <= r.n_chunks
+        assert r.dup_chunks != 1  # a duplicated chunk contributes >= 2
+        assert 0.0 <= r.dup_fraction <= 1.0
+
+
+def test_sliding_counts_cover_each_event_twice(spark, sf_dir):
+    from doc2dataset_spark.session import load_table
+
+    rows = REGISTRY["events_sliding_counts"].builder(spark, sf_dir).collect()
+    total_events = load_table(spark, sf_dir, "events").count()
+    # width/slide = 2 windows per event, conserved exactly
+    assert sum(r.n for r in rows) == 2 * total_events
