@@ -31,7 +31,7 @@ RESERVED_COLUMNS = (
     "page_no",
 )
 
-INPUT_FORMATS = ("txt", "csv", "tsv", "json", "jsonl", "parquet")
+INPUT_FORMATS = ("txt", "csv", "tsv", "json", "jsonl", "parquet", "orc")
 OUTPUT_FORMATS = ("files", "webdataset", "parquet", "jsonl", "tfrecord", "dummy")
 
 

@@ -60,6 +60,11 @@ def read_url_list(spark: SparkSession, cfg: DownloadConfig) -> DataFrame:
         df = spark.read.json(path)
     elif fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        # ORC is Spark-native (same columnar pruning/pushdown path as
+        # parquet); the reference's fsspec reader has no ORC branch — this
+        # is an engine extension, validated by round-trip test
+        df = spark.read.orc(path)
     else:  # pragma: no cover - guarded by cfg.validate()
         raise ValueError(f"unknown input_format {fmt!r}")
 

@@ -180,3 +180,25 @@ def test_custom_url_col_also_in_additional_columns(spark, tmp_path):
     df = read_url_list(spark, cfg)
     assert df.columns.count("url") == 1
     assert [r["url"] for r in df.collect()] == ["http://a.com/x.pdf"]
+
+
+def test_orc_url_list_roundtrip(spark, tmp_path):
+    """ORC input format: Spark-native columnar scan, same pruning path as
+    parquet (engine extension beyond the reference's format list)."""
+    from doc2dataset_spark.config import DownloadConfig
+    from doc2dataset_spark.sources.reader import read_url_list
+
+    src = (tmp_path / "urls_orc").as_posix()
+    spark.createDataFrame(
+        [(f"file:///x/{i}.bin", f"cap {i}") for i in range(7)],
+        "url string, caption string",
+    ).write.orc(src)
+    cfg = DownloadConfig(
+        url_list=src, input_format="orc", output_folder="/tmp/unused",
+        save_additional_columns=["caption"],
+    )
+    out = read_url_list(spark, cfg)
+    rows = out.collect()
+    assert len(rows) == 7
+    assert {r.url for r in rows} == {f"file:///x/{i}.bin" for i in range(7)}
+    assert all(r.caption.startswith("cap ") for r in rows)
