@@ -32,7 +32,7 @@ RESERVED_COLUMNS = (
 )
 
 INPUT_FORMATS = ("txt", "csv", "tsv", "json", "jsonl", "parquet", "orc")
-OUTPUT_FORMATS = ("files", "webdataset", "parquet", "jsonl", "tfrecord", "dummy")
+OUTPUT_FORMATS = ("files", "webdataset", "parquet", "orc", "jsonl", "tfrecord", "dummy")
 
 
 @dataclass

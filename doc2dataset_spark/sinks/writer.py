@@ -162,6 +162,15 @@ def write_parquet(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
     ).partitionBy("shard_id").parquet(fsio.join(out, "samples"))
 
 
+def write_orc(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
+    """ORC sink (engine extension; same dynamic-partition-overwrite resume
+    discipline as parquet — ORC shares parquet's Spark-native columnar
+    writer path)."""
+    _samples_frame(df, cfg).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("shard_id").orc(fsio.join(out, "samples"))
+
+
 def write_jsonl(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
     """W4: gzipped jsonl; the binary payload column goes out as utf-8."""
     frame = df.filter(F.col("status") == "success").withColumnRenamed(
@@ -369,6 +378,7 @@ def write_dummy(df: DataFrame, cfg: DownloadConfig, out: str) -> None:
 
 SINKS = {
     "parquet": write_parquet,
+    "orc": write_orc,
     "jsonl": write_jsonl,
     "files": write_files,
     "webdataset": write_webdataset,
@@ -383,7 +393,7 @@ _EXECUTOR_SIDE_SINKS = ("files", "webdataset", "tfrecord")
 
 # sinks whose payload goes through Spark's own DataFrame writers: these
 # need a Hadoop-resolvable scheme (fsio.SPARK_NATIVE_SCHEMES)
-_SPARK_WRITER_SINKS = ("parquet", "jsonl")
+_SPARK_WRITER_SINKS = ("parquet", "orc", "jsonl")
 
 
 def check_sink_target(cfg: DownloadConfig) -> None:

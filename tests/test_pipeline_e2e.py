@@ -472,3 +472,19 @@ def test_mid_decode_exact_above_2_53(spark):
         (F.col("_mid") / (1 << 33)).cast("long").alias("pid"), "want_pid"
     ).where(F.col("pid") != F.col("want_pid"))
     assert float_pid.count() > 0
+
+
+def test_orc_sink_roundtrip(spark, corpus, tmp_path):
+    """ORC output format: same samples/shard layout + resume discipline as
+    parquet, readable back with identical keys."""
+    root, meta = corpus
+    write_url_csv(root, meta)
+    out_pq = str(tmp_path / "out_parquet_ref")
+    out_orc = str(tmp_path / "out_orc")
+    download(spark, _base_cfg(root, out_pq, output_format="parquet"))
+    download(spark, _base_cfg(root, out_orc, output_format="orc"))
+    pq = spark.read.parquet(os.path.join(out_pq, "samples"))
+    orc = spark.read.orc(os.path.join(out_orc, "samples"))
+    assert sorted(r["key"] for r in orc.select("key").collect()) == sorted(
+        r["key"] for r in pq.select("key").collect()
+    )
