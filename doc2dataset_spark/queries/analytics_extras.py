@@ -387,3 +387,58 @@ def events_sliding_counts(spark, sf_dir):
     return assigned.groupBy("win_start", "event_type").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# robust anomaly detection (median / MAD)
+# ---------------------------------------------------------------------------
+MAD_K = 3.5  # flag threshold in MAD units (the standard robust cutoff)
+
+
+@query(
+    "events_anomaly_robust",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(abs(e.value - m.med) / d.mad, 4) AS mad_score
+    FROM events e JOIN med m ON e.event_type = m.event_type
+                  JOIN dev d ON e.event_type = d.event_type
+    WHERE abs(e.value - m.med) / d.mad > {MAD_K}
+    """,
+    tags=("analytics", "events", "anomaly"),
+)
+def events_anomaly_robust(spark, sf_dir):
+    """Robust outlier detection per event type: flag events whose value
+    sits more than MAD_K median-absolute-deviations from the type's
+    median — the telemetry-cleaning rule that survives the heavy tails
+    that break mean/stddev z-scores (the outliers being hunted would
+    inflate a stddev and hide themselves).
+
+    Determinism: median and MAD are exact interpolated percentiles
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, the
+    agg_percentiles precedent) — order-independent by construction, so
+    no decimal-sum machinery is needed anywhere. Scale shape: two
+    grouped percentile aggregations over a handful of event types, each
+    result a tiny frame joined back (AQE broadcasts them); the flag is
+    then a row-local expression over one corpus scan."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = (
+        ev.join(med, "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    scored = ev.join(med, "event_type").join(dev, "event_type")
+    score = F.abs(F.col("value") - F.col("med")) / F.col("mad")
+    return scored.filter(score > MAD_K).select(
+        "event_id", "event_type", F.round(score, 4).alias("mad_score")
+    )

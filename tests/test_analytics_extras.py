@@ -100,3 +100,15 @@ def test_sliding_counts_cover_each_event_twice(spark, sf_dir):
     total_events = load_table(spark, sf_dir, "events").count()
     # width/slide = 2 windows per event, conserved exactly
     assert sum(r.n for r in rows) == 2 * total_events
+
+
+def test_anomaly_robust_flags_only_tail(spark, sf_dir):
+    from doc2dataset_spark.queries.analytics_extras import MAD_K
+    from doc2dataset_spark.session import load_table
+
+    rows = REGISTRY["events_anomaly_robust"].builder(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    # a MAD_K=3.5 cutoff flags a small tail, never the bulk
+    assert 0 < len(rows) < total * 0.25
+    for r in rows:
+        assert r.mad_score > MAD_K
