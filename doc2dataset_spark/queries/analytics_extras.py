@@ -287,7 +287,11 @@ def graph_triangles(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # within-document duplicate-chunk fraction (Gopher dup-paragraph analog)
 # ---------------------------------------------------------------------------
-from doc2dataset_spark.queries.pipeline_extras import _CHUNKS, SPAN_WORDS  # noqa: E402
+from doc2dataset_spark.queries.pipeline_extras import (  # noqa: E402
+    _CHUNKS,
+    _DUCK_CHUNK_CTE,
+    SPAN_WORDS,
+)
 
 DUP_CHUNK_FLAG = 0.2
 
@@ -295,16 +299,8 @@ DUP_CHUNK_FLAG = 0.2
 @query(
     "text_dup_chunk_fraction",
     oracle=f"""
-    WITH ws AS (
-      SELECT doc_id, {_DTOKS} AS w FROM documents
-    ), ch AS (
-      SELECT doc_id,
-             unnest(list_transform(range(0, len(w) // {SPAN_WORDS}),
-                    j -> array_to_string(
-                           w[j * {SPAN_WORDS} + 1 : j * {SPAN_WORDS} + {SPAN_WORDS}],
-                           ' '))) AS span
-      FROM ws
-    ), pc AS (
+    {_DUCK_CHUNK_CTE}
+    , pc AS (
       SELECT doc_id, span, count(*) AS c FROM ch GROUP BY doc_id, span
     )
     SELECT doc_id,
@@ -352,8 +348,13 @@ def text_dup_chunk_fraction(spark, sf_dir):
     "events_sliding_counts",
     oracle="""
     WITH b AS (
+      -- floor division (// truncates toward zero; the CASE repairs
+      -- negative non-multiples so pre-epoch events land in the right hour)
       SELECT event_type,
-             epoch_us(ts) // 3600000000 AS hr
+             epoch_us(ts) // 3600000000
+               - CASE WHEN epoch_us(ts) < 0
+                       AND epoch_us(ts) % 3600000000 <> 0
+                      THEN 1 ELSE 0 END AS hr
       FROM events
     ), assigned AS (
       -- a 2h-wide window sliding by 1h: each event belongs to the window
@@ -378,7 +379,14 @@ def events_sliding_counts(spark, sf_dir):
     a window function over a global sort."""
     ev = load_table(spark, sf_dir, "events")
     b = ev.select(
-        "event_type", F.expr("unix_micros(ts) DIV 3600000000").alias("hr")
+        "event_type",
+        # DIV truncates toward zero; repair negatives so the bucketing is a
+        # true floor, matching streaming window(ts, '2 hours', '1 hour')
+        F.expr(
+            "unix_micros(ts) DIV 3600000000"
+            " - (CASE WHEN unix_micros(ts) < 0"
+            " AND unix_micros(ts) % 3600000000 != 0 THEN 1 ELSE 0 END)"
+        ).alias("hr"),
     )
     assigned = b.select(
         "event_type",
@@ -407,10 +415,12 @@ MAD_K = 3.5  # flag threshold in MAD units (the standard robust cutoff)
       GROUP BY e.event_type
     )
     SELECT e.event_id, e.event_type,
-           round(abs(e.value - m.med) / d.mad, 4) AS mad_score
+           CASE WHEN d.mad = 0 THEN NULL
+                ELSE round(abs(e.value - m.med) / d.mad, 4) END AS mad_score
     FROM events e JOIN med m ON e.event_type = m.event_type
                   JOIN dev d ON e.event_type = d.event_type
-    WHERE abs(e.value - m.med) / d.mad > {MAD_K}
+    WHERE CASE WHEN d.mad = 0 THEN e.value <> m.med
+               ELSE abs(e.value - m.med) / d.mad > {MAD_K} END
     """,
     tags=("analytics", "events", "anomaly"),
 )
@@ -439,6 +449,17 @@ def events_anomaly_robust(spark, sf_dir):
     )
     scored = ev.join(med, "event_type").join(dev, "event_type")
     score = F.abs(F.col("value") - F.col("med")) / F.col("mad")
-    return scored.filter(score > MAD_K).select(
-        "event_id", "event_type", F.round(score, 4).alias("mad_score")
+    # degenerate guard: a type where >=50% of values are identical has
+    # MAD = 0 and score = NULL for every row — which would silently
+    # unflag arbitrarily extreme outliers. Fall back to "any deviation
+    # from the median is anomalous" for such types (score undefined).
+    keep = F.when(F.col("mad") == 0, F.col("value") != F.col("med")).otherwise(
+        score > MAD_K
+    )
+    return scored.filter(keep).select(
+        "event_id",
+        "event_type",
+        F.when(F.col("mad") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(score, 4))
+        .alias("mad_score"),
     )

@@ -181,9 +181,9 @@ _CHUNKS = (
 )
 
 
-@query(
-    "dedup_boilerplate_spans",
-    oracle=f"""
+# DuckDB twin of _CHUNKS, shared with text_dup_chunk_fraction's oracle so
+# the chunking rule has exactly one definition per engine
+_DUCK_CHUNK_CTE = f"""
     WITH ws AS (
       SELECT doc_id, {_DTOKS} AS w FROM documents
     ), ch AS (
@@ -194,6 +194,13 @@ _CHUNKS = (
                            ' '))) AS span
       FROM ws
     )
+"""
+
+
+@query(
+    "dedup_boilerplate_spans",
+    oracle=f"""
+    {_DUCK_CHUNK_CTE}
     SELECT span,
            count(DISTINCT doc_id)::BIGINT AS n_docs,
            min(doc_id) AS first_doc

@@ -111,4 +111,6 @@ def test_anomaly_robust_flags_only_tail(spark, sf_dir):
     # a MAD_K=3.5 cutoff flags a small tail, never the bulk
     assert 0 < len(rows) < total * 0.25
     for r in rows:
-        assert r.mad_score > MAD_K
+        # the filter uses the unrounded score; rounding to 4dp can land
+        # exactly on the threshold, and MAD=0 fallback rows carry NULL
+        assert r.mad_score is None or r.mad_score >= MAD_K
