@@ -135,3 +135,24 @@ def run_foreach_batch_upsert(
     )
     q.processAllAvailable()
     q.stop()
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """2-hour windows sliding every hour (streaming twin of the batch
+    events_sliding_counts query): window() assigns each event to
+    width/slide = 2 overlapping windows; the watermark bounds state to
+    the windows still receiving events. Window starts are emitted as
+    epoch hours so the batch twin's (win_start, event_type, n) rows are
+    directly comparable."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.expr("unix_micros(w.start) DIV 3600000000").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )

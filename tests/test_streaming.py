@@ -199,3 +199,28 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
     )
     got = {r["event_type"]: r["n"] for r in latest.collect()}
     assert got == want
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    """Streaming window(2h, 1h) == the batch explode-based
+    events_sliding_counts on the same finite input."""
+    from doc2dataset_spark.queries import REGISTRY
+    from doc2dataset_spark.streaming.events import (
+        run_to_memory,
+        sliding_counts,
+        stream_events,
+    )
+
+    got = {
+        (r.win_start, r.event_type, r.n)
+        for r in run_to_memory(
+            spark,
+            sliding_counts(stream_events(spark, sf_dir)),
+            "sliding_out",
+        ).collect()
+    }
+    want = {
+        (r.win_start, r.event_type, r.n)
+        for r in REGISTRY["events_sliding_counts"].builder(spark, sf_dir).collect()
+    }
+    assert got == want
