@@ -28,6 +28,10 @@ from doc2dataset_spark.queries.core import (  # noqa: F401
 #                                     verified locally via scripts/check_oracle.py
 #   pipeline_demo(1) multimodal_demo(3)  -> rows-only demos, no oracle
 #   ann_extras(1)                        -> post-gate oracle-backed extras
+#   pipeline_extras(11) analytics_extras(7)  -> round-5 training-pipeline +
+#                                     analytics ops, all post-gate, all
+#                                     oracle-backed (check_oracle.py green
+#                                     at sf0.001/0.01/0.1)
 # If you ADD a query, append its module (or register late in an existing
 # module) and re-check `python scripts/registry_order.py` so the gate set
 # doesn't silently shift — that displacement is exactly what round 2 was
