@@ -114,3 +114,16 @@ def test_anomaly_robust_flags_only_tail(spark, sf_dir):
         # the filter uses the unrounded score; rounding to 4dp can land
         # exactly on the threshold, and MAD=0 fallback rows carry NULL
         assert r.mad_score is None or r.mad_score >= MAD_K
+
+
+def test_minhash_estimate_tracks_truth(spark, sf_dir):
+    rows = REGISTRY["dedup_minhash_estimate"].builder(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 < r.jaccard <= 1.0
+    # unbiased-sketch sanity on LSH candidates: estimate correlates with
+    # truth — the mean absolute estimation error stays inside the
+    # 16-permutation sketch's standard error band (~1/sqrt(16) = 0.25)
+    mae = sum(abs(r.est_jaccard - r.jaccard) for r in rows) / len(rows)
+    assert mae < 0.25, mae
