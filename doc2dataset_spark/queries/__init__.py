@@ -28,7 +28,7 @@ from doc2dataset_spark.queries.core import (  # noqa: F401
 #                                     verified locally via scripts/check_oracle.py
 #   pipeline_demo(1) multimodal_demo(3)  -> rows-only demos, no oracle
 #   ann_extras(1)                        -> post-gate oracle-backed extras
-#   pipeline_extras(11) analytics_extras(8)  -> round-5 training-pipeline +
+#   pipeline_extras(11) analytics_extras(9)  -> round-5 training-pipeline +
 #                                     analytics ops, all post-gate, all
 #                                     oracle-backed (check_oracle.py green
 #                                     at sf0.001/0.01/0.1)

@@ -587,3 +587,67 @@ def dedup_minhash_estimate(spark, sf_dir):
             F.round(true_j, 4).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN over TRAINED centroids
+# ---------------------------------------------------------------------------
+from doc2dataset_spark.queries.dedup import spark_dot  # noqa: E402
+from doc2dataset_spark.queries.ml import _KMEANS_CTES, kmeans_assign  # noqa: E402
+from doc2dataset_spark.queries.scale import IVF_TOP_K  # noqa: E402
+
+
+@query(
+    "sim_ann_ivf_trained",
+    oracle=f"""
+    {_KMEANS_CTES}
+    , scored AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             list_dot_product(q.qd, c.qd) AS cos
+      FROM a2 q JOIN a2 c
+        ON q.cell = c.cell AND c.vec_id <> q.vec_id
+    )
+    SELECT qid, cid, cos FROM (
+      SELECT qid, cid, cos,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY cos DESC, cid) AS rn
+      FROM scored
+    ) WHERE rn <= {IVF_TOP_K}
+    """,
+    tags=("analytics", "similarity", "embeddings", "scale"),
+)
+def sim_ann_ivf_trained(spark, sf_dir):
+    """IVF ANN over TRAINED coarse centroids: the cell table comes from
+    the k-means loop (ml.kmeans_assign, 2 Lloyd iterations) instead of
+    sim_ann_ivf's raw seed vectors — the claim in sim_ann_ivf's docstring
+    ("a trained-kmeans centroid table slots into the same plan") made
+    real and oracle-exact. Trained cells track the data distribution, so
+    cell populations are more balanced and within-cell neighbors are
+    likelier true neighbors — the production IVF recipe (train on a
+    sample, quantize the corpus, serve cell joins).
+
+    Scale shape: identical to sim_ann_ivf — the training loop collects
+    only k×dim integer sums per iteration, assignment is a broadcast of
+    k centroid literals, and the search is a cell-id equi-join plus a
+    per-query top-k window. The oracle unrolls the same two iterations
+    in SQL (shared CTE chain with ml_kmeans_lite)."""
+    from pyspark.sql import Window as W
+
+    assign = kmeans_assign(spark, sf_dir).localCheckpoint(eager=True)
+    q = assign.alias("q")
+    c = assign.alias("c")
+    scored = q.join(
+        c,
+        (F.col("q.cell") == F.col("c.cell"))
+        & (F.col("c.vec_id") != F.col("q.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("qid"),
+        F.col("c.vec_id").alias("cid"),
+        spark_dot(F.col("q.qd"), F.col("c.qd")).alias("cos"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_TOP_K)
+        .drop("rn")
+    )

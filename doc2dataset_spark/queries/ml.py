@@ -90,7 +90,9 @@ def _recompute_sql(assign_cte: str) -> str:
     """
 
 
-_KMEANS_ORACLE = f"""
+# the full 2-iteration CTE chain, shared with the trained-IVF query in
+# analytics_extras so the training recipe has one definition per engine
+_KMEANS_CTES = f"""
 WITH qv AS ({_QUANT_DUCK}),
 c0 AS (
   SELECT vec_id AS cell, qd AS ce FROM qv WHERE vec_id < {K}
@@ -98,17 +100,15 @@ c0 AS (
 a1 AS ({_assign_sql("c0")}),
 c1 AS ({_recompute_sql("a1")}),
 a2 AS ({_assign_sql("c1")})
-SELECT vec_id, cell FROM a2
 """
 
+_KMEANS_ORACLE = _KMEANS_CTES + "SELECT vec_id, cell FROM a2"
 
-@query("ml_kmeans_lite", oracle=_KMEANS_ORACLE, tags=("ml", "embeddings", "scale"))
-def ml_kmeans_lite(spark, sf_dir):
-    """k-means (k=8, 2 fixed iterations, seeded from the first k vectors):
-    assignment is a broadcast of k×dim centroid literals against the
-    distributed vectors (argmin of |v-c|² with cell tiebreak); the update
-    collects only exact per-dim integer sums. The oracle unrolls the same
-    two iterations in SQL — assignments must match exactly."""
+
+def kmeans_assign(spark, sf_dir):
+    """The trained assignment frame (vec_id, qd, cell) after ITERS
+    iterations — shared by ml_kmeans_lite (which projects it) and the
+    trained-IVF query (which joins it on the cell key)."""
     qv = _quantized(spark, sf_dir).localCheckpoint(eager=True)
 
     # init: first k vectors, collected to the driver (k×dim doubles)
@@ -166,4 +166,14 @@ def ml_kmeans_lite(spark, sf_dir):
             new_cents.setdefault(r["cell"], [0.0] * dim)
             new_cents[r["cell"]][r["pos"]] = float(r["s"]) / r["n"] / SCALE
         cents = new_cents
-    return assign.select("vec_id", "cell")
+    return assign
+
+
+@query("ml_kmeans_lite", oracle=_KMEANS_ORACLE, tags=("ml", "embeddings", "scale"))
+def ml_kmeans_lite(spark, sf_dir):
+    """k-means (k=8, 2 fixed iterations, seeded from the first k vectors):
+    assignment is a broadcast of k×dim centroid literals against the
+    distributed vectors (argmin of |v-c|² with cell tiebreak); the update
+    collects only exact per-dim integer sums. The oracle unrolls the same
+    two iterations in SQL — assignments must match exactly."""
+    return kmeans_assign(spark, sf_dir).select("vec_id", "cell")
