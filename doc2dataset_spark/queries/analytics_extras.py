@@ -290,7 +290,6 @@ def graph_triangles(spark, sf_dir):
 from doc2dataset_spark.queries.pipeline_extras import (  # noqa: E402
     _CHUNKS,
     _DUCK_CHUNK_CTE,
-    SPAN_WORDS,
 )
 
 DUP_CHUNK_FLAG = 0.2
@@ -475,16 +474,14 @@ from doc2dataset_spark.queries.dedup import (  # noqa: E402
     _MINHASH_SIG_SQL,
     N_PERM,
     P,
+    _band_cols,
     _doc_shingles,
-    bands_of,
     minhash_sig_of,
 )
-from doc2dataset_spark.session import load_table as _load_table  # noqa: E402
 
-_EST_TERMS_DUCK = " + ".join(
-    f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(N_PERM)
-)
-_EST_TERMS_SPARK = " + ".join(
+# one definition, both engines (it is engine-neutral SQL): fraction of
+# matching signature components
+_EST_TERMS = " + ".join(
     f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END" for j in range(N_PERM)
 )
 
@@ -514,14 +511,19 @@ _EST_TERMS_SPARK = " + ".join(
       JOIN sd q ON q.doc_id = c.db AND q.sh = p.sh
       GROUP BY c.da, c.db
     )
-    SELECT s.da, s.db,
-           round(({_EST_TERMS_DUCK})::DOUBLE / {N_PERM}, 4) AS est_jaccard,
-           round(s.sh_n::DOUBLE / (ca.n + cb.n - s.sh_n), 4) AS jaccard
-    FROM shared s
-    JOIN sig sa ON sa.doc_id = s.da
-    JOIN sig sb ON sb.doc_id = s.db
-    JOIN cnt ca ON ca.doc_id = s.da
-    JOIN cnt cb ON cb.doc_id = s.db
+    -- LEFT join + coalesce: a band collision between docs with ZERO shared
+    -- shingles is a pure LSH false positive — the exact case this audit
+    -- exists to expose (est high, jaccard 0); an inner join would drop it
+    SELECT c.da, c.db,
+           round(({_EST_TERMS})::DOUBLE / {N_PERM}, 4) AS est_jaccard,
+           round(coalesce(s.sh_n, 0)::DOUBLE
+                 / (ca.n + cb.n - coalesce(s.sh_n, 0)), 4) AS jaccard
+    FROM cand c
+    LEFT JOIN shared s ON s.da = c.da AND s.db = c.db
+    JOIN sig sa ON sa.doc_id = c.da
+    JOIN sig sb ON sb.doc_id = c.db
+    JOIN cnt ca ON ca.doc_id = c.da
+    JOIN cnt cb ON cb.doc_id = c.db
     """,
     tags=("analytics", "dedup", "documents"),
 )
@@ -539,10 +541,16 @@ def dedup_minhash_estimate(spark, sf_dir):
     (fixed-width rows keyed by doc_id), the truth the same shared-shingle
     count the LSH verify pays. Nothing here widens beyond the candidate
     set."""
-    docs = _load_table(spark, sf_dir, "documents")
     sd = _doc_shingles(spark, sf_dir)
+    # ONE signature computation; bands derive from it via posexplode (the
+    # dedup_minhash_lsh pattern) — never a second shingle/hash pipeline
     sig = minhash_sig_of(sd)
-    bands = bands_of(docs)
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.expr(e) for e in _band_cols()])).alias(
+            "band", "bh"
+        ),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -571,12 +579,15 @@ def dedup_minhash_estimate(spark, sf_dir):
     sb = sig.alias("sb")
     ca = cnt.alias("ca")
     cb = cnt.alias("cb")
-    est = F.expr(f"({_EST_TERMS_SPARK}) / CAST({N_PERM} AS double)")
-    true_j = F.col("sh_n").cast("double") / (
-        F.col("ca.n") + F.col("cb.n") - F.col("sh_n")
-    )
+    est = F.expr(f"({_EST_TERMS}) / CAST({N_PERM} AS double)")
+    # LEFT join + coalesce: zero-shared-shingle band collisions are pure
+    # LSH false positives — the audit must show them (est high, jaccard 0),
+    # not drop them
+    sh_n = F.coalesce(F.col("sh_n"), F.lit(0))
+    true_j = sh_n.cast("double") / (F.col("ca.n") + F.col("cb.n") - sh_n)
     return (
-        shared.join(sa, F.col("sa.doc_id") == F.col("da"))
+        cand.join(shared, ["da", "db"], "left")
+        .join(sa, F.col("sa.doc_id") == F.col("da"))
         .join(sb, F.col("sb.doc_id") == F.col("db"))
         .join(ca, F.col("ca.doc_id") == F.col("da"))
         .join(cb, F.col("cb.doc_id") == F.col("db"))

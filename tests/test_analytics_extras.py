@@ -121,7 +121,8 @@ def test_minhash_estimate_tracks_truth(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0.0 <= r.est_jaccard <= 1.0
-        assert 0.0 < r.jaccard <= 1.0
+        # jaccard == 0 is legal: a pure-false-positive band collision
+        assert 0.0 <= r.jaccard <= 1.0
     # unbiased-sketch sanity on LSH candidates: estimate correlates with
     # truth — the mean absolute estimation error stays inside the
     # 16-permutation sketch's standard error band (~1/sqrt(16) = 0.25)
