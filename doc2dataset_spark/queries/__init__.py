@@ -50,3 +50,4 @@ from doc2dataset_spark.queries import multimodal_demo  # noqa: F401, E402
 from doc2dataset_spark.queries import ann_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import pipeline_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import analytics_extras  # noqa: F401, E402
+from doc2dataset_spark.queries import curation_extras  # noqa: F401, E402
