@@ -137,6 +137,54 @@ def run_foreach_batch_upsert(
     q.stop()
 
 
+def interval_join_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: every view event joined to the same
+    user's click events landing within 30 minutes AFTER the view — the
+    attribution join (impression→conversion) that, on a real pipeline,
+    runs over two unbounded Kafka topics.
+
+    Both sides carry a watermark and the join condition carries an
+    explicit time range; together they bound the join state Spark must
+    keep (views older than watermark+30min can never match a future
+    click and are evicted — without the range condition the state would
+    grow forever, the stream-stream-join scale trap). Inner join +
+    append mode: a result row is emitted once both sides are final.
+
+    The batch twin is the identical join on the static table; the test
+    asserts equality, the strongest oracle a stream has."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )
+
+
 def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """2-hour windows sliding every hour (streaming twin of the batch
     events_sliding_counts query): window() assigns each event to

@@ -224,3 +224,32 @@ def test_sliding_stream_matches_batch(spark, sf_dir):
         for r in REGISTRY["events_sliding_counts"].builder(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream view→click attribution join == the identical batch
+    join on the same finite input (append mode: rows emitted once both
+    watermarks pass them)."""
+    from doc2dataset_spark.session import load_table
+    from doc2dataset_spark.streaming.events import (
+        interval_join_stream,
+        run_to_memory,
+        stream_events,
+    )
+
+    got = {
+        (r.user_id, r.view_id, r.click_id, r.view_ts, r.click_ts)
+        for r in run_to_memory(
+            spark,
+            interval_join_stream(stream_events(spark, sf_dir)),
+            "ssjoin_out",
+            output_mode="append",
+        ).collect()
+    }
+    want = {
+        (r.user_id, r.view_id, r.click_id, r.view_ts, r.click_ts)
+        for r in interval_join_stream(
+            load_table(spark, sf_dir, "events")
+        ).collect()
+    }
+    assert got and got == want
