@@ -266,7 +266,16 @@ def graph_triangles(spark, sf_dir):
     keyed on BOTH endpoints — equi-joins only, never a cartesian. Edge
     lists are near-dup output (sparse by construction), and the ordered
     orientation bounds each vertex's join fan-out by its out-degree."""
-    p = dedup_simhash_pairs(spark, sf_dir).select("da", "db")
+    # three self-references below; without a cut the band-join + distinct
+    # + hamming-verify pipeline executes once per reference (plan-checked:
+    # 0 ReusedExchange). The edge list is near-dup output — tiny relative
+    # to the corpus — so one eager localCheckpoint trades a small
+    # materialization for two recomputations of the heavy subtree.
+    p = (
+        dedup_simhash_pairs(spark, sf_dir)
+        .select("da", "db")
+        .localCheckpoint(eager=True)
+    )
     a = p.alias("a")
     b = p.alias("b")
     c = p.alias("c")
