@@ -62,6 +62,10 @@ HEADLINE = [
     "events_funnel",             # ordered 3-stage funnel (chained aggs)
     "retention_cohorts",         # weekly cohort triangle (distinct agg)
     "graph_triangles",           # near-dup graph triangle enumeration
+    # round-5 session-3 ops
+    "dedup_substring_rewrite",   # chunk-level rewrite dedup (explode+min+rebuild)
+    "sim_ann_pq",                # trained product-quantization ADC search
+    "agg_count_min",             # relational CMS build + probe
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

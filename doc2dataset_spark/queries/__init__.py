@@ -32,6 +32,12 @@ from doc2dataset_spark.queries.core import (  # noqa: F401
 #                                     analytics ops, all post-gate, all
 #                                     oracle-backed (check_oracle.py green
 #                                     at sf0.001/0.01/0.1)
+#   sql_surface(6) corpus_extras(4)  -> round-5 session-3 modern-SQL
+#                                     dialect surface (recursive CTE,
+#                                     LATERAL, SQL UDF, LISTAGG, GROUPING
+#                                     SETS, relational CMS) + substring
+#                                     rewrite / trained PQ / grouped-agg
+#                                     UDAF — post-gate, oracle-backed
 # If you ADD a query, append its module (or register late in an existing
 # module) and re-check `python scripts/registry_order.py` so the gate set
 # doesn't silently shift — that displacement is exactly what round 2 was
@@ -51,3 +57,5 @@ from doc2dataset_spark.queries import ann_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import pipeline_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import analytics_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import curation_extras  # noqa: F401, E402
+from doc2dataset_spark.queries import sql_surface  # noqa: F401, E402
+from doc2dataset_spark.queries import corpus_extras  # noqa: F401, E402

@@ -1,0 +1,517 @@
+"""Corpus-rewrite + compressed-ANN extras (round-5 third session),
+registered AFTER the frozen driver gate, oracle-checked locally like
+everything else.
+
+- ``dedup_substring_rewrite``  global substring-level dedup WITH document
+                               rewriting: every 16-token chunk that occurs
+                               anywhere else in the corpus keeps only its
+                               globally-first copy, and documents are
+                               reconstructed from their surviving chunks —
+                               the chunk-granular form of the Lee et al.
+                               2021 "Deduplicating Training Data" rewrite
+                               (the prior span ops only *flag*; this one
+                               produces the cleaned corpus).
+- ``sim_ann_pq``               product-quantization ANN (the IVF-PQ ADC
+                               recipe): 64-dim vectors encoded as 8
+                               sub-space codes against per-sub-space
+                               codebooks trained with an exact-integer
+                               Lloyd pass (oracle-unrolled), queries
+                               scored against a broadcast lookup table of
+                               partial dot products — search cost
+                               independent of vector dimensionality.
+- ``ann_pq_recall``            recall@5 of the PQ search vs the exact
+                               brute-force top-5, per query — compression
+                               quality measured inside the engine, same
+                               discipline as ann_recall_eval (IVF).
+- ``q36_grouped_agg_udf``      the one Python-UDF flavor q36 still
+                               lacked: GROUPED_AGG pandas_udf (vectorized
+                               UDAF) — per-group Arrow batch in, scalar
+                               out.
+
+Reference scope note: the reference (doc2dataset) has no dedup/ANN stage;
+these are the north-star training-data operators the task brief lists,
+built on the shared tables + oracle discipline.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import dsum, query, sql_dsum
+from doc2dataset_spark.queries.dedup import (
+    NORM_EMB_DUCK,
+    normalized_embeddings,
+    spark_dot,
+)
+from doc2dataset_spark.queries.ml import _QUANT_DUCK, _quantized
+from doc2dataset_spark.queries.ml import SCALE as ML_SCALE
+from doc2dataset_spark.queries.textops import _DTOKS, _TOKS
+from doc2dataset_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# substring-level dedup with document rewriting
+# ---------------------------------------------------------------------------
+SUB_W = 16  # chunk width (tokens); trailing partial chunks are kept
+# ci fits far below this at any sane doc length, so (doc_id, ci) packs
+# into one bigint and "first occurrence" is a single MIN — map-side
+# combinable, no window over a possibly-hot chunk key.
+_CI_PACK = 1 << 20
+
+# chunk array WITH the trailing partial chunk (reconstruction must
+# preserve every token of a duplicate-free document)
+_SUBCHUNKS = (
+    f"transform(sequence(0, (size({_TOKS}) + {SUB_W} - 1) DIV {SUB_W} - 1), "
+    f"j -> array_join(slice({_TOKS}, j * {SUB_W} + 1, {SUB_W}), ' '))"
+)
+
+
+@query(
+    "dedup_substring_rewrite",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {_DTOKS} AS w FROM documents WHERE len({_DTOKS}) > 0
+    ), ch0 AS (
+      SELECT doc_id, unnest(range((len(w) + {SUB_W} - 1) // {SUB_W})) AS ci,
+             w
+      FROM ws
+    ), ch AS (
+      SELECT doc_id, ci,
+             array_to_string(
+               w[ci * {SUB_W} + 1 : ci * {SUB_W} + {SUB_W}], ' ') AS chunk
+      FROM ch0
+    ), fs AS (
+      SELECT chunk, min(doc_id * {_CI_PACK} + ci) AS first_key
+      FROM ch GROUP BY chunk
+    ), kept AS (
+      SELECT c.doc_id, c.ci, c.chunk
+      FROM ch c JOIN fs ON c.chunk = fs.chunk
+       AND c.doc_id * {_CI_PACK} + c.ci = fs.first_key
+    ), tot AS (
+      SELECT doc_id, count(*)::BIGINT AS n_chunks FROM ch GROUP BY doc_id
+    ), reb AS (
+      SELECT doc_id, count(*)::BIGINT AS n_kept,
+             string_agg(chunk, ' ' ORDER BY ci) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_chunks, coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    tags=("dedup", "documents", "rewrite"),
+)
+def dedup_substring_rewrite(spark, sf_dir):
+    """Substring-level dedup that REWRITES the corpus (Lee et al. 2021,
+    at 16-token chunk granularity): a chunk seen anywhere before — earlier
+    doc, or earlier position in the same doc — is deleted; only the
+    globally-first copy (min (doc_id, position)) survives, and each
+    document's cleaned text is re-assembled from its surviving chunks in
+    order. Emits (doc_id, n_chunks, n_kept, clean_text); a fully-duplicate
+    document comes back with n_kept=0 and empty text rather than
+    disappearing.
+
+    Scale shape: one linear chunk explode; "first occurrence" is a
+    map-side-combinable MIN over a packed (doc_id, position) bigint — no
+    window sorts a hot chunk's copies. The join back to chunks is an
+    equi-join on the chunk key where one side is 1 row per key (AQE
+    handles the skewed probe side), and reconstruction is a per-doc
+    hash agg whose collect_list is bounded by document length. The chunk
+    string itself is the key here for oracle exactness; at 100 TB you'd
+    key by a 128-bit chunk hash to shrink shuffle bytes (collision odds
+    ~n²/2¹²⁸), which changes no other part of the plan.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.expr(_TOKS)) > 0
+    )
+    ch = d.select(
+        "doc_id", F.posexplode(F.expr(_SUBCHUNKS)).alias("ci", "chunk")
+    )
+    key = F.col("doc_id") * _CI_PACK + F.col("ci")
+    fs = ch.groupBy("chunk").agg(
+        F.min(F.col("doc_id") * _CI_PACK + F.col("ci")).alias("first_key")
+    )
+    kept = ch.join(fs, "chunk").filter(key == F.col("first_key"))
+    tot = ch.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    reb = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ci", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return tot.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN (ADC scoring)
+# ---------------------------------------------------------------------------
+PQ_M = 8  # sub-spaces
+PQ_DSUB = 8  # dims per sub-space (8 × 8 = the 64-dim embedding)
+PQ_K = 16  # codes per sub-space codebook (sub-vectors of vec_id < PQ_K)
+PQ_NQ = 50  # query vectors (vec_id < PQ_NQ)
+PQ_TOPK = 5
+
+# Codebooks are TRAINED: seeded from the first PQ_K sub-vectors, then one
+# exact-integer Lloyd refinement per sub-space (the ml.py k-means recipe
+# applied per (m, code) cell: 1e-9-quantized inputs, bigint per-dim sums,
+# so refined centroids are bit-identical across engines and the oracle
+# can unroll the training in SQL).
+def _pq_assign_sql(cb_cte: str) -> str:
+    """One PQ code-assignment pass: per (vector, sub-space) argmin-L2
+    over that sub-space's codebook."""
+    return f"""
+      SELECT vec_id, m, sv, code FROM (
+        SELECT s.vec_id, s.m, s.sv, c.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.m
+                 ORDER BY list_dot_product(s.sv, s.sv)
+                          - 2 * list_dot_product(s.sv, c.cv)
+                          + list_dot_product(c.cv, c.cv),
+                          c.code
+               ) AS rn
+        FROM psub s JOIN {cb_cte} c USING (m)
+      ) WHERE rn = 1
+    """
+
+
+# exact bigint per-dim sums -> double sub-centroid means (ml.py recipe,
+# keyed by (m, code) instead of cell)
+def _pq_recompute_sql(assign_cte: str) -> str:
+    return f"""
+      SELECT m, code, list(mu ORDER BY pos) AS cv FROM (
+        SELECT m, code, pos,
+               CAST(sum(q) AS BIGINT)::DOUBLE / count(*) / {ML_SCALE}.0
+                 AS mu
+        FROM (
+          SELECT a.m, a.code,
+                 generate_subscripts(a.sv, 1) AS pos,
+                 round(unnest(a.sv) * {ML_SCALE})::BIGINT AS q
+          FROM {assign_cte} a
+        )
+        GROUP BY m, code, pos
+      ) GROUP BY m, code
+    """
+
+
+# shared relational spine: quantized sub-vectors, trained codebook,
+# per-(vector, sub-space) code assignment, query-side LUT — identical in
+# both engines.
+_PQ_DUCK_CTE = f"""
+    WITH qv AS ({_QUANT_DUCK}),
+    ps0 AS (SELECT vec_id, unnest(range({PQ_M})) AS m, qd FROM qv),
+    psub AS (
+      SELECT vec_id, m,
+             qd[m * {PQ_DSUB} + 1 : m * {PQ_DSUB} + {PQ_DSUB}] AS sv
+      FROM ps0
+    ),
+    pcb0 AS (SELECT m, vec_id AS code, sv AS cv FROM psub
+             WHERE vec_id < {PQ_K}),
+    pa1 AS ({_pq_assign_sql("pcb0")}),
+    pcb1 AS ({_pq_recompute_sql("pa1")}),
+    pa2 AS ({_pq_assign_sql("pcb1")}),
+    codes AS (SELECT vec_id, m, code FROM pa2),
+    lut AS (
+      SELECT s.vec_id AS qid, s.m, c.code,
+             list_dot_product(s.sv, c.cv) AS w
+      FROM psub s JOIN pcb1 c USING (m)
+      WHERE s.vec_id < {PQ_NQ}
+    ),
+    pq_top AS (
+      SELECT qid, cid, score_pq, rk FROM (
+        SELECT qid, cid, score_pq,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score_pq DESC, cid)::INT AS rk
+        FROM (
+          SELECT l.qid, co.vec_id AS cid,
+                 {sql_dsum('l.w', 'score_pq')}
+          FROM codes co JOIN lut l ON l.m = co.m AND l.code = co.code
+          WHERE l.qid <> co.vec_id
+          GROUP BY l.qid, co.vec_id
+        )
+      ) WHERE rk <= {PQ_TOPK}
+    )
+"""
+
+
+def _pq_subvectors(spark, sf_dir):
+    """(vec_id, m, sv): 1e-9-quantized sub-vectors — slices of the same
+    quantized frame the k-means ops use, so all distance arithmetic
+    starts from identical values in both engines."""
+    return (
+        _quantized(spark, sf_dir)
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m"),
+            "qd",
+        )
+        .select(
+            "vec_id",
+            "m",
+            F.expr(f"slice(qd, m * {PQ_DSUB} + 1, {PQ_DSUB})").alias("sv"),
+        )
+    )
+
+
+def _pq_encode(sub, cb):
+    """argmin-L2 code per (vector, sub-space) against a broadcast
+    codebook frame (m, code, cv); keeps sv for the training pass."""
+    dist = (
+        spark_dot(F.col("sv"), F.col("sv"))
+        - 2 * spark_dot(F.col("sv"), F.col("cv"))
+        + spark_dot(F.col("cv"), F.col("cv"))
+    )
+    return (
+        sub.join(F.broadcast(cb), "m")
+        .withColumn("dist", dist)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id", "m").orderBy("dist", "code")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "sv", "code")
+    )
+
+
+def _pq_parts(spark, sf_dir):
+    """(codes, lut): trained-codebook PQ code assignments and the
+    query-side partial-dot-product lookup table — the Spark twin of
+    ``_PQ_DUCK_CTE``'s spine, shared by sim_ann_pq and ann_pq_recall.
+
+    Training mirrors ml.kmeans_assign per sub-space: seed codebook =
+    first 16 sub-vectors, one assignment pass, one exact-bigint centroid
+    recompute (only M×K×DSUB integer sums cross the driver), final
+    assignment against the refined codebook."""
+    sub = _pq_subvectors(spark, sf_dir).localCheckpoint(eager=True)
+    cb0 = sub.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    a1 = _pq_encode(sub, cb0)
+    # refined sub-centroids: exact integer per-dim sums (M×K×DSUB scalars)
+    sums = (
+        a1.select(
+            "m",
+            "code",
+            F.posexplode(
+                F.transform(
+                    "sv", lambda x: F.round(x * ML_SCALE).cast("bigint")
+                )
+            ).alias("pos", "q"),
+        )
+        .groupBy("m", "code", "pos")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    cents: dict[tuple[int, int], list[float]] = {}
+    for r in sums:
+        cents.setdefault((r["m"], r["code"]), [0.0] * PQ_DSUB)
+        cents[(r["m"], r["code"])][r["pos"]] = (
+            float(r["s"]) / r["n"] / ML_SCALE
+        )
+    cent_rows = [
+        F.struct(
+            F.lit(m).alias("m"),
+            F.lit(code).alias("code"),
+            F.array(*[F.lit(v) for v in cv]).alias("cv"),
+        )
+        for (m, code), cv in sorted(cents.items())
+    ]
+    cb1 = (
+        spark.range(1)
+        .select(F.explode(F.array(*cent_rows)).alias("c"))
+        .select("c.m", "c.code", "c.cv")
+    )
+    codes = _pq_encode(sub, cb1).select("vec_id", "m", "code")
+    lut = (
+        sub.filter(F.col("vec_id") < PQ_NQ)
+        .join(F.broadcast(cb1), "m")
+        .select(
+            F.col("vec_id").alias("qid"),
+            "m",
+            "code",
+            spark_dot(F.col("sv"), F.col("cv")).alias("w"),
+        )
+    )
+    return codes, lut
+
+
+def _pq_top(spark, sf_dir):
+    """PQ ADC top-k frame (qid, cid, score_pq, rk) — Spark twin of the
+    oracle's pq_top CTE."""
+    codes, lut = _pq_parts(spark, sf_dir)
+    scored = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(dsum("w", "score_pq"))
+    )
+    return scored.withColumn(
+        "rk",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("score_pq"), "cid"))
+        .cast("int"),
+    ).filter(F.col("rk") <= PQ_TOPK)
+
+
+@query(
+    "sim_ann_pq",
+    oracle=f"""
+    {_PQ_DUCK_CTE}
+    SELECT qid, cid, score_pq, rk FROM pq_top
+    """,
+    tags=("similarity", "embeddings", "scale"),
+)
+def sim_ann_pq(spark, sf_dir):
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring —
+    the compressed half of the IVF-PQ recipe (Jégou et al. 2011) as pure
+    relational algebra. Each 64-dim vector is encoded as 8 sub-space
+    codes (argmin-L2 against a TRAINED 16-entry per-sub-space codebook —
+    seeded from the first 16 sub-vectors, refined with one exact-integer
+    Lloyd pass exactly like ml_kmeans_lite, oracle-unrolled); a query
+    never touches corpus vectors — its 8×16 partial dot products form a
+    lookup table, and a candidate's approximate cosine is the SUM of 8
+    table entries keyed by its codes.
+
+    Scale shape: training collects only 8×16×8 integer sums; encoding is
+    a broadcast join against a 128-row codebook + a window whose
+    partitions are exactly 16 rows; search is a broadcast LUT equi-join +
+    map-side-combinable hash agg + bounded per-query top-k window. The
+    corpus side stores 8 4-bit codes per vector (32 bits vs 64×64 bits
+    raw — a 128× memory compression), which is what makes billion-vector
+    serving fit in RAM; ann_pq_recall reports what that compression costs
+    in recall on THIS corpus (near-random synthetic vectors are the
+    pessimal case for PQ — the measurement, not a constant, is the
+    deliverable).
+    """
+    return _pq_top(spark, sf_dir)
+
+
+@query(
+    "ann_pq_recall",
+    oracle=f"""
+    {_PQ_DUCK_CTE},
+    nn AS ({NORM_EMB_DUCK}),
+    exact_top AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.ne, c.ne) DESC, c.vec_id
+               ) AS rk
+        FROM nn q JOIN nn c ON q.vec_id < {PQ_NQ}
+         AND c.vec_id <> q.vec_id
+      ) WHERE rk <= {PQ_TOPK}
+    )
+    SELECT e.qid,
+           count(p.cid)::BIGINT AS n_hits,
+           round(count(p.cid)::DOUBLE / {PQ_TOPK}, 4) AS recall
+    FROM exact_top e
+    LEFT JOIN pq_top p ON p.qid = e.qid AND p.cid = e.cid
+    GROUP BY e.qid
+    """,
+    tags=("similarity", "embeddings", "eval"),
+)
+def ann_pq_recall(spark, sf_dir):
+    """recall@5 of the PQ ADC search against the exact brute-force
+    top-5, per query — the compression-quality number a PQ deployment is
+    judged by, computed inside the engine (same discipline as
+    ann_recall_eval for the IVF coarse quantizer). On this synthetic
+    near-random corpus 32-bit codes buy ~0.22 mean recall@5 — the honest
+    price of 128× compression here; clustered production embeddings sit
+    far higher, and the query measures whichever is true.
+
+    Scale shape: the exact side caps the query set at 50 and broadcasts
+    it (linear in corpus size, same shape as sim_cosine_topk); both
+    top-k frames are ≤ 50×5 rows, so the recall join is trivially small.
+    """
+    n = normalized_embeddings(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("ne").alias("qne")
+    )
+    exact = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            spark_dot(F.col("qne"), F.col("ne")).alias("cos"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+            ),
+        )
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select("qid", "cid")
+    )
+    pq = _pq_top(spark, sf_dir).select(
+        F.col("qid").alias("pqid"), F.col("cid").alias("pq_cid")
+    )
+    hits = exact.join(
+        pq,
+        (F.col("qid") == F.col("pqid")) & (F.col("cid") == F.col("pq_cid")),
+        "left",
+    )
+    return hits.groupBy("qid").agg(
+        F.count("pq_cid").alias("n_hits"),
+        F.round(F.count("pq_cid").cast("double") / PQ_TOPK, 4).alias(
+            "recall"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPED_AGG pandas UDF (vectorized UDAF)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q36_grouped_agg_udf",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(l_quantity::BIGINT)::BIGINT AS sum_qty,
+           median(l_quantity::BIGINT) AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf", "agg"),
+)
+def q36_grouped_agg_udf(spark, sf_dir):
+    """GROUPED_AGG pandas_udf — the vectorized-UDAF flavor of the q36
+    Python surface: each group's column arrives as ONE Arrow batch and the
+    UDF returns a scalar (here: exact integer sum + interpolated median,
+    both order-insensitive so the oracle comparison is exact). Completes
+    the q36 API matrix (scalar, grouped-map, map-batches, UDTF, arrow-map,
+    grouped-agg).
+
+    Scale shape: partial aggregation does NOT apply to a grouped-agg UDF
+    (the whole group must reach one task) — fine at 3 bounded groups, but
+    the reason built-in aggregates are preferred in hot paths; this query
+    exists to prove the plumbing, like the rest of q36.
+    """
+
+    @F.pandas_udf("bigint")
+    def qty_sum(v: pd.Series) -> int:
+        return int(v.sum())
+
+    @F.pandas_udf("double")
+    def qty_median(v: pd.Series) -> float:
+        return float(v.median())
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    return li.groupBy("l_returnflag").agg(
+        qty_sum("q").alias("sum_qty"), qty_median("q").alias("median_qty")
+    )

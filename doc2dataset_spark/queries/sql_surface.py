@@ -1,0 +1,412 @@
+"""Modern-SQL dialect surface (round-5 third session), registered AFTER
+the frozen driver gate and oracle-checked locally like everything else.
+
+Spark 4.x shipped a batch of ANSI/modern-SQL constructs that a user
+migrating a reference-era pipeline onto this engine will reach for; each
+gets a first-class, oracle-gated query here so the capability is proven,
+not presumed:
+
+- ``q37_recursive_cte``     WITH RECURSIVE month spine + gap-filled order
+                            counts (the canonical time-series gap-fill).
+- ``q38_lateral_topk``      correlated LATERAL subquery with LIMIT —
+                            top-2-per-group without a window function.
+- ``q39_sql_udf``           catalog SQL scalar UDF (CREATE FUNCTION …
+                            RETURN expr): reusable logic that stays
+                            JVM-side in whole-stage codegen, unlike any
+                            Python UDF.
+- ``q40_listagg``           ANSI LISTAGG … WITHIN GROUP ordered string
+                            aggregation (DuckDB twin: string_agg with
+                            ORDER BY).
+- ``q17c_grouping_sets``    explicit GROUPING SETS with a grouping-id
+                            disambiguator column (completes the q17
+                            rollup / q17b cube family).
+- ``agg_count_min``         count-min sketch as pure relational algebra —
+                            d×w counter matrix built with one explode +
+                            hash agg, probed with a min-over-rows join,
+                            overestimate guarantee checked against exact
+                            counts in the same result.
+
+Reference scope note: the reference (doc2dataset) exposes no SQL dialect
+of its own — this module is part of the §2.3 declared-query surface that
+makes the Spark engine a superset a reference user can migrate onto.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import query
+from doc2dataset_spark.session import load_table, register_views
+
+# ---------------------------------------------------------------------------
+# Q37 — recursive CTE month spine (gap-filled time series)
+# ---------------------------------------------------------------------------
+
+# High-value urgent orders are sparse enough that some months genuinely
+# have zero of them — the LEFT JOIN's gap-fill branch is exercised for
+# real, not vacuously.
+Q37_MIN_PRICE = 450_000.0
+
+
+@query(
+    "q37_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE spine(m, mx) AS (
+      SELECT date_trunc('month', min(o_orderdate)),
+             date_trunc('month', max(o_orderdate)) FROM orders
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH, mx FROM spine WHERE m < mx
+    ), agg AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             count(*)::BIGINT AS n_orders,
+             round(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4)::DOUBLE
+               AS total_price
+      FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > {Q37_MIN_PRICE}
+      GROUP BY 1
+    )
+    SELECT strftime(s.m, '%Y-%m') AS month,
+           coalesce(a.n_orders, 0) AS n_orders,
+           coalesce(a.total_price, 0.0) AS total_price
+    FROM spine s LEFT JOIN agg a ON s.m = a.m
+    """,
+    tags=("relational", "recursive", "timeseries"),
+)
+def q37_recursive_cte(spark, sf_dir):
+    """Gap-filled monthly time series via ``WITH RECURSIVE``: the spine
+    CTE generates every month between the corpus min and max order date
+    (no generate_series crutch, no driver-side loop), then LEFT JOINs the
+    sparse per-month aggregate so empty months surface as explicit zero
+    rows — the shape every dashboard/downstream-diff query needs.
+
+    Scale shape: the recursion produces one row per month (dozens —
+    driver-side-tiny by construction, recursion depth = months, far under
+    Spark's level limit); the anchor computes both date bounds in ONE
+    aggregate and carries the max through the recursion, so no scalar
+    subquery re-executes per level (measured ~5× faster at sf0.01). The
+    real data is touched exactly once by a map-side-combinable filtered
+    aggregate, and the spine join broadcasts the spine. 100 TB of orders
+    changes the agg's input, not the recursion.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine(m, mx) AS (
+          SELECT date_trunc('MONTH', min(o_orderdate)),
+                 date_trunc('MONTH', max(o_orderdate)) FROM orders
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH, mx FROM spine WHERE m < mx
+        ), agg AS (
+          SELECT date_trunc('MONTH', o_orderdate) AS m,
+                 count(*) AS n_orders,
+                 CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4)
+                      AS DOUBLE) AS total_price
+          FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+            AND o_totalprice > {Q37_MIN_PRICE}
+          GROUP BY 1
+        )
+        SELECT date_format(s.m, 'yyyy-MM') AS month,
+               coalesce(a.n_orders, 0) AS n_orders,
+               coalesce(a.total_price, 0.0d) AS total_price
+        FROM spine s LEFT JOIN agg a ON s.m = a.m
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q38 — correlated LATERAL subquery with LIMIT
+# ---------------------------------------------------------------------------
+Q38_TOPN = 2
+Q38_MAX_CUST = 200
+
+
+@query(
+    "q38_lateral_topk",
+    oracle=f"""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT {Q38_TOPN}) t
+    WHERE c.c_custkey < {Q38_MAX_CUST}
+    """,
+    tags=("relational", "lateral", "topk"),
+)
+def q38_lateral_topk(spark, sf_dir):
+    """Top-2 orders per customer expressed as a correlated LATERAL
+    subquery with LIMIT — the other idiom for per-group top-k (q19 is the
+    window form). Catalyst decorrelates the LATERAL into a join + local
+    per-key limit; the inner ORDER BY carries the o_orderkey tiebreaker
+    per the determinism rules.
+
+    Scale shape: decorrelation turns this into one equi-join on
+    o_custkey + a per-key bounded sort — no per-customer query storm, no
+    driver loop; the customer-side filter prunes before the join.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT {Q38_TOPN}) t
+        WHERE c.c_custkey < {Q38_MAX_CUST}
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q39 — SQL scalar UDF (catalog function, stays in codegen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q39_sql_udf",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                 AS DECIMAL(38,6)), 4)::DOUBLE AS charge,
+           CASE WHEN l_discount >= 0.05 THEN 'deep'
+                WHEN l_discount > 0 THEN 'shallow'
+                ELSE 'none' END AS discount_band
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+    tags=("relational", "udf", "sql"),
+)
+def q39_sql_udf(spark, sf_dir):
+    """SQL scalar UDFs (Spark 4 ``CREATE FUNCTION … RETURN expr``): the
+    TPC-H charge formula and a discount band, defined once as catalog
+    functions and reused in the query. Unlike a Python UDF, the body is
+    inlined into the plan at resolution time, so the whole expression
+    stays inside whole-stage codegen — the oracle simply inlines the same
+    expressions, which is exactly what Catalyst does.
+
+    Scale shape: map-side only; zero shuffle, zero Python boundary.
+    """
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION li_charge(
+            price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE
+        RETURN CAST(round(CAST(price * (1 - disc) * (1 + tax)
+                    AS DECIMAL(38,6)), 4) AS DOUBLE)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION discount_band(disc DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN disc >= 0.05 THEN 'deep'
+                    WHEN disc > 0 THEN 'shallow'
+                    ELSE 'none' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               li_charge(l_extendedprice, l_discount, l_tax) AS charge,
+               discount_band(l_discount) AS discount_band
+        FROM lineitem
+        WHERE l_orderkey < 1000
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q40 — LISTAGG … WITHIN GROUP (ordered string aggregation)
+# ---------------------------------------------------------------------------
+Q40_MAX_ORDER = 2000
+
+
+@query(
+    "q40_listagg",
+    oracle=f"""
+    SELECT l_orderkey,
+           string_agg(l_returnflag, ''
+                      ORDER BY l_linenumber, l_returnflag) AS flag_seq,
+           string_agg(l_linestatus || ':' || l_linenumber, ','
+                      ORDER BY l_linenumber, l_linestatus) AS status_seq
+    FROM lineitem
+    WHERE l_orderkey < {Q40_MAX_ORDER}
+    GROUP BY l_orderkey
+    """,
+    tags=("relational", "agg", "string"),
+)
+def q40_listagg(spark, sf_dir):
+    """ANSI ``LISTAGG … WITHIN GROUP`` — deterministic ordered string
+    aggregation (per-order flag sequence), the SQL:2016 construct Spark
+    4.1 added; DuckDB's twin spelling is ``string_agg(… ORDER BY …)``.
+    The WITHIN GROUP ordering makes the concatenation order-insensitive
+    to partitioning; l_linenumber is NOT unique within an order in this
+    corpus, so each listagg also orders by its own aggregated value —
+    tied positions then concatenate identically on both engines.
+
+    Scale shape: a single hash aggregate; the ordered concat is applied
+    per group after shuffle-by-key — no global sort.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT l_orderkey,
+               listagg(l_returnflag, '')
+                 WITHIN GROUP (ORDER BY l_linenumber, l_returnflag)
+                 AS flag_seq,
+               listagg(l_linestatus || ':' || CAST(l_linenumber AS STRING),
+                       ',')
+                 WITHIN GROUP (ORDER BY l_linenumber, l_linestatus)
+                 AS status_seq
+        FROM lineitem
+        WHERE l_orderkey < {Q40_MAX_ORDER}
+        GROUP BY l_orderkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17c — explicit GROUPING SETS with grouping-id
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q17c_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*)::BIGINT AS n,
+           round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4)::DOUBLE
+             AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    """,
+    tags=("relational", "agg", "grouping"),
+)
+def q17c_grouping_sets(spark, sf_dir):
+    """Explicit ``GROUPING SETS`` with the grouping-id bitmask column —
+    the general form of which q17 (ROLLUP) and q17b (CUBE) are special
+    cases; the gid column is what disambiguates a NULL group key from a
+    rolled-up level, and Spark's ``grouping__id`` bit order matches
+    DuckDB's ``GROUPING(a, b)``.
+
+    Scale shape: Spark expands the sets into one Expand node feeding a
+    single hash aggregate — one shuffle for all four granularities,
+    map-side partials included.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping__id AS BIGINT) AS gid,
+               count(*) AS n,
+               CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4)
+                    AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch as relational algebra (exact-verified overestimates)
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+CMS_PROBE_KEYS = 24  # probe the keys 0..23 (mix of frequent + absent)
+
+# row hash j ∈ [0, depth): first 48 bits of md5(j || '-' || key) — the
+# cross-engine-identical uniform hash idiom the sampling ops use.
+_CMS_BUCKET_SPARK = (
+    "cast(conv(substring(md5(concat(cast(j AS string), '-', "
+    "cast(l_partkey AS string))), 1, 12), 16, 10) AS bigint) % {w}"
+).format(w=CMS_WIDTH)
+def _cms_bucket_duck(prefix: str = "") -> str:
+    return (
+        f"('0x' || substr(md5({prefix}j::VARCHAR || '-' || "
+        f"{prefix}l_partkey::VARCHAR), 1, 12))::BIGINT % {CMS_WIDTH}"
+    )
+
+
+@query(
+    "agg_count_min",
+    oracle=f"""
+    WITH rows_j AS (
+      SELECT l_partkey, unnest(range({CMS_DEPTH})) AS j FROM lineitem
+    ), cms AS (
+      SELECT j, {_cms_bucket_duck()} AS bucket, count(*)::BIGINT AS c
+      FROM rows_j GROUP BY 1, 2
+    ), probes AS (
+      SELECT unnest(range({CMS_PROBE_KEYS})) AS l_partkey
+    ), probe_j AS (
+      SELECT l_partkey, unnest(range({CMS_DEPTH})) AS j FROM probes
+    ), est AS (
+      SELECT p.l_partkey, min(coalesce(c.c, 0)) AS cms_est
+      FROM probe_j p
+      LEFT JOIN cms c ON c.j = p.j AND c.bucket = ({_cms_bucket_duck("p.")})
+      GROUP BY p.l_partkey
+    ), exact AS (
+      SELECT l_partkey, count(*)::BIGINT AS exact_n
+      FROM lineitem WHERE l_partkey < {CMS_PROBE_KEYS} GROUP BY 1
+    )
+    SELECT e.l_partkey AS partkey, coalesce(x.exact_n, 0) AS exact_n,
+           e.cms_est, e.cms_est >= coalesce(x.exact_n, 0) AS no_underestimate
+    FROM est e LEFT JOIN exact x USING (l_partkey)
+    """,
+    tags=("agg", "sketch", "scale"),
+)
+def agg_count_min(spark, sf_dir):
+    """Count-min sketch built and probed as pure relational algebra: the
+    d×w counter matrix is ``explode(seq d) → groupBy(row, bucket)`` —
+    map-side combinable, collapsing any input size to d·w rows — and a
+    point estimate is the MIN over the d matching counters. The result
+    joins each probe key's estimate with its exact count so CMS's
+    one-sided error (never underestimates) is checked inside the query
+    itself, same discipline as the HLL/percentile sketch twins.
+
+    Scale shape: the sketch build shuffles d·w counter partials, not
+    rows (the explode multiplies rows ×d but partial aggregation
+    collapses them before the exchange); probes join a {CMS_DEPTH}×
+    {CMS_WIDTH}-row broadcast. At 100 TB the sketch is still 1 KB-scale
+    state, and unlike exact groupBy-count it is mergeable across
+    corpora/streams.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_j = li.select(
+        "l_partkey", F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
+    )
+    cms = (
+        rows_j.select("j", F.expr(_CMS_BUCKET_SPARK).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    probes = spark.range(CMS_PROBE_KEYS).select(
+        F.col("id").cast("bigint").alias("l_partkey")
+    )
+    probe_j = probes.select(
+        "l_partkey",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j"),
+    ).select(
+        "l_partkey", "j", F.expr(_CMS_BUCKET_SPARK).alias("bucket")
+    )
+    est = (
+        probe_j.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy("l_partkey")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )
+    exact = (
+        li.filter(F.col("l_partkey") < CMS_PROBE_KEYS)
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_n"))
+    )
+    return est.join(exact, "l_partkey", "left").select(
+        F.col("l_partkey").alias("partkey"),
+        F.coalesce("exact_n", F.lit(0)).alias("exact_n"),
+        "cms_est",
+        (F.col("cms_est") >= F.coalesce("exact_n", F.lit(0))).alias(
+            "no_underestimate"
+        ),
+    )

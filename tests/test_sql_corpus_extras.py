@@ -1,0 +1,220 @@
+"""Invariant tests for the SQL-dialect surface (sql_surface.py) and the
+corpus-rewrite/PQ extras (corpus_extras.py); value equality is
+oracle-gated (scripts/check_oracle.py), these pin the semantic claims:
+spine contiguity + real gap rows, per-group top-k bounds, UDF inlining
+equivalence, ordered-concat lengths, grouping-id algebra, the CMS
+no-underestimate guarantee, substring-rewrite conservation laws, PQ code
+compactness + score monotonicity, and recall bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries import REGISTRY
+from doc2dataset_spark.queries.corpus_extras import (
+    PQ_K,
+    PQ_M,
+    PQ_NQ,
+    PQ_TOPK,
+    SUB_W,
+)
+from doc2dataset_spark.queries.sql_surface import (
+    CMS_PROBE_KEYS,
+    Q38_TOPN,
+)
+from doc2dataset_spark.session import load_table
+
+
+# ---------------------------------------------------------------------------
+# sql_surface
+# ---------------------------------------------------------------------------
+def test_recursive_spine_is_contiguous_and_gap_filled(spark, sf_dir):
+    rows = (
+        REGISTRY["q37_recursive_cte"].builder(spark, sf_dir).toPandas()
+    ).sort_values("month")
+    months = list(rows["month"])
+    # contiguous: every consecutive pair is exactly one month apart
+    def nxt(m: str) -> str:
+        y, mo = int(m[:4]), int(m[5:7])
+        y, mo = (y + 1, 1) if mo == 12 else (y, mo + 1)
+        return f"{y:04d}-{mo:02d}"
+
+    assert months == sorted(months)
+    assert all(nxt(a) == b for a, b in zip(months, months[1:]))
+    # the gap-fill branch is exercised for real: some months have no
+    # qualifying orders and appear as explicit zeros
+    assert (rows["n_orders"] == 0).any()
+    assert (rows["n_orders"] > 0).any()
+    # zero-count months carry zero totals
+    z = rows[rows["n_orders"] == 0]
+    assert (z["total_price"] == 0.0).all()
+
+
+def test_lateral_topk_bounds_and_ordering(spark, sf_dir):
+    rows = REGISTRY["q38_lateral_topk"].builder(spark, sf_dir).toPandas()
+    per = rows.groupby("c_custkey")
+    assert (per.size() <= Q38_TOPN).all()
+    # within each customer the rows really are that customer's maxima
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    for ck, grp in list(per)[:20]:
+        mine = orders[orders.o_custkey == ck].sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        )
+        expect = list(mine.o_orderkey[:Q38_TOPN])
+        got = list(
+            grp.sort_values(
+                ["o_totalprice", "o_orderkey"], ascending=[False, True]
+            ).o_orderkey
+        )
+        assert got == expect
+
+
+def test_sql_udf_matches_inline_expression(spark, sf_dir):
+    rows = REGISTRY["q39_sql_udf"].builder(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 1000
+    )
+    inline = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(38,6)"),
+            4,
+        )
+        .cast("double")
+        .alias("charge"),
+    )
+    a = rows.groupBy().agg(
+        F.count("*").alias("n"), F.sum("charge").alias("s")
+    ).collect()[0]
+    b = inline.groupBy().agg(
+        F.count("*").alias("n"), F.sum("charge").alias("s")
+    ).collect()[0]
+    assert a["n"] == b["n"] and abs(a["s"] - b["s"]) < 1e-6
+    bands = {
+        r["discount_band"] for r in rows.select("discount_band").distinct().collect()
+    }
+    assert bands <= {"deep", "shallow", "none"}
+
+
+def test_listagg_lengths_match_group_sizes(spark, sf_dir):
+    rows = REGISTRY["q40_listagg"].builder(spark, sf_dir).toPandas()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 2000)
+        .groupBy("l_orderkey")
+        .count()
+        .toPandas()
+        .set_index("l_orderkey")["count"]
+    )
+    for _, r in rows.iterrows():
+        n = int(li[r.l_orderkey])
+        assert len(r.flag_seq) == n  # '' delimiter, 1 char per line
+        assert len(r.status_seq.split(",")) == n
+
+
+def test_grouping_sets_algebra(spark, sf_dir):
+    rows = REGISTRY["q17c_grouping_sets"].builder(spark, sf_dir).toPandas()
+    total = load_table(spark, sf_dir, "lineitem").count()
+    # gid 3 = both columns rolled up = the global row
+    g3 = rows[rows.gid == 3]
+    assert len(g3) == 1 and int(g3.n.iloc[0]) == total
+    # each partial level re-adds to the global count
+    for gid in (0, 1, 2):
+        level = rows[rows.gid == gid]
+        assert int(level.n.sum()) == total
+
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    rows = REGISTRY["agg_count_min"].builder(spark, sf_dir).toPandas()
+    assert len(rows) == CMS_PROBE_KEYS
+    assert rows.no_underestimate.all()
+    assert (rows.cms_est >= rows.exact_n).all()
+    # sanity: the probe set includes genuinely present keys
+    assert (rows.exact_n > 0).any()
+
+
+# ---------------------------------------------------------------------------
+# corpus_extras
+# ---------------------------------------------------------------------------
+def test_substring_rewrite_conservation(spark, sf_dir):
+    out = (
+        REGISTRY["dedup_substring_rewrite"].builder(spark, sf_dir).toPandas()
+    )
+    # keeper conservation: exactly one survivor per distinct chunk
+    docs = load_table(spark, sf_dir, "documents")
+    from doc2dataset_spark.queries.corpus_extras import _SUBCHUNKS
+
+    ch = docs.filter(
+        F.size(F.split(F.lower("text"), r"\s+")) > 0
+    ).select(F.explode(F.expr(_SUBCHUNKS)).alias("chunk"))
+    n_distinct = ch.distinct().count()
+    assert int(out.n_kept.sum()) == n_distinct
+    # per-doc bounds + the corpus really contains duplicates
+    assert (out.n_kept <= out.n_chunks).all()
+    assert (out.n_kept < out.n_chunks).any()
+    # untouched documents reconstruct verbatim (token-joined)
+    sample = out[out.n_kept == out.n_chunks].head(5)
+    texts = {
+        r["doc_id"]: r["joined"]
+        for r in docs.select(
+            "doc_id",
+            F.array_join(
+                F.expr(
+                    "filter(split(lower(text), '\\\\s+'), t -> t <> '')"
+                ),
+                " ",
+            ).alias("joined"),
+        )
+        .filter(F.col("doc_id").isin([int(x) for x in sample.doc_id]))
+        .collect()
+    }
+    for _, r in sample.iterrows():
+        assert r.clean_text == texts[r.doc_id]
+
+
+def test_pq_codes_and_scores(spark, sf_dir):
+    from doc2dataset_spark.queries.corpus_extras import _pq_parts
+
+    codes, _ = _pq_parts(spark, sf_dir)
+    pdf = codes.toPandas()
+    n_vec = pdf.vec_id.nunique()
+    # every vector gets exactly one code per sub-space, all codes valid
+    assert len(pdf) == n_vec * PQ_M
+    assert pdf.code.between(0, PQ_K - 1).all()
+    top = REGISTRY["sim_ann_pq"].builder(spark, sf_dir).toPandas()
+    per = top.groupby("qid")
+    assert (per.size() == PQ_TOPK).all()
+    assert (top.qid != top.cid).all()
+    for _, grp in list(per)[:10]:
+        s = list(grp.sort_values("rk").score_pq)
+        assert s == sorted(s, reverse=True)
+
+
+def test_pq_recall_bounds(spark, sf_dir):
+    rows = REGISTRY["ann_pq_recall"].builder(spark, sf_dir).toPandas()
+    assert len(rows) == PQ_NQ
+    assert rows.recall.between(0.0, 1.0).all()
+    assert (rows.n_hits <= PQ_TOPK).all()
+    # trained 32-bit codes retrieve something real even on this
+    # PQ-pessimal corpus
+    assert rows.recall.mean() > 0.05
+
+
+def test_grouped_agg_udf_matches_builtin(spark, sf_dir):
+    rows = (
+        REGISTRY["q36_grouped_agg_udf"].builder(spark, sf_dir).toPandas()
+    ).set_index("l_returnflag")
+    ref = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("s"))
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    for flag in ref.index:
+        assert int(rows.loc[flag, "sum_qty"]) == int(ref.loc[flag, "s"])
