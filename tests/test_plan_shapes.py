@@ -135,3 +135,29 @@ def test_whole_stage_codegen(spark, sf_dir, name):
     assert "codegen id" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_session3_ops_stay_blocked_and_partial(spark, sf_dir):
+    """Round-5 session-3 ops keep the same guarantees: the rewrite dedup
+    and PQ search never degenerate into an unblocked pairwise plan, the
+    CMS probe joins a broadcast sketch, and the grouping-sets query pays
+    ONE Expand + shuffle for all four granularities."""
+    for name in ["dedup_substring_rewrite", "sim_ann_pq"]:
+        plan = plan_of(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        # codebook/LUT (PQ) and first-owner build (rewrite via AQE) keep
+        # at least one broadcast-sized side
+        assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, name
+
+    cms = plan_of(spark, "agg_count_min", sf_dir)
+    # the d×w counter matrix is partially aggregated before the exchange
+    # (shuffle carries counter partials, not exploded rows) and the probe
+    # side joins the broadcast sketch
+    assert cms.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in cms
+
+    gs = plan_of(spark, "q17c_grouping_sets", sf_dir)
+    # formatted explain prints each node twice (tree + detail section);
+    # exactly one Expand node means one shuffle serves all four levels
+    assert gs.count("+- Expand") == 1
