@@ -320,10 +320,16 @@ CMS_PROBE_KEYS = 24  # probe the keys 0..23 (mix of frequent + absent)
 
 # row hash j ∈ [0, depth): first 48 bits of md5(j || '-' || key) — the
 # cross-engine-identical uniform hash idiom the sampling ops use.
-_CMS_BUCKET_SPARK = (
-    "cast(conv(substring(md5(concat(cast(j AS string), '-', "
-    "cast(l_partkey AS string))), 1, 12), 16, 10) AS bigint) % {w}"
-).format(w=CMS_WIDTH)
+def cms_bucket_spark(key: str, width: int = CMS_WIDTH) -> str:
+    """Seeded uniform bucket expression (Spark SQL) — shared with the
+    streaming sketch module so batch and stream hash identically."""
+    return (
+        f"cast(conv(substring(md5(concat(cast(j AS string), '-', "
+        f"cast({key} AS string))), 1, 12), 16, 10) AS bigint) % {width}"
+    )
+
+
+_CMS_BUCKET_SPARK = cms_bucket_spark("l_partkey")
 def _cms_bucket_duck(prefix: str = "") -> str:
     return (
         f"('0x' || substr(md5({prefix}j::VARCHAR || '-' || "
@@ -408,5 +414,116 @@ def agg_count_min(spark, sf_dir):
         "cms_est",
         (F.col("cms_est") >= F.coalesce("exact_n", F.lit(0))).alias(
             "no_underestimate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as relational algebra (membership with measured FP rate)
+# ---------------------------------------------------------------------------
+BLOOM_BITS = 4096
+BLOOM_K = 4  # hash functions
+# corpus = docs with doc_id % 5 != 0; every doc (incl. corpus members) is
+# probed, so both the no-false-negative guarantee and the false-positive
+# rate are exercised against exact membership in the same result.
+_BLOOM_CORPUS_PRED = "doc_id % 5 <> 0"
+
+
+def _bloom_bit_spark(width: int = BLOOM_BITS) -> str:
+    return (
+        f"cast(conv(substring(md5(concat(cast(j AS string), '-', dg)), "
+        f"1, 12), 16, 10) AS bigint) % {width}"
+    )
+
+
+def _bloom_bit_duck(prefix: str = "", width: int = BLOOM_BITS) -> str:
+    return (
+        f"('0x' || substr(md5({prefix}j::VARCHAR || '-' || {prefix}dg), "
+        f"1, 12))::BIGINT % {width}"
+    )
+
+
+@query(
+    "agg_bloom_filter",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS dg FROM documents
+    ), corpus AS (
+      SELECT DISTINCT dg FROM d WHERE {_BLOOM_CORPUS_PRED}
+    ), bits AS (
+      SELECT DISTINCT {_bloom_bit_duck()} AS bitpos
+      FROM corpus, unnest(range({BLOOM_K})) AS t(j)
+    ), probe AS (
+      SELECT doc_id, dg, unnest(range({BLOOM_K})) AS j FROM d
+    ), memb AS (
+      SELECT p.doc_id, p.dg,
+             bool_and(b.bitpos IS NOT NULL) AS in_bloom
+      FROM probe p
+      LEFT JOIN bits b ON b.bitpos = ({_bloom_bit_duck("p.")})
+      GROUP BY p.doc_id, p.dg
+    )
+    SELECT m.doc_id, m.in_bloom,
+           (c.dg IS NOT NULL) AS present,
+           m.in_bloom AND c.dg IS NULL AS is_false_positive,
+           m.in_bloom OR c.dg IS NULL AS no_false_negative
+    FROM memb m LEFT JOIN corpus c ON m.dg = c.dg
+    """,
+    tags=("agg", "sketch", "dedup", "scale"),
+)
+def agg_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership as pure relational algebra — the
+    incremental-dedup primitive ("is this document already in yesterday's
+    corpus?") without shuffling yesterday's corpus: the filter is a
+    DISTINCT set of ≤{BLOOM_BITS} bit positions ({BLOOM_K} seeded hashes
+    of the text digest per member), membership is "all {BLOOM_K} bits
+    set" via a broadcast join, and — same discipline as agg_count_min —
+    both sketch guarantees are checked inside the result: present ⇒
+    in_bloom (no false negatives, always true) and the false-positive
+    flags measure the sketch's one-sided error against exact membership.
+
+    Scale shape: the bit set DISTINCTs to ≤{BLOOM_BITS} rows no matter
+    the corpus size (map-side combinable) and broadcasts to the probes;
+    the exact-membership twin here is an equi-join on the digest (what
+    the bloom filter REPLACES at scale — kept in-result so the error is
+    measured, not asserted). A production incremental pipeline persists
+    the bit set (1 KB-scale, mergeable by union) and prunes the probe
+    side before any expensive verify join.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("dg")
+    )
+    corpus = d.filter(F.expr(_BLOOM_CORPUS_PRED)).select("dg").distinct()
+    bits = (
+        corpus.select(
+            F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j"),
+            "dg",
+        )
+        .select(F.expr(_bloom_bit_spark()).alias("bitpos"))
+        .distinct()
+    )
+    probe = d.select(
+        "doc_id",
+        "dg",
+        F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("j"),
+    ).select("doc_id", "dg", F.expr(_bloom_bit_spark()).alias("bitpos"))
+    memb = (
+        probe.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "bitpos", "left"
+        )
+        .groupBy("doc_id", "dg")
+        .agg(F.min(F.col("hit").isNotNull()).alias("in_bloom"))
+    )
+    cset = corpus.withColumnRenamed("dg", "cdg")
+    return memb.join(
+        F.broadcast(cset), F.col("dg") == F.col("cdg"), "left"
+    ).select(
+        "doc_id",
+        "in_bloom",
+        F.col("cdg").isNotNull().alias("present"),
+        (F.col("in_bloom") & F.col("cdg").isNull()).alias(
+            "is_false_positive"
+        ),
+        (F.col("in_bloom") | F.col("cdg").isNull()).alias(
+            "no_false_negative"
         ),
     )

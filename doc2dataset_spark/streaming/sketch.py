@@ -1,0 +1,87 @@
+"""Streaming count-min sketch: per-micro-batch partial sketches merged
+into the exact global sketch — the property that makes sketches the
+right frequency state at 100 TB is MERGEABILITY (counters add), and this
+module proves it on a live stream rather than asserting it.
+
+Each micro-batch computes its own d×w counter matrix (the same seeded
+hash the batch query ``agg_count_min`` uses, imported so batch and
+stream can never drift) and lands it idempotently under its batch_id —
+the overwrite-by-batch replay discipline of
+``events.run_foreach_batch_upsert``. The merged sketch is then a plain
+``groupBy(j, bucket).sum`` over the partials: commutative, associative,
+restart-safe. tests/test_streaming.py locks merged-stream == batch-built
+equality counter by counter.
+
+At scale this is the shape of a streaming frequency service: partials
+are d×w rows per batch regardless of batch size, the merge is a
+constant-size aggregation, and historical partials can be compacted or
+unioned across days without touching raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.sql_surface import (
+    CMS_DEPTH,
+    cms_bucket_spark,
+)
+
+
+def cms_partial(batch: DataFrame, key: str = "user_id") -> DataFrame:
+    """The d×w partial counter matrix of one (micro-)batch: explode the
+    depth seeds, hash to a bucket, count — map-side combinable, output
+    bounded by d×w rows regardless of input size."""
+    return (
+        batch.select(
+            F.col(key),
+            F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias(
+                "j"
+            ),
+        )
+        .select("j", F.expr(cms_bucket_spark(key)).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def run_cms_partials(
+    spark: SparkSession,
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+) -> None:
+    """Drive the stream, landing one partial sketch per micro-batch
+    under batch_id=<n> (idempotent overwrite — a replayed batch rewrites
+    its own partition, never double-counts)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            cms_partial(batch_df, key)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def cms_merge(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Merge partial sketches into the global one: counters add. The
+    result is bit-identical to building one sketch over the concatenated
+    input — the mergeability law the equality test pins."""
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("j", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )

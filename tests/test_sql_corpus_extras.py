@@ -218,3 +218,16 @@ def test_grouped_agg_udf_matches_builtin(spark, sf_dir):
     )
     for flag in ref.index:
         assert int(rows.loc[flag, "sum_qty"]) == int(ref.loc[flag, "s"])
+
+
+def test_bloom_filter_guarantees(spark, sf_dir):
+    rows = REGISTRY["agg_bloom_filter"].builder(spark, sf_dir).toPandas()
+    # one-sided error: membership never missed
+    assert rows.no_false_negative.all()
+    assert int((rows.present & ~rows.in_bloom).sum()) == 0
+    # the probe set genuinely exercises both branches
+    assert rows.present.any() and (~rows.present).any()
+    # flag algebra consistent
+    assert (
+        (rows.in_bloom & ~rows.present) == rows.is_false_positive
+    ).all()

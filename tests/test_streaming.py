@@ -253,3 +253,62 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert got and got == want
+
+
+def test_cms_partials_merge_to_batch_sketch(spark, sf_dir, tmp_path):
+    """Streaming count-min: one partial d×w sketch per micro-batch,
+    merged by counter addition, must equal the sketch built over the
+    whole input in one batch pass — the mergeability law that makes
+    sketches the right streaming frequency state. Forced across ≥2
+    micro-batches so the merge is real."""
+    import os
+    import time as _time
+
+    from doc2dataset_spark.streaming.sketch import (
+        cms_partial,
+        cms_merge,
+        run_cms_partials,
+    )
+
+    # the sketch keys on user_id only — project before writing so the
+    # fixture round-trips without the nanos-timestamp column
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "events_stream"
+    os.makedirs(src, exist_ok=True)
+    lo = src / "b0.parquet"
+    hi = src / "b1.parquet"
+    events.filter(f"event_id <= {int(mid)}").toPandas().to_parquet(
+        lo.as_posix()
+    )
+    events.filter(f"event_id > {int(mid)}").toPandas().to_parquet(
+        hi.as_posix()
+    )
+    os.utime(hi, (_time.time() + 2, _time.time() + 2))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    out = (tmp_path / "cms_partials").as_posix()
+    ckpt = (tmp_path / "cms_ckpt").as_posix()
+    run_cms_partials(spark, stream, out, ckpt)
+
+    partials = spark.read.parquet(out)
+    n_batches = partials.select("batch_id").distinct().count()
+    assert n_batches >= 2, "stream collapsed into one micro-batch"
+
+    got = {
+        (r.j, r.bucket): r.c for r in cms_merge(spark, out).collect()
+    }
+    want = {
+        (r.j, r.bucket): r.c for r in cms_partial(events).collect()
+    }
+    assert got == want  # counter-by-counter equality
+    # total mass per depth row = number of events
+    n = events.count()
+    for j in range(4):
+        assert sum(c for (jj, _), c in got.items() if jj == j) == n
