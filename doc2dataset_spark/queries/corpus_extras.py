@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from doc2dataset_spark.queries.core import dsum, query, sql_dsum
+from doc2dataset_spark.queries.core import query
 from doc2dataset_spark.queries.dedup import (
     NORM_EMB_DUCK,
     normalized_embeddings,
@@ -160,26 +160,32 @@ PQ_DSUB = 8  # dims per sub-space (8 × 8 = the 64-dim embedding)
 PQ_K = 16  # codes per sub-space codebook (sub-vectors of vec_id < PQ_K)
 PQ_NQ = 50  # query vectors (vec_id < PQ_NQ)
 PQ_TOPK = 5
+# training sample: the Lloyd refinement reads only these vectors (the
+# production recipe — codebooks are trained on a sample, the full corpus
+# is only ENCODED; also what keeps the training pass off the 100 TB path)
+PQ_TRAIN = 1500
 
 # Codebooks are TRAINED: seeded from the first PQ_K sub-vectors, then one
 # exact-integer Lloyd refinement per sub-space (the ml.py k-means recipe
 # applied per (m, code) cell: 1e-9-quantized inputs, bigint per-dim sums,
 # so refined centroids are bit-identical across engines and the oracle
 # can unroll the training in SQL).
-def _pq_assign_sql(cb_cte: str) -> str:
+def _pq_assign_sql(cb_cte: str, src: str = "psub") -> str:
     """One PQ code-assignment pass: per (vector, sub-space) argmin-L2
-    over that sub-space's codebook."""
+    over that sub-space's codebook. The s·s term is constant per
+    (vector, sub-space) row so it cannot change the argmin — both
+    engines rank by the reduced form −2·(s·c) + c·c (identical
+    expression, identical rounding, identical ties)."""
     return f"""
       SELECT vec_id, m, sv, code FROM (
         SELECT s.vec_id, s.m, s.sv, c.code,
                row_number() OVER (
                  PARTITION BY s.vec_id, s.m
-                 ORDER BY list_dot_product(s.sv, s.sv)
-                          - 2 * list_dot_product(s.sv, c.cv)
+                 ORDER BY -2 * list_dot_product(s.sv, c.cv)
                           + list_dot_product(c.cv, c.cv),
                           c.code
                ) AS rn
-        FROM psub s JOIN {cb_cte} c USING (m)
+        FROM {src} s JOIN {cb_cte} c USING (m)
       ) WHERE rn = 1
     """
 
@@ -216,7 +222,8 @@ _PQ_DUCK_CTE = f"""
     ),
     pcb0 AS (SELECT m, vec_id AS code, sv AS cv FROM psub
              WHERE vec_id < {PQ_K}),
-    pa1 AS ({_pq_assign_sql("pcb0")}),
+    ptrain AS (SELECT * FROM psub WHERE vec_id < {PQ_TRAIN}),
+    pa1 AS ({_pq_assign_sql("pcb0", "ptrain")}),
     pcb1 AS ({_pq_recompute_sql("pa1")}),
     pa2 AS ({_pq_assign_sql("pcb1")}),
     codes AS (SELECT vec_id, m, code FROM pa2),
@@ -232,8 +239,12 @@ _PQ_DUCK_CTE = f"""
                row_number() OVER (PARTITION BY qid
                                   ORDER BY score_pq DESC, cid)::INT AS rk
         FROM (
+          -- exact integer accumulation: each partial weight is already a
+          -- driver-quantized LUT entry; summing 1e-9-quantized bigints is
+          -- order-independent like the decimal idiom but integer-fast
           SELECT l.qid, co.vec_id AS cid,
-                 {sql_dsum('l.w', 'score_pq')}
+                 round(CAST(sum(round(l.w * {ML_SCALE})::BIGINT) AS DOUBLE)
+                       / {ML_SCALE}.0, 4) AS score_pq
           FROM codes co JOIN lut l ON l.m = co.m AND l.code = co.code
           WHERE l.qid <> co.vec_id
           GROUP BY l.qid, co.vec_id
@@ -262,25 +273,52 @@ def _pq_subvectors(spark, sf_dir):
     )
 
 
-def _pq_encode(sub, cb):
-    """argmin-L2 code per (vector, sub-space) against a broadcast
-    codebook frame (m, code, cv); keeps sv for the training pass."""
-    dist = (
-        spark_dot(F.col("sv"), F.col("sv"))
-        - 2 * spark_dot(F.col("sv"), F.col("cv"))
-        + spark_dot(F.col("cv"), F.col("cv"))
+def _cc(cv: list[float]) -> float:
+    """Sequential-fold c·c on the driver — same accumulation order as
+    list_dot_product / spark_dot, so the double is bit-identical to what
+    either engine would compute from the same centroid."""
+    acc = 0.0
+    for v in cv:
+        acc += v * v
+    return acc
+
+
+def _pq_cb_frame(spark, books: dict[int, list[tuple[int, list[float]]]]):
+    """Codebook as a LOCAL-RELATION DataFrame (m, code, cv, cc): the
+    centroids travel as Arrow data, not as plan literals — a
+    1000-literal expression tree was measured to cost ~2 s of DRIVER
+    plan analysis per encode at any data size, swamping the actual
+    arithmetic. c·c is precomputed per centroid (driver fold, bit-equal
+    to the engines' folds) so assignment costs one 8-dim fold per
+    candidate instead of three."""
+    rows = [
+        (m, int(code), list(cv), _cc(cv))
+        for m in sorted(books)
+        for code, cv in books[m]
+    ]
+    return spark.createDataFrame(
+        rows, "m int, code int, cv array<double>, cc double"
     )
+
+
+def _pq_encode(sub, cb):
+    """argmin-L2 code per (vector, sub-space): broadcast-join the
+    codebook frame on the sub-space key, rank by the reduced distance
+    −2·(s·c) + c·c (the s·s term is row-constant so the argmin is
+    unchanged — the oracle ranks by the identical expression), and take
+    the minimum (dist, code) struct with a map-side-combinable hash agg
+    — no window sort, partials collapse before the exchange, ties break
+    to the lowest code exactly like the oracle's row_number."""
+    dist = -2 * spark_dot(F.col("sv"), F.col("cv")) + F.col("cc")
     return (
         sub.join(F.broadcast(cb), "m")
-        .withColumn("dist", dist)
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id", "m").orderBy("dist", "code")
-            ),
+        .groupBy("vec_id", "m", "sv")
+        .agg(
+            F.min(
+                F.struct(dist.alias("d"), F.col("code").alias("c"))
+            ).alias("b")
         )
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "sv", "code")
+        .select("vec_id", "m", "sv", F.col("b.c").alias("code"))
     )
 
 
@@ -290,14 +328,32 @@ def _pq_parts(spark, sf_dir):
     ``_PQ_DUCK_CTE``'s spine, shared by sim_ann_pq and ann_pq_recall.
 
     Training mirrors ml.kmeans_assign per sub-space: seed codebook =
-    first 16 sub-vectors, one assignment pass, one exact-bigint centroid
+    first 16 sub-vectors, one assignment pass over a deterministic
+    1500-vector SAMPLE (train-on-sample, encode-the-corpus — the recipe
+    that keeps training off the 100 TB path), one exact-bigint centroid
     recompute (only M×K×DSUB integer sums cross the driver), final
-    assignment against the refined codebook."""
-    sub = _pq_subvectors(spark, sf_dir).localCheckpoint(eager=True)
-    cb0 = sub.filter(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    corpus-wide assignment against the refined codebook."""
+    # cache, not localCheckpoint: the frame is reused by four consumers
+    # (seed collect, training pass, final encode, LUT) but recomputing it
+    # is row-local and deterministic, so the cheap memory cache is enough
+    # — measured 2.9 s (checkpoint) vs 1.3 s (cache) at sf0.1 for the
+    # materialization alone
+    sub = _pq_subvectors(spark, sf_dir).cache()
+    # seed codebook: first PQ_K sub-vectors, collected (PQ_M×PQ_K×PQ_DSUB
+    # doubles — the same driver-size budget as the kmeans centroid pull)
+    books0: dict[int, list[tuple[int, list[float]]]] = {
+        m: [] for m in range(PQ_M)
+    }
+    for r in (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .orderBy("m", "vec_id")
+        .collect()
+    ):
+        books0[r["m"]].append((int(r["vec_id"]), list(r["sv"])))
+    a1 = _pq_encode(
+        sub.filter(F.col("vec_id") < PQ_TRAIN),
+        _pq_cb_frame(spark, books0),
     )
-    a1 = _pq_encode(sub, cb0)
     # refined sub-centroids: exact integer per-dim sums (M×K×DSUB scalars)
     sums = (
         a1.select(
@@ -319,19 +375,12 @@ def _pq_parts(spark, sf_dir):
         cents[(r["m"], r["code"])][r["pos"]] = (
             float(r["s"]) / r["n"] / ML_SCALE
         )
-    cent_rows = [
-        F.struct(
-            F.lit(m).alias("m"),
-            F.lit(code).alias("code"),
-            F.array(*[F.lit(v) for v in cv]).alias("cv"),
-        )
-        for (m, code), cv in sorted(cents.items())
-    ]
-    cb1 = (
-        spark.range(1)
-        .select(F.explode(F.array(*cent_rows)).alias("c"))
-        .select("c.m", "c.code", "c.cv")
-    )
+    books1: dict[int, list[tuple[int, list[float]]]] = {
+        m: [] for m in range(PQ_M)
+    }
+    for (m, code), cv in sorted(cents.items()):
+        books1[m].append((code, cv))
+    cb1 = _pq_cb_frame(spark, books1)
     codes = _pq_encode(sub, cb1).select("vec_id", "m", "code")
     lut = (
         sub.filter(F.col("vec_id") < PQ_NQ)
@@ -354,7 +403,15 @@ def _pq_top(spark, sf_dir):
         codes.join(F.broadcast(lut), ["m", "code"])
         .filter(F.col("qid") != F.col("vec_id"))
         .groupBy("qid", F.col("vec_id").alias("cid"))
-        .agg(dsum("w", "score_pq"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("w") * ML_SCALE).cast("bigint")).cast(
+                    "double"
+                )
+                / float(ML_SCALE),
+                4,
+            ).alias("score_pq")
+        )
     )
     return scored.withColumn(
         "rk",

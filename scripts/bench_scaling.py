@@ -68,6 +68,13 @@ BIG_SET = [
     "curate_corpus",
 ]
 
+# round-5 session-3 ops: rewrite dedup, sketches, trained PQ, SQL surface
+SESSION3_SET = [
+    "dedup_substring_rewrite", "sim_ann_pq", "ann_pq_recall",
+    "agg_count_min", "agg_bloom_filter", "q37_recursive_cte",
+    "q38_lateral_topk", "q40_listagg", "q17c_grouping_sets",
+]
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -179,6 +186,11 @@ def main() -> None:
             run_set(spark, HEADLINE, sf_dir, with_duck=True)
     elif mode == "big":
         run_set(spark, BIG_SET, BIG_DIR, with_duck=False)
+    elif mode == "session3":
+        for sf_dir in SHIPPED:
+            run_set(spark, SESSION3_SET, sf_dir, with_duck=True)
+        if os.path.exists(BIG_DIR):
+            run_set(spark, SESSION3_SET, BIG_DIR, with_duck=False)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
