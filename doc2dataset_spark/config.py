@@ -31,7 +31,7 @@ RESERVED_COLUMNS = (
     "page_no",
 )
 
-INPUT_FORMATS = ("txt", "csv", "tsv", "json", "jsonl", "parquet", "orc")
+INPUT_FORMATS = ("txt", "csv", "tsv", "json", "jsonl", "parquet", "orc", "xml")
 OUTPUT_FORMATS = ("files", "webdataset", "parquet", "orc", "jsonl", "tfrecord", "dummy")
 
 

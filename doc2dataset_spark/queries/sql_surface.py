@@ -527,3 +527,52 @@ def agg_bloom_filter(spark, sf_dir):
             "no_false_negative"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q41 — SQL pipe syntax (Spark 4.x |> operators)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*)::BIGINT AS n,
+           round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4)::DOUBLE
+             AS sum_qty,
+           round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(38,6))), 4)::DOUBLE AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    HAVING count(*) > 100
+    """,
+    tags=("relational", "dialect"),
+)
+def q41_pipe_syntax(spark, sf_dir):
+    """The same filtered-aggregate-having query written in Spark 4's SQL
+    PIPE syntax (``|>`` operators — linear dataflow order instead of
+    inside-out SQL): each ``|>`` stage maps 1:1 onto a Catalyst operator,
+    so the optimized plan is IDENTICAL to the classic spelling the oracle
+    runs — the dialect is sugar, the engine surface is what's proven.
+
+    Scale shape: same as any filtered hash aggregate — pushdown filter,
+    map-side partials, one exchange on the group key.
+    """
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |> AGGREGATE
+             count(*) AS n,
+             CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4)
+                  AS DOUBLE) AS sum_qty,
+             CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 100
+        |> SELECT l_returnflag, l_linestatus, n, sum_qty, revenue
+        """
+    )

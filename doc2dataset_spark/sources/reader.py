@@ -65,6 +65,11 @@ def read_url_list(spark: SparkSession, cfg: DownloadConfig) -> DataFrame:
         # parquet); the reference's fsspec reader has no ORC branch — this
         # is an engine extension, validated by round-trip test
         df = spark.read.orc(path)
+    elif fmt == "xml":
+        # Spark 4 ships the XML datasource built in (rowTag splits the
+        # document into rows); engine extension like ORC — the reference
+        # has no XML branch. Row tag fixed to 'row' for url-list inputs.
+        df = spark.read.format("xml").option("rowTag", "row").load(path)
     else:  # pragma: no cover - guarded by cfg.validate()
         raise ValueError(f"unknown input_format {fmt!r}")
 

@@ -202,3 +202,30 @@ def test_orc_url_list_roundtrip(spark, tmp_path):
     assert len(rows) == 7
     assert {r.url for r in rows} == {f"file:///x/{i}.bin" for i in range(7)}
     assert all(r.caption.startswith("cap ") for r in rows)
+
+
+def test_xml_url_list_roundtrip(spark, tmp_path):
+    """XML input format (Spark 4 built-in datasource, rowTag=row):
+    engine extension beyond the reference's format list, round-tripped
+    through a written XML document."""
+    from doc2dataset_spark.config import DownloadConfig
+    from doc2dataset_spark.sources.reader import read_url_list
+
+    src_dir = tmp_path / "urls_xml"
+    src_dir.mkdir()
+    rows_xml = "".join(
+        f"<row><url>file:///x/{i}.bin</url><caption>cap {i}</caption></row>"
+        for i in range(7)
+    )
+    (src_dir / "u.xml").write_text(f"<rows>{rows_xml}</rows>")
+    cfg = DownloadConfig(
+        url_list=(src_dir / "u.xml").as_posix(),
+        input_format="xml",
+        output_folder="/tmp/unused",
+        save_additional_columns=["caption"],
+    )
+    out = read_url_list(spark, cfg)
+    rows = out.collect()
+    assert len(rows) == 7
+    assert {r.url for r in rows} == {f"file:///x/{i}.bin" for i in range(7)}
+    assert all(r.caption.startswith("cap ") for r in rows)
