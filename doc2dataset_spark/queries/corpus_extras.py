@@ -700,3 +700,124 @@ def sim_ann_ivfpq(spark, sf_dir):
         .over(W.partitionBy("qid").orderBy(F.desc("score_pq"), "cid"))
         .cast("int"),
     ).filter(F.col("rk") <= PQ_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# PageRank-lite over the near-dup graph (iterative, exact across engines)
+# ---------------------------------------------------------------------------
+PR_ITERS = 3
+PR_DAMP = 0.85
+
+# 3 unrolled damped iterations; contributions quantized to 1e-9 bigints
+# before summing so accumulation is order-independent (the kmeans/CC
+# exactness recipe applied to rank mass).
+_PR_ITER_DUCK = """
+  SELECT e.dst AS node,
+         round(0.15 / (SELECT n FROM n1)
+               + {damp} * (sum(round(r.r / dg.d * {scale})::BIGINT)::DOUBLE
+                           / {scale}.0), 9) AS r
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN deg dg ON dg.src = e.src
+  GROUP BY e.dst
+"""
+
+
+def _pr_oracle() -> str:
+    from doc2dataset_spark.queries.dedup import _SIMHASH_CTE
+
+    it = "r0"
+    chain = ""
+    for i in range(1, PR_ITERS + 1):
+        chain += f", it{i} AS ({_PR_ITER_DUCK.format(prev=it, damp=PR_DAMP, scale=ML_SCALE)})"
+        it = f"it{i}"
+    return (
+        _SIMHASH_CTE
+        + """
+, bands AS (
+  SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS bandval
+  FROM fp, (SELECT unnest(range(4)) AS k)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+), edges AS (
+  SELECT da AS src, db AS dst FROM pairs
+  UNION ALL SELECT db, da FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), deg AS (
+  SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY src
+), n1 AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (
+  SELECT node, round(1.0 / (SELECT n FROM n1), 9) AS r FROM nodes
+)"""
+        + chain
+        + f"""
+SELECT node AS doc_id, r AS pagerank FROM it{PR_ITERS}
+"""
+    )
+
+
+@query("graph_pagerank", oracle=_pr_oracle(), tags=("graph", "documents", "scale"))
+def graph_pagerank(spark, sf_dir):
+    """PageRank (3 damped iterations) over the SimHash near-dup graph —
+    rank mass concentrates on documents with many near-duplicates, the
+    standard centrality signal for picking cluster canonicals or spotting
+    template hubs. Second iterative-graph operator after connected
+    components, same driver-loop discipline: per round one distributed
+    join + aggregate, only the iteration COUNTER on the driver.
+
+    Exactness across engines: per-edge contributions r/deg are quantized
+    to 1e-9 bigints before the in-neighbor sum (order-independent integer
+    accumulation), and each new rank is re-rounded to 9 dp — the oracle
+    unrolls the identical three iterations in SQL.
+
+    Scale shape: the edge list is localCheckpointed once (the
+    triangle-enumeration treatment — the candidate pipeline must not
+    re-execute per round); each iteration is an equi-join on src +
+    map-side-combinable integer sum keyed by dst; rank state is one row
+    per node. Degrees and node count are computed once. At 100 TB the
+    per-round shuffle is bounded by edge count, exactly like CC.
+    """
+    from doc2dataset_spark.queries.dedup import dedup_simhash_pairs
+
+    pairs = dedup_simhash_pairs(spark, sf_dir).select("da", "db")
+    edges = (
+        pairs.union(pairs.select(F.col("db"), F.col("da")))
+        .toDF("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()
+    ranks = nodes.select(
+        "node", F.round(F.lit(1.0) / F.lit(n), 9).alias("r")
+    )
+    base = F.lit(0.15) / F.lit(n)
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, F.col("src") == F.col("node"))
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.round(F.col("r") / F.col("d") * ML_SCALE)
+                .cast("bigint")
+                .alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    base
+                    + F.lit(PR_DAMP)
+                    * (F.col("sc").cast("double") / float(ML_SCALE)),
+                    9,
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", "r").toDF("doc_id", "pagerank")

@@ -250,3 +250,19 @@ def test_ivfpq_composition(spark, sf_dir):
     # cell-bounded candidates: fewer result rows than the unblocked PQ
     # search would admit is allowed, but the result must be non-trivial
     assert len(top) > 0
+
+
+def test_pagerank_mass_and_hubs(spark, sf_dir):
+    """Rank mass stays ~1 over the dangling-free symmetric graph and the
+    highest-ranked nodes are the highest-degree ones (template hubs)."""
+    rows = REGISTRY["graph_pagerank"].builder(spark, sf_dir).toPandas()
+    assert (rows.pagerank > 0).all()
+    # symmetric graph = no dangling mass; total stays ≈ 1
+    assert abs(rows.pagerank.sum() - 1.0) < 0.01
+    # top-ranked node has at least median degree (sanity, not exactness)
+    pairs = REGISTRY["dedup_simhash_pairs"].builder(spark, sf_dir).toPandas()
+    import pandas as pd
+
+    deg = pd.concat([pairs.da, pairs.db]).value_counts()
+    top = rows.sort_values("pagerank", ascending=False).doc_id.iloc[0]
+    assert deg.get(top, 0) >= deg.median()
