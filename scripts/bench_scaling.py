@@ -71,6 +71,7 @@ BIG_SET = [
 # round-5 session-3 ops: rewrite dedup, sketches, trained PQ, SQL surface
 SESSION3_SET = [
     "dedup_substring_rewrite", "sim_ann_pq", "ann_pq_recall",
+    "sim_ann_ivfpq", "graph_pagerank",
     "agg_count_min", "agg_bloom_filter", "q37_recursive_cte",
     "q38_lateral_topk", "q40_listagg", "q17c_grouping_sets",
 ]
