@@ -821,3 +821,88 @@ def graph_pagerank(spark, sf_dir):
             )
         )
     return ranks.select("node", "r").toDF("doc_id", "pagerank")
+
+
+# ---------------------------------------------------------------------------
+# per-cluster canonical selection: CC labels × quality → keep/drop
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cc_canonical",
+    oracle=None,  # assigned below — needs the CC CTE chain from dedup.py
+    tags=("dedup", "documents", "graph", "curation"),
+)
+def dedup_cc_canonical(spark, sf_dir):
+    """The decision step the dedup stack exists for: each near-dup
+    cluster (connected components over SimHash pairs) keeps exactly ONE
+    document — the member with the richest vocabulary (max distinct-token
+    count, doc_id tiebreak) — and every other member is marked for drop.
+    Emits (doc_id, cluster_id, n_members, canonical_id, keep); a corpus
+    rewrite is then a semi-join on keep=true.
+
+    Scale shape: the cluster frame is the dedup_cluster_cc output (its
+    per-round shuffles are the cost; this adds ONE more); the quality
+    scalar is a row-local expression on documents joined by doc_id, and
+    canonical selection is a map-side-combinable max(struct) per cluster
+    broadcast back — no window over raw documents, no new pairwise work.
+    """
+    from doc2dataset_spark.queries.dedup import dedup_cluster_cc
+
+    cc = dedup_cluster_cc(spark, sf_dir)
+    quality = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(F.expr(_TOKS))).alias("n_distinct"),
+    )
+    members = cc.join(quality, "doc_id")
+    best = members.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("n_distinct"),
+                (-F.col("doc_id")).alias("neg_id"),
+                F.col("doc_id"),
+            )
+        ).alias("b"),
+    ).select(
+        "cluster_id", "n_members", F.col("b.doc_id").alias("canonical_id")
+    )
+    return members.join(F.broadcast(best), "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_members",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+    )
+
+
+def _cc_canonical_oracle() -> str:
+    from doc2dataset_spark.queries.dedup import _CC_CTE_CHAIN
+
+    return (
+        _CC_CTE_CHAIN
+        + f"""
+, quality AS (
+  SELECT doc_id, len(list_distinct({_DTOKS})) AS n_distinct
+  FROM documents
+), members AS (
+  SELECT c.doc_id, c.cluster_id, q.n_distinct
+  FROM cc c JOIN quality q USING (doc_id)
+), best AS (
+  SELECT cluster_id, count(*)::BIGINT AS n_members,
+         (max({{'nd': n_distinct, 'ni': -doc_id, 'id': doc_id}})).id
+           AS canonical_id
+  FROM members GROUP BY cluster_id
+)
+SELECT m.doc_id, m.cluster_id, b.n_members, b.canonical_id,
+       m.doc_id = b.canonical_id AS keep
+FROM members m JOIN best b USING (cluster_id)
+"""
+    )
+
+
+# attach the oracle after definition (the CTE chain import would be
+# circular at module top)
+from doc2dataset_spark.queries.core import REGISTRY as _REG  # noqa: E402
+
+_REG["dedup_cc_canonical"].oracle = _cc_canonical_oracle()

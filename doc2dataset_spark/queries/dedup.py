@@ -654,7 +654,9 @@ def dedup_embedding_cell(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # connected components: near-dup pairs → canonical clusters
 # ---------------------------------------------------------------------------
-_CC_ORACLE = _SIMHASH_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1) + """
+# CTE chain up to the per-node cluster label — shared with the canonical-
+# selection query in corpus_extras so the cluster rule has one definition
+_CC_CTE_CHAIN = _SIMHASH_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1) + """
 , bands AS (
   SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS bandval
   FROM fp, (SELECT unnest(range(4)) AS k)
@@ -672,10 +674,13 @@ _CC_ORACLE = _SIMHASH_CTE.replace("WITH tok", "WITH RECURSIVE tok", 1) + """
   SELECT node, node FROM nodes
   UNION
   SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+), cc AS (
+  SELECT node AS doc_id, min(label) AS cluster_id
+  FROM walk GROUP BY node
 )
-SELECT node AS doc_id, min(label) AS cluster_id
-FROM walk GROUP BY node
 """
+
+_CC_ORACLE = _CC_CTE_CHAIN + "SELECT doc_id, cluster_id FROM cc"
 
 
 @query("dedup_cluster_cc", oracle=_CC_ORACLE, tags=("dedup", "documents", "graph"))

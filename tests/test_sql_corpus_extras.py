@@ -266,3 +266,14 @@ def test_pagerank_mass_and_hubs(spark, sf_dir):
     deg = pd.concat([pairs.da, pairs.db]).value_counts()
     top = rows.sort_values("pagerank", ascending=False).doc_id.iloc[0]
     assert deg.get(top, 0) >= deg.median()
+
+
+def test_cc_canonical_one_keeper_per_cluster(spark, sf_dir):
+    rows = REGISTRY["dedup_cc_canonical"].builder(spark, sf_dir).toPandas()
+    per = rows.groupby("cluster_id")
+    # exactly one keeper per cluster, membership counts consistent
+    assert (per.keep.sum() == 1).all()
+    assert (per.size() == per.n_members.first()).all()
+    # the keeper is its own canonical
+    keepers = rows[rows.keep]
+    assert (keepers.doc_id == keepers.canonical_id).all()
