@@ -277,3 +277,58 @@ def test_cc_canonical_one_keeper_per_cluster(spark, sf_dir):
     # the keeper is its own canonical
     keepers = rows[rows.keep]
     assert (keepers.doc_id == keepers.canonical_id).all()
+
+
+def test_substring_rewrite_against_python_reference(spark, tmp_path):
+    """Keep-first semantics verified against an independent pure-Python
+    reference on adversarial documents: a full duplicate (keeps nothing),
+    a shared prefix (keeps only its new tail), internal repetition
+    (second copy dropped), and a lone partial chunk (verbatim)."""
+    import pandas as pd
+
+    from doc2dataset_spark.queries.corpus_extras import SUB_W
+
+    a = [f"a{i}" for i in range(40)]
+    c = a[:16] + [f"c{i}" for i in range(16)]
+    d = [f"d{i}" for i in range(16)] * 2
+    e = ["e0", "e1", "e2", "e3", "e4"]
+    docs = {1: a, 2: a[:], 3: c, 4: d, 5: e}
+
+    def ref():
+        seen, out = set(), {}
+        for doc_id in sorted(docs):
+            toks = docs[doc_id]
+            chunks = [
+                " ".join(toks[i : i + SUB_W])
+                for i in range(0, len(toks), SUB_W)
+            ]
+            kept = []
+            for chk in chunks:
+                if chk not in seen:
+                    seen.add(chk)
+                    kept.append(chk)
+            out[doc_id] = (len(chunks), len(kept), " ".join(kept))
+        return out
+
+    src = tmp_path / "mini"
+    src.mkdir()
+    pd.DataFrame(
+        {
+            "doc_id": list(docs),
+            "text": [" ".join(t) for t in docs.values()],
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [len(" ".join(t)) for t in docs.values()],
+        }
+    ).to_parquet((src / "documents.parquet").as_posix())
+
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept, r.clean_text)
+        for r in REGISTRY["dedup_substring_rewrite"]
+        .builder(spark, src.as_posix())
+        .collect()
+    }
+    want = ref()
+    assert got == want
+    assert got[2][1] == 0 and got[2][2] == ""  # full duplicate emptied
+    assert got[5][2] == "e0 e1 e2 e3 e4"  # partial chunk verbatim
