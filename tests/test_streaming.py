@@ -312,3 +312,35 @@ def test_cms_partials_merge_to_batch_sketch(spark, sf_dir, tmp_path):
     n = events.count()
     for j in range(4):
         assert sum(c for (jj, _), c in got.items() if jj == j) == n
+
+
+def test_cms_partials_replay_idempotent(spark, sf_dir, tmp_path):
+    """Re-ingesting the same stream into the same partials directory
+    (fresh checkpoint — the disaster-recovery case) rewrites the same
+    batch_id partitions instead of appending: the merged sketch still
+    equals the single-pass batch sketch, counter for counter."""
+    import os
+
+    from doc2dataset_spark.streaming.sketch import (
+        cms_partial,
+        cms_merge,
+        run_cms_partials,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id"
+    )
+    src = tmp_path / "ev"
+    os.makedirs(src, exist_ok=True)
+    events.toPandas().to_parquet((src / "b0.parquet").as_posix())
+
+    out = (tmp_path / "partials").as_posix()
+    stream = spark.readStream.schema(events.schema).parquet(src.as_posix())
+    run_cms_partials(spark, stream, out, (tmp_path / "ck1").as_posix())
+    # replay from scratch: new checkpoint, same output directory
+    stream2 = spark.readStream.schema(events.schema).parquet(src.as_posix())
+    run_cms_partials(spark, stream2, out, (tmp_path / "ck2").as_posix())
+
+    got = {(r.j, r.bucket): r.c for r in cms_merge(spark, out).collect()}
+    want = {(r.j, r.bucket): r.c for r in cms_partial(events).collect()}
+    assert got == want
