@@ -38,7 +38,7 @@ FROZEN_GATE = [
     "agg_salted_two_phase",
     "q12b_bucketed_range_join",
     "agg_percentiles",
-    "agg_percentiles_approx",
+    "q37_recursive_cte",
     "text_tfidf_topk",
     "sample_deterministic",
     "q28b_variant",
@@ -46,7 +46,7 @@ FROZEN_GATE = [
     "q17b_cube",
     "sample_stratified",
     "q29b_unpivot",
-    "q16c_hll_sketch",
+    "q40_listagg",
     "q35_term_freq",
     "text_token_count",
     "text_quality_score",
@@ -89,13 +89,11 @@ def test_driver_gate_set_is_frozen():
 
 def test_gate_members_are_oracle_backed():
     """Every gated query must carry a DuckDB oracle (hash-compared by the
-    driver) except the sketch/approx ops whose semantics are rows-only by
-    design."""
-    rows_only_by_design = {"agg_percentiles_approx", "q16c_hll_sketch"}
+    driver). Round 6 swapped the two rows-only sketches out of the gate
+    (queries/__init__.py gate_swap), so no exemptions remain: a clean
+    50/50 CORRECTNESS file is the contract."""
     for name in list(REGISTRY)[:DRIVER_GATE_SIZE]:
         spec = REGISTRY[name]
-        if name in rows_only_by_design:
-            continue
         assert spec.oracle, f"gated query {name} has no oracle SQL"
 
 

@@ -22,12 +22,12 @@ def test_scale_critical_queries_inside_driver_gate():
 
 
 def test_gated_slots_are_oracle_backed():
-    # rows-only demos must not burn gate slots; allow the two approx
-    # sketches whose exactness is bounded by pytest instead of an oracle.
+    # rows-only demos must not burn gate slots: round 6 swapped the two
+    # approx sketches to the registry tail (queries/__init__.py gate_swap),
+    # so every gate slot must now carry a DuckDB oracle.
     oracles = all_oracles()
-    allowed_rows_only = {"q16c_hll_sketch", "agg_percentiles_approx"}
     gated = list(REGISTRY)[:DRIVER_SNAPSHOT_ROWS]
-    unbacked = [n for n in gated if n not in oracles and n not in allowed_rows_only]
+    unbacked = [n for n in gated if n not in oracles]
     assert not unbacked, f"gate slots wasted on oracle-less queries: {unbacked}"
 
 
