@@ -561,6 +561,45 @@ def dedup_embedding_cosine(spark, sf_dir):
 # cell-blocked (SemDeDup-style) embedding dedup: the sub-quadratic path
 CELL_THRESHOLD = 0.3
 
+
+def cell_assignments(spark, sf_dir):
+    """(vec_id, ne, cent_id): every vector coarse-quantized to its nearest
+    of 16 seed centroids (the first 16 vec_ids, normalized). Shared by
+    dedup_embedding_cell and the curate_corpus semantic-dedup stage so the
+    cell rule has exactly one definition (DuckDB twin: _IVF_ASSIGN_DUCK).
+
+    Scale shape: the centroid table is a 16-row broadcast; the argmax is
+    a hash aggregate over a max(struct) — no window sort — so assignment
+    is one map-side-combinable pass over the vectors."""
+    n = normalized_embeddings(spark, sf_dir)
+    scored_cells = n.crossJoin(
+        F.broadcast(
+            n.filter(F.col("vec_id") < 16).select(
+                F.col("vec_id").alias("cent_id"), F.col("ne").alias("ce")
+            )
+        )
+    ).select(
+        "vec_id", "ne", "cent_id", spark_dot(F.col("ne"), F.col("ce")).alias("sim")
+    )
+    return (
+        scored_cells.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("cent_id")).alias("neg_cent"),
+                    F.col("cent_id"),
+                    F.col("ne"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.ne").alias("ne"),
+            F.col("best.cent_id").alias("cent_id"),
+        )
+    )
+
 _IVF_ASSIGN_DUCK = f"""
     n AS ({NORM_EMB_DUCK}),
     cents AS (SELECT vec_id AS cent_id, ne AS ce FROM n
@@ -600,35 +639,7 @@ def dedup_embedding_cell(spark, sf_dir):
     shuffle key — an equi-join, never a nested loop — and the centroid
     table is a 16-row broadcast. The oracle mirrors the same quantization,
     so the gate is hash-exact, not approximate."""
-    n = normalized_embeddings(spark, sf_dir)
-    # argmax over broadcast centroids as a hash aggregate (no window sort)
-    scored_cells = n.crossJoin(
-        F.broadcast(
-            n.filter(F.col("vec_id") < 16).select(
-                F.col("vec_id").alias("cent_id"), F.col("ne").alias("ce")
-            )
-        )
-    ).select(
-        "vec_id", "ne", "cent_id", spark_dot(F.col("ne"), F.col("ce")).alias("sim")
-    )
-    assign = (
-        scored_cells.groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("sim"),
-                    (-F.col("cent_id")).alias("neg_cent"),
-                    F.col("cent_id"),
-                    F.col("ne"),
-                )
-            ).alias("best")
-        )
-        .select(
-            "vec_id",
-            F.col("best.ne").alias("ne"),
-            F.col("best.cent_id").alias("cent_id"),
-        )
-    )
+    assign = cell_assignments(spark, sf_dir)
     a = assign.alias("a")
     b = assign.alias("b")
     cos = spark_dot(F.col("a.ne"), F.col("b.ne"))

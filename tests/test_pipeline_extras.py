@@ -129,6 +129,18 @@ def test_curate_corpus_composes_the_stages(spark, sf_dir):
     for fp, ids in per_fp.items():
         packed = [i for i in ids if i in curated]
         assert len(packed) <= 1, fp
+    # stage 3 (round 6): no two curated docs are within-cell embedding
+    # near-dups — every dedup_embedding_cell pair (same cell, cos >=
+    # CELL_THRESHOLD, over the full vector set with the same 16-centroid
+    # assignment) must have lost at least one endpoint, because had both
+    # survived stage 2 the greedy-by-id rule drops the higher doc_id
+    cell_pairs = (
+        REGISTRY["dedup_embedding_cell"].builder(spark, sf_dir).collect()
+    )
+    both_kept = [
+        (r.va, r.vb) for r in cell_pairs if r.va in curated and r.vb in curated
+    ]
+    assert not both_kept, both_kept
     # packing invariant holds on the curated set too
     by_shard = defaultdict(list)
     for r in curated.values():

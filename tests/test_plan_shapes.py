@@ -205,3 +205,31 @@ def test_default_pipeline_has_no_single_partition_window(spark, tmp_path):
     contig = dataclasses.replace(cfg, contiguous_keys=True)
     plan2 = phys(build_pipeline(spark, contig))
     assert "row_number" in plan2 and "SinglePartition" in plan2
+
+
+def test_curate_corpus_embedding_stage_stays_blocked(spark, sf_dir):
+    """Round-6: the curate_corpus SemDeDup stage must keep the
+    dedup_embedding_cell guarantees inside the composed plan — cell
+    equi-join pairs (never a cartesian/unblocked nested loop over data
+    rows; the only BNLJ allowed is the 16-row broadcast centroid
+    scoring), with the centroid side broadcast."""
+    plan = plan_of(spark, "curate_corpus", sf_dir)
+    assert "CartesianProduct" not in plan
+    # centroid scoring is the only legitimate constant-size BNLJ; the
+    # self-joined surv frame statically shows it once per branch and
+    # formatted explain prints every node twice (tree + detail) -> <= 4
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+    # at runtime AQE must serve the second branch's assign subtree from
+    # the first's shuffle output, so centroid scoring executes ONCE
+    df = REGISTRY["curate_corpus"].builder(spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    reuse = (
+        final.count("ReusedExchange")
+        + final.count("ReusedQueryStage")
+        + final.count("reused")
+    )
+    assert reuse >= 1, "curate_corpus assign subtree executed twice"
