@@ -90,6 +90,11 @@ class LocalFS:
             out.extend(os.path.join(d, f) for f in files)
         return sorted(out)
 
+    def ls(self, path: str, detail: bool = False) -> list[str]:
+        # fsspec surface: immediate children as full paths (detail=False)
+        p = self._strip(path)
+        return sorted(os.path.join(p, e) for e in os.listdir(p))
+
 
 class _MemFile(io.BytesIO):
     def __init__(self, store: dict, key: str):

@@ -54,10 +54,34 @@ def run_cms_partials(
     key: str = "user_id",
 ) -> None:
     """Drive the stream, landing one partial sketch per micro-batch
-    under batch_id=<n> (idempotent overwrite — a replayed batch rewrites
-    its own partition, never double-counts)."""
+    under batch_id=<n>.
+
+    Idempotence has two distinct cases:
+
+    - **Same checkpoint** (the real streaming guarantee): a restarted
+      query re-fires only uncommitted batches with their original ids;
+      dynamic partition overwrite makes the rewrite exact. Nothing else
+      is touched — previously committed partials stay valid.
+    - **Fresh checkpoint into an existing out_dir** (disaster recovery —
+      the checkpoint was lost): batch numbering restarts at 0, and the
+      rerun may group the input into FEWER batches than the original run
+      (e.g. old batches 0 and 1, replay ingests everything as batch 0).
+      Dynamic overwrite rewrites only the ids the replay fired, so stale
+      higher-id partitions from the old incarnation would survive and
+      cms_merge would double-count them. Guard: when this call starts
+      with no pre-existing checkpoint, every ``batch_id > max(fired)``
+      partition is deleted after the stream completes — a from-scratch
+      replay renumbers contiguously from 0, so anything beyond the new
+      max is provably stale output of a previous incarnation.
+    """
+    from doc2dataset_spark import fsio
+
+    ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
+    fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
+    fired: list[int] = []
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fired.append(batch_id)
         (
             cms_partial(batch_df, key)
             .withColumn("batch_id", F.lit(batch_id))
@@ -74,6 +98,19 @@ def run_cms_partials(
     )
     q.processAllAvailable()
     q.stop()
+
+    if fresh_checkpoint and fired:
+        out_fs, out_path = fsio.url_to_fs(out_dir)
+        max_id = max(fired)
+        for entry in out_fs.ls(out_path, detail=False):
+            name = str(entry).rstrip("/").rsplit("/", 1)[-1]
+            if name.startswith("batch_id="):
+                try:
+                    bid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if bid > max_id:
+                    out_fs.rm(entry, recursive=True)
 
 
 def cms_merge(spark: SparkSession, out_dir: str) -> DataFrame:

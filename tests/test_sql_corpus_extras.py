@@ -147,11 +147,14 @@ def test_substring_rewrite_conservation(spark, sf_dir):
     )
     # keeper conservation: exactly one survivor per distinct chunk
     docs = load_table(spark, sf_dir, "documents")
-    from doc2dataset_spark.queries.corpus_extras import _SUBCHUNKS
+    from doc2dataset_spark.queries.corpus_extras import _SUBCHUNKS, _TOKS
 
-    ch = docs.filter(
-        F.size(F.split(F.lower("text"), r"\s+")) > 0
-    ).select(F.explode(F.expr(_SUBCHUNKS)).alias("chunk"))
+    # the SAME filter the query uses (empty tokens removed): split('') is
+    # [''] so a whitespace-only doc would pass a split-based filter and
+    # sequence(0, -1) = [0, -1] would fabricate two empty chunks (ADVICE r5)
+    ch = docs.filter(F.size(F.expr(_TOKS)) > 0).select(
+        F.explode(F.expr(_SUBCHUNKS)).alias("chunk")
+    )
     n_distinct = ch.distinct().count()
     assert int(out.n_kept.sum()) == n_distinct
     # per-doc bounds + the corpus really contains duplicates
@@ -332,3 +335,24 @@ def test_substring_rewrite_against_python_reference(spark, tmp_path):
     assert got == want
     assert got[2][1] == 0 and got[2][2] == ""  # full duplicate emptied
     assert got[5][2] == "e0 e1 e2 e3 e4"  # partial chunk verbatim
+
+
+def test_packed_key_guard_raises_on_overflow(spark):
+    """ADVICE r5: the (doc_id, ci) bigint packing silently mis-orders
+    first-occurrence selection past 2^20 chunks or doc_id >= 2^43 — the
+    guard must fail loudly per violating row, not dedup wrongly."""
+    import pytest
+    from doc2dataset_spark.queries.corpus_extras import _CI_PACK, _packed_key
+
+    ok = spark.createDataFrame(
+        [(7, 3), ((1 << 43) - 1, _CI_PACK - 1)], "doc_id long, ci long"
+    )
+    vals = [r[0] for r in ok.select(_packed_key()).collect()]
+    assert vals[0] == 7 * _CI_PACK + 3
+
+    for bad_doc, bad_ci in [(1 << 43, 0), (1, _CI_PACK), (-1, 0)]:
+        bad = spark.createDataFrame(
+            [(bad_doc, bad_ci)], "doc_id long, ci long"
+        )
+        with pytest.raises(Exception, match="packing overflow"):
+            bad.select(_packed_key()).collect()

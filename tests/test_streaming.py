@@ -344,3 +344,49 @@ def test_cms_partials_replay_idempotent(spark, sf_dir, tmp_path):
     got = {(r.j, r.bucket): r.c for r in cms_merge(spark, out).collect()}
     want = {(r.j, r.bucket): r.c for r in cms_partial(events).collect()}
     assert got == want
+
+
+def test_cms_fresh_checkpoint_replay_prunes_stale_batches(spark, sf_dir, tmp_path):
+    """ADVICE r5 (medium): a fresh-checkpoint replay that groups the input
+    into FEWER micro-batches than the original run (here: 2 files ingested
+    one-per-trigger, then replayed all-at-once as batch 0) must not leave
+    the old incarnation's batch_id=1 partition behind — cms_merge would
+    silently double-count it. run_cms_partials now prunes every partition
+    beyond the replay's max batch id when it starts from a fresh
+    checkpoint."""
+    import os
+    import time as _time
+
+    from doc2dataset_spark.streaming.sketch import (
+        cms_partial,
+        cms_merge,
+        run_cms_partials,
+    )
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    mid = events.agg({"event_id": "avg"}).collect()[0][0]
+    src = tmp_path / "ev"
+    os.makedirs(src, exist_ok=True)
+    lo, hi = src / "b0.parquet", src / "b1.parquet"
+    events.filter(f"event_id <= {int(mid)}").toPandas().to_parquet(lo.as_posix())
+    events.filter(f"event_id > {int(mid)}").toPandas().to_parquet(hi.as_posix())
+    os.utime(hi, (_time.time() + 2, _time.time() + 2))
+
+    out = (tmp_path / "partials").as_posix()
+    # original incarnation: one file per trigger -> batches 0 and 1
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    run_cms_partials(spark, stream, out, (tmp_path / "ck1").as_posix())
+    assert spark.read.parquet(out).select("batch_id").distinct().count() >= 2
+
+    # disaster recovery: checkpoint lost, replay everything as batch 0
+    stream2 = spark.readStream.schema(events.schema).parquet(src.as_posix())
+    run_cms_partials(spark, stream2, out, (tmp_path / "ck2").as_posix())
+
+    assert spark.read.parquet(out).select("batch_id").distinct().count() == 1
+    got = {(r.j, r.bucket): r.c for r in cms_merge(spark, out).collect()}
+    want = {(r.j, r.bucket): r.c for r in cms_partial(events).collect()}
+    assert got == want
