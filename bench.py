@@ -75,7 +75,7 @@ RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup
 # round driver needs a number — so it (a) waits up to SETTLE_MAX_SEC for
 # 1-min loadavg to drop below cores/2, and (b) stamps the load it actually
 # ran under into the JSON so a contaminated number is self-identifying.
-SETTLE_MAX_SEC = 120
+SETTLE_MAX_SEC = 300
 SETTLE_POLL_SEC = 10
 
 
@@ -106,8 +106,10 @@ def main() -> None:
     # settle harder than the contention flag: even loadavg ~2-4 from
     # just-exited work inflates the first queries by 3-4x (measured:
     # q01 0.62s at loadavg 2.1 vs 0.14s idle); the flag threshold
-    # (cores/2) only marks the run as untrustworthy
-    settle_threshold = max(1.0, cores / 16)
+    # (cores/2) only marks the run as untrustworthy. Round-5's BENCH ran
+    # at loadavg 1.95 under the old cores/16=2.0 gate and still needed a
+    # ±25% caveat — require a genuinely idle (<1) machine before timing.
+    settle_threshold = 0.9
     load_start = _wait_for_idle(settle_threshold)
 
     spark = get_spark(app_name="bench")
