@@ -1,0 +1,51 @@
+"""Clustered-embedding ANN characterization (round-5 verdict, Next round
+#6): the recall table in COVERAGE.md is measured on near-uniform vectors
+— IVF/PQ's pessimal case. This locks the realistic regime: on a
+mixture-of-Gaussians corpus (scripts/make_clustered_embeddings.py,
+deterministic seed) the oracle-gated ANN evals stay hash-exact vs DuckDB
+AND the IVF defaults earn their keep (recall jumps from ~0.19 uniform to
+>0.6 clustered; the full sweep is in scripts/ann_recall_sweep.py and
+BASELINE.md)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.oracle import run_compare
+from doc2dataset_spark.queries import REGISTRY
+from scripts.make_clustered_embeddings import make_clustered_embeddings
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("clustered_emb"))
+    make_clustered_embeddings(out)
+    return out
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["ann_recall_eval", "ann_pq_recall", "dedup_embedding_cell", "sim_ann_ivf"],
+)
+def test_embedding_queries_stay_oracle_exact_on_clustered_corpus(
+    spark, clustered_dir, name
+):
+    """The embedding operators' Spark/DuckDB hash equality must not depend
+    on the test corpus's (near-uniform) distribution."""
+    res = run_compare(spark, clustered_dir, name)
+    assert res.ok, f"{name}: {res}"
+
+
+def test_ivf_recall_is_high_on_clustered_corpus(spark, clustered_dir):
+    """IVF defaults justified on realistic data: mean recall@3 ~0.69 at
+    nprobe=1 on the clustered fixture (vs ~0.19 on uniform sf0.1) —
+    assert a >0.6 floor with headroom for seed drift."""
+    mean = (
+        REGISTRY["ann_recall_eval"]
+        .builder(spark, clustered_dir)
+        .agg(F.avg("recall").alias("r"))
+        .collect()[0]["r"]
+    )
+    assert mean > 0.6, mean
