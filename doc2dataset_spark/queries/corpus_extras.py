@@ -231,8 +231,10 @@ def _pq_recompute_sql(assign_cte: str) -> str:
 
 # shared relational spine: quantized sub-vectors, trained codebook,
 # per-(vector, sub-space) code assignment, query-side LUT — identical in
-# both engines.
-_PQ_DUCK_CTE = f"""
+# both engines. Parameterized by the ADC cut so the rerank query can
+# retrieve a wider candidate set from the same spine.
+def _pq_duck_cte(topk: int = PQ_TOPK) -> str:
+    return f"""
     WITH qv AS ({_QUANT_DUCK}),
     ps0 AS (SELECT vec_id, unnest(range({PQ_M})) AS m, qd FROM qv),
     psub AS (
@@ -269,9 +271,12 @@ _PQ_DUCK_CTE = f"""
           WHERE l.qid <> co.vec_id
           GROUP BY l.qid, co.vec_id
         )
-      ) WHERE rk <= {PQ_TOPK}
+      ) WHERE rk <= {topk}
     )
 """
+
+
+_PQ_DUCK_CTE = _pq_duck_cte()
 
 
 def _pq_subvectors(spark, sf_dir):
@@ -431,9 +436,9 @@ def _pq_parts(spark, sf_dir):
     return codes, lut
 
 
-def _pq_top(spark, sf_dir):
+def _pq_top(spark, sf_dir, k: int = PQ_TOPK):
     """PQ ADC top-k frame (qid, cid, score_pq, rk) — Spark twin of the
-    oracle's pq_top CTE."""
+    oracle's pq_top CTE (k = the ADC cut; the rerank query widens it)."""
     codes, lut = _pq_parts(spark, sf_dir)
     scored = (
         codes.join(F.broadcast(lut), ["m", "code"])
@@ -454,7 +459,7 @@ def _pq_top(spark, sf_dir):
         F.row_number()
         .over(W.partitionBy("qid").orderBy(F.desc("score_pq"), "cid"))
         .cast("int"),
-    ).filter(F.col("rk") <= PQ_TOPK)
+    ).filter(F.col("rk") <= k)
 
 
 @query(
@@ -938,3 +943,149 @@ FROM members m JOIN best b USING (cluster_id)
 from doc2dataset_spark.queries.core import REGISTRY as _REG  # noqa: E402
 
 _REG["dedup_cc_canonical"].oracle = _cc_canonical_oracle()
+
+
+# ---------------------------------------------------------------------------
+# PQ retrieve-then-rerank: the production search pattern
+# ---------------------------------------------------------------------------
+PQ_RERANK_CAND = 32  # ADC candidate cut before exact re-ranking
+
+
+def _pq_rerank_top(spark, sf_dir):
+    """(qid, cid, cos, rk): PQ ADC retrieves PQ_RERANK_CAND candidates,
+    exact cosine re-ranks them to PQ_TOPK — shared by the search query
+    and its recall eval."""
+    cand = _pq_top(spark, sf_dir, k=PQ_RERANK_CAND).select("qid", "cid")
+    n = normalized_embeddings(spark, sf_dir)
+    # candidates are ≤ NQ×CAND rows — broadcast them and stream the
+    # (possibly 100 TB) vector table through two equi-joins
+    rr = (
+        n.join(
+            F.broadcast(cand), F.col("vec_id") == F.col("qid")
+        )
+        .select("qid", "cid", F.col("ne").alias("qne"))
+        .join(
+            n.select(F.col("vec_id").alias("cid2"), F.col("ne").alias("cne")),
+            F.col("cid") == F.col("cid2"),
+        )
+        .select(
+            "qid", "cid", spark_dot(F.col("qne"), F.col("cne")).alias("cos")
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    return (
+        rr.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= PQ_TOPK)
+    )
+
+
+_PQ_RERANK_DUCK = f"""
+    {_pq_duck_cte(PQ_RERANK_CAND)},
+    nn AS ({NORM_EMB_DUCK}),
+    rr AS (
+      SELECT p.qid, p.cid, list_dot_product(q.ne, c.ne) AS cos
+      FROM pq_top p
+      JOIN nn q ON q.vec_id = p.qid
+      JOIN nn c ON c.vec_id = p.cid
+    ),
+    rr_top AS (
+      SELECT qid, cid, cos, rk FROM (
+        SELECT qid, cid, cos,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY cos DESC, cid)::INT AS rk
+        FROM rr
+      ) WHERE rk <= {PQ_TOPK}
+    )
+"""
+
+
+@query(
+    "sim_ann_pq_rerank",
+    oracle=f"""
+    {_PQ_RERANK_DUCK}
+    SELECT qid, cid, cos, rk FROM rr_top
+    """,
+    tags=("similarity", "embeddings", "scale"),
+)
+def sim_ann_pq_rerank(spark, sf_dir):
+    """PQ retrieve-then-rerank — the production pattern the round-6
+    clustered-recall characterization (BASELINE.md) motivates: 32-bit ADC
+    codes separate clusters but not within-cluster fine structure (ADC
+    recall@5 measured 0.09–0.23), so ADC's job is CANDIDATE RETRIEVAL
+    (top-PQ_RERANK_CAND by compressed score) and a full-precision cosine
+    pass over just those candidates produces the final top-PQ_TOPK.
+
+    Scale shape: the ADC stage is sim_ann_pq's (broadcast LUT, integer
+    partial-dot aggregation); the rerank touches only |Q|×CAND candidate
+    rows, broadcast against the vector table's two equi-join probes —
+    full-precision vectors are read for candidates only, never pairwise.
+    The rerank window sorts ≤ CAND rows per query."""
+    return _pq_rerank_top(spark, sf_dir)
+
+
+@query(
+    "ann_pq_rerank_recall",
+    oracle=f"""
+    {_PQ_RERANK_DUCK},
+    exact_top AS (
+      SELECT qid, cid FROM (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.ne, c.ne) DESC, c.vec_id
+               ) AS rk
+        FROM nn q JOIN nn c ON q.vec_id < {PQ_NQ}
+         AND c.vec_id <> q.vec_id
+      ) WHERE rk <= {PQ_TOPK}
+    )
+    SELECT e.qid,
+           count(p.cid)::BIGINT AS n_hits,
+           round(count(p.cid)::DOUBLE / {PQ_TOPK}, 4) AS recall
+    FROM exact_top e
+    LEFT JOIN rr_top p ON p.qid = e.qid AND p.cid = e.cid
+    GROUP BY e.qid
+    """,
+    tags=("similarity", "embeddings", "eval"),
+)
+def ann_pq_rerank_recall(spark, sf_dir):
+    """recall@5 of retrieve-then-rerank vs exact brute force, per query —
+    quantifies how much recall the exact re-rank buys back over raw ADC
+    (ann_pq_recall): every exact top-5 neighbor that survives the
+    CAND-wide ADC cut is recovered by the full-precision pass, so the
+    residual loss is purely ADC's candidate-retrieval miss rate.
+
+    Scale shape: exact side = the capped broadcast-query brute force of
+    ann_pq_recall; rerank side is top-k-bounded; the comparison joins two
+    ≤|Q|×k frames."""
+    n = normalized_embeddings(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("ne").alias("qne")
+    )
+    exact = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            spark_dot(F.col("qne"), F.col("ne")).alias("cos"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+            ),
+        )
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select("qid", "cid")
+    )
+    rr = _pq_rerank_top(spark, sf_dir).select(
+        F.col("qid").alias("rqid"), F.col("cid").alias("rcid")
+    )
+    hits = exact.join(
+        rr,
+        (F.col("qid") == F.col("rqid")) & (F.col("cid") == F.col("rcid")),
+        "left",
+    )
+    return hits.groupBy("qid").agg(
+        F.count("rcid").alias("n_hits"),
+        F.round(F.count("rcid").cast("double") / PQ_TOPK, 4).alias("recall"),
+    )

@@ -36,12 +36,14 @@ from doc2dataset_spark.queries import REGISTRY  # noqa: E402
 from doc2dataset_spark.session import get_spark, load_table  # noqa: E402
 
 SHIPPED = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
-BIG_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".bench_scale",
-    "sf0.5",
+_SCALE_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench_scale"
 )
+BIG_DIR = os.path.join(_SCALE_ROOT, "sf0.5")
 REPLICAS = 5
+# round-6: one more decade — sf1 = 10x sf0.1, same FK-preserving recipe
+BIG1_DIR = os.path.join(_SCALE_ROOT, "sf1")
+REPLICAS1 = 10
 
 HEADLINE = [
     "q01_project_filter", "q08_join_chain", "q12_range_join", "q14_tpch_q1",
@@ -129,10 +131,65 @@ def run_set(spark, names, sf_dir, with_duck: bool) -> None:
     print(json.dumps({"sf_dir": sf_dir, "spark": s_times, "duckdb": d_times}))
 
 
-def make_big() -> None:
-    """5x key-offset replication of sf0.1 (FKs preserved; region/nation
+# round-6 heavy six (verdict Next round #7): the shuffle-dominant dedup/
+# ANN/graph operators whose slopes decide 100 TB viability
+HEAVY6 = [
+    "dedup_cluster_cc", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_embedding_cell", "sim_ann_pq", "graph_pagerank",
+]
+
+
+def _exec_metric_totals(spark) -> dict[str, int]:
+    """Cumulative shuffle/spill bytes from the UI REST API (needs a
+    spark.ui.enabled session — heavy6 mode builds its own)."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    tot = {"shuffle_read": 0, "shuffle_write": 0,
+           "spill_mem": 0, "spill_disk": 0}
+    if not base:
+        return tot
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    try:
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = _json.load(r)
+    except Exception:  # pragma: no cover - UI off or race
+        return tot
+    for s in stages:
+        tot["shuffle_read"] += int(s.get("shuffleReadBytes", 0))
+        tot["shuffle_write"] += int(s.get("shuffleWriteBytes", 0))
+        tot["spill_mem"] += int(s.get("memoryBytesSpilled", 0))
+        tot["spill_disk"] += int(s.get("diskBytesSpilled", 0))
+    return tot
+
+
+def run_heavy6(spark, sf_dir: str) -> None:
+    """Heavy-six wall time + per-query shuffle/spill deltas."""
+    load_table(spark, sf_dir, "documents").count()  # warmup
+    out = {}
+    for name in HEAVY6:
+        before = _exec_metric_totals(spark)
+        t = spark_time(spark, name, sf_dir, runs=1)
+        after = _exec_metric_totals(spark)
+        out[name] = {
+            "sec": t,
+            **{
+                k: round((after[k] - before[k]) / 1e6, 1)
+                for k in before
+            },
+        }
+        print(f"# {sf_dir.rsplit('/', 1)[-1]} {name}: {out[name]}",
+              file=sys.stderr)
+    print(json.dumps({"sf_dir": sf_dir, "heavy6": out,
+                      "units": "sec / MB"}))
+
+
+def make_big(big_dir: str = BIG_DIR, replicas: int = REPLICAS) -> None:
+    """Key-offset replication of sf0.1 (FKs preserved; region/nation
     stay fixed like real dimension tables)."""
-    os.makedirs(BIG_DIR, exist_ok=True)
+    os.makedirs(big_dir, exist_ok=True)
     con = duckdb.connect()
     src = "/root/testdata/sf0.1"
     offs = {  # key offsets = 10x the max key, per table domain
@@ -140,7 +197,7 @@ def make_big() -> None:
         "supp": 100_000, "doc": 1_000_000, "vec": 1_000_000,
         "user": 1_000_000, "event": 10_000_000,
     }
-    rep = f"(SELECT unnest(range({REPLICAS})) AS r)"
+    rep = f"(SELECT unnest(range({replicas})) AS r)"
     plans = {
         "region": "SELECT * FROM t",
         "nation": "SELECT * FROM t",
@@ -171,7 +228,7 @@ def make_big() -> None:
         con.execute(
             f"""COPY (WITH t AS (SELECT * FROM
                 read_parquet('{src}/{t}.parquet')) {sql})
-                TO '{BIG_DIR}/{t}.parquet' (FORMAT PARQUET)"""
+                TO '{big_dir}/{t}.parquet' (FORMAT PARQUET)"""
         )
         print(f"# wrote {t}", file=sys.stderr)
 
@@ -180,6 +237,19 @@ def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "curve"
     if mode == "make-big":
         make_big()
+        return
+    if mode == "make-big1":
+        make_big(BIG1_DIR, REPLICAS1)
+        return
+    if mode == "heavy6":
+        # own UI-enabled session so shuffle/spill deltas are readable
+        spark = get_spark(
+            app_name="bench_scaling_heavy6",
+            extra_conf={"spark.ui.enabled": "true"},
+        )
+        for sf_dir in ["/root/testdata/sf0.1", BIG1_DIR]:
+            if os.path.exists(sf_dir):
+                run_heavy6(spark, sf_dir)
         return
     spark = get_spark(app_name="bench_scaling")
     if mode == "curve":

@@ -49,3 +49,20 @@ def test_ivf_recall_is_high_on_clustered_corpus(spark, clustered_dir):
         .collect()[0]["r"]
     )
     assert mean > 0.6, mean
+
+
+def test_rerank_recovers_recall_over_plain_adc(spark, clustered_dir):
+    """sim_ann_pq_rerank (round 6): the exact re-rank over the 32-wide
+    ADC candidate cut must strictly beat raw ADC recall@5 — measured
+    0.23 -> 0.82 clustered, 0.10 -> 0.38 uniform."""
+    def mean(q):
+        return (
+            REGISTRY[q]
+            .builder(spark, clustered_dir)
+            .agg(F.avg("recall").alias("r"))
+            .collect()[0]["r"]
+        )
+
+    adc, rr = mean("ann_pq_recall"), mean("ann_pq_rerank_recall")
+    assert rr > adc + 0.2, (adc, rr)
+    assert rr > 0.6, rr
