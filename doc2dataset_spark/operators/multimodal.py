@@ -282,3 +282,58 @@ def audio_features(df: DataFrame, media_col: str = "media") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing: dHash (difference hash) for image near-dup detection
+# ---------------------------------------------------------------------------
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash of an HxWxC uint8 raster: grayscale (integer
+    channel mean), nearest-neighbor resample to 9x8, one bit per
+    horizontally-adjacent pixel comparison. Deterministic integer math —
+    no float resampling — so the hash is identical on every platform.
+    Invariant to uniform brightness/contrast shifts (only pixel ORDER
+    within each row matters), which is exactly the near-dup class
+    re-encoded web images fall into. Returned as SIGNED int64 (Spark
+    bigint twos-complement) so the column round-trips exactly."""
+    h, w = arr.shape[0], arr.shape[1]
+    gray = arr.astype(np.int64).sum(axis=2) // arr.shape[2]
+    yi = (np.arange(8) * h // 8).astype(int)
+    xi = (np.arange(9) * w // 9).astype(int)
+    grid = gray[np.ix_(yi, xi)]
+    bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64).ravel()
+    val = np.uint64(0)
+    for b in bits:
+        val = (val << np.uint64(1)) | b
+    return int(val.astype(np.int64))
+
+
+def image_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Add a ``phash`` bigint column (dHash64) per image — the decode
+    boundary of image dedup. Downstream blocking/verification is plain
+    JVM-side SQL on the hash column (see multimodal_dedup_phash): band
+    the 64 bits, equi-join on bands, verify hamming via bit_count(xor) —
+    the SimHash banding pattern applied to pixels."""
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    )
+    schema = f"{in_fields}, phash bigint"
+    passthrough = [f.name for f in df.schema.fields if f.name != media_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                base = {c: rec[c] for c in passthrough}
+                try:
+                    rows.append(
+                        {**base,
+                         "phash": dhash64(decode_raster(bytes(rec[media_col])))}
+                    )
+                except Exception:  # noqa: BLE001
+                    rows.append({**base, "phash": None})
+            yield pd.DataFrame(rows, columns=[*passthrough, "phash"])
+
+    return df.mapInPandas(run, schema=schema)

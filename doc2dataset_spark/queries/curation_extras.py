@@ -566,3 +566,110 @@ def ann_recall_eval(spark, sf_dir):
         F.count("hit").cast("int").alias("n_hits"),
         F.round(F.count("hit") / float(KNN_K), 4).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality rules (round 6)
+# ---------------------------------------------------------------------------
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0  # mean word length bounds (Rae et al. 2021 §A1.1)
+GOPHER_MAX_MWL = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8  # >=80% of words contain an alphabetic char
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+GOPHER_MIN_STOPWORDS = 2  # distinct stopwords present
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DTOKS} AS w FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(w)::BIGINT AS n_words,
+             round(CAST(sum(strlen(x)) AS BIGINT)::DOUBLE
+                   / greatest(len(w), 1), 4) AS mean_word_len,
+             round(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                     ::DOUBLE / greatest(len(w), 1), 4) AS alpha_frac,
+             len(list_intersect(list_distinct(w),
+                 ['the','a','of','to','and','in']))::BIGINT AS n_stopwords
+      FROM (SELECT doc_id, w, unnest(w) AS x FROM t)
+      GROUP BY doc_id, w
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stopwords,
+           n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AS ok_words,
+           mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL}
+             AS ok_mwl,
+           alpha_frac >= {GOPHER_MIN_ALPHA_FRAC} AS ok_alpha,
+           n_stopwords >= {GOPHER_MIN_STOPWORDS} AS ok_stop,
+           (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})
+             AND (mean_word_len BETWEEN {GOPHER_MIN_MWL} AND {GOPHER_MAX_MWL})
+             AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+             AND n_stopwords >= {GOPHER_MIN_STOPWORDS} AS keep
+    FROM m
+    """,
+    tags=("quality", "documents", "pipeline"),
+)
+def text_gopher_rules(spark, sf_dir):
+    """Composite Gopher-style document-quality rules (Rae et al. 2021
+    §A1.1, the public DeepMind filter family): word-count bounds, mean
+    word length bounds, alphabetic-word fraction, and a minimum count of
+    distinct common stopwords — each rule surfaced as its own flag plus
+    the conjunctive ``keep``, so a pipeline can audit WHICH rule dropped
+    a document (the difference between a filter and a black box). The
+    line/bullet-shaped Gopher rules need newline structure this corpus
+    lacks; the word-statistics family implemented here is the portable
+    core.
+
+    Scale shape: entirely row-local — one higher-order-function pass per
+    document (no explode, no shuffle at all beyond the scan); every
+    metric is computed inside whole-stage codegen and the flags are
+    plain column algebra. The filter a 100 TB pipeline runs FIRST,
+    before anything that shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS)
+    n_words = F.size("w")
+    safe_n = F.greatest(n_words, F.lit(1))
+    mean_wl = F.round(
+        F.aggregate(
+            "w", F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+        ).cast("double")
+        / safe_n,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter("w", lambda x: x.rlike("[a-z]"))).cast("double")
+        / safe_n,
+        4,
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct("w"),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("bigint")
+    m = d.select("doc_id", toks.alias("w")).select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    ok_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_mwl = F.col("mean_word_len").between(GOPHER_MIN_MWL, GOPHER_MAX_MWL)
+    ok_alpha = F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC
+    ok_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "n_stopwords",
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_mwl"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stop"),
+        (ok_words & ok_mwl & ok_alpha & ok_stop).alias("keep"),
+    )

@@ -68,3 +68,69 @@ def multimodal_audio_features(spark, sf_dir):
         "clip_id", "sample_rate", "channels", "n_samples", "duration_s",
         "rms", "peak",
     )
+
+
+def _phash_corpus() -> list[tuple[int, bytes]]:
+    """Deterministic 36-image corpus: 12 base patterns; each base has a
+    brightness-shifted twin (dHash-identical — uniform shifts preserve
+    adjacent-pixel order) and a patch-edited near-twin (few bits flip)."""
+    imgs = []
+    for b in range(12):
+        rng = np.random.RandomState(300 + b)
+        base = rng.randint(0, 200, size=(16, 18, 3), dtype=np.uint8)
+        bright = np.clip(base.astype(np.int64) + 30, 0, 255).astype(np.uint8)
+        patched = base.copy()
+        patched[0:2, 0:2] = 255  # small local edit -> small hamming
+        imgs += [
+            (b * 3, base),
+            (b * 3 + 1, bright),
+            (b * 3 + 2, patched),
+        ]
+    return [(i, encode_image(a)) for i, a in imgs]
+
+
+@query("multimodal_dedup_phash", oracle=None, tags=("multimodal", "dedup"))
+def multimodal_dedup_phash(spark, sf_dir):
+    """Image near-dup pairs via perceptual hash: dHash64 per image
+    (mapInPandas decode boundary), then PURE JVM-side blocking — 4x16-bit
+    bands exploded, equi-join on (band index, band value), hamming <= 6
+    verified with bit_count(xor) — the SimHash banding pattern applied to
+    pixels. Rows-only (binary media has no DuckDB table); planted
+    twin/near-twin recovery is pytest-asserted exactly.
+
+    Scale shape: one Arrow-batched decode pass per image, then the pair
+    space is bounded by band collisions (n/2^16 expected bucket size per
+    band at corpus scale) — never all-pairs; the verify predicate is a
+    single codegen'd xor+popcount."""
+    from doc2dataset_spark.operators.multimodal import image_phash
+
+    df = spark.createDataFrame(_phash_corpus(), "img_id long, media binary")
+    hashed = image_phash(df).filter(F.col("phash").isNotNull())
+    bands = hashed.select(
+        "img_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).withColumn(
+        # SQL expr: the builtin helper takes only a literal shift amount
+        "bandval",
+        F.expr("shiftrightunsigned(phash, k * 16) & 65535"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bandval") == F.col("b.bandval"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("ia"),
+            F.col("b.img_id").alias("ib"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+    return pairs.orderBy("ia", "ib")

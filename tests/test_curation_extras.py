@@ -8,6 +8,7 @@ from __future__ import annotations
 import pandas as pd
 
 from doc2dataset_spark.queries import REGISTRY
+from doc2dataset_spark.session import load_table
 from doc2dataset_spark.queries.curation_extras import (
     CAP_PER_SOURCE,
     CHUNK_S,
@@ -124,3 +125,28 @@ def test_ann_recall_bounds_and_coverage(spark, sf_dir):
         assert abs(r.recall - round(r.n_hits / KNN_K, 4)) < 1e-9
     # the seed-centroid IVF is a real index on this data, not a no-op
     assert sum(r.n_hits for r in recalls) > 0
+
+
+def test_gopher_rules_flags_are_auditable(spark, sf_dir):
+    """Round-6 composite quality filter: keep == conjunction of the four
+    per-rule flags, the corpus exercises both outcomes, and the metrics
+    agree with a driver-side recompute on a sample."""
+    rows = REGISTRY["text_gopher_rules"].builder(spark, sf_dir).collect()
+    assert any(r["keep"] for r in rows) and any(not r["keep"] for r in rows)
+    for r in rows:
+        assert r["keep"] == (
+            r["ok_words"] and r["ok_mwl"] and r["ok_alpha"] and r["ok_stop"]
+        )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(30).collect()
+    }
+    from doc2dataset_spark.queries.curation_extras import GOPHER_STOPWORDS
+
+    by_id = {r["doc_id"]: r for r in rows}
+    for doc_id, text in docs.items():
+        w = [t for t in text.lower().split() if t]
+        r = by_id[doc_id]
+        assert r["n_words"] == len(w)
+        assert abs(r["mean_word_len"] - round(sum(map(len, w)) / max(len(w), 1), 4)) < 1e-9
+        assert r["n_stopwords"] == len(set(w) & set(GOPHER_STOPWORDS))

@@ -133,3 +133,53 @@ def test_null_and_corrupt_media_degrade_not_crash(spark):
     frames = video_frame_sample(df, 2).collect()
     assert len(frames) == 2
     assert all(r["frame"] is None for r in frames)
+
+
+def test_image_phash_dedup_recovers_planted_twins(spark):
+    """dHash banding (round 6): every planted twin pair is recovered,
+    no cross-base false positives, and the brightness-shifted twin is
+    hash-IDENTICAL (dHash's invariance class)."""
+    from doc2dataset_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["multimodal_dedup_phash"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    # 12 bases x 3 images -> 3 within-base pairs each, nothing across
+    assert len(rows) == 36
+    assert all(r.ia // 3 == r.ib // 3 for r in rows)
+    # (base, bright) pairs: ids (3b, 3b+1) -> hamming exactly 0
+    bright = {(b * 3, b * 3 + 1) for b in range(12)}
+    assert all(
+        r.hamming == 0 for r in rows if (r.ia, r.ib) in bright
+    )
+    assert all(r.hamming <= 6 for r in rows)
+
+
+def test_image_phash_null_and_corrupt_degrade(spark):
+    from doc2dataset_spark.operators.multimodal import image_phash
+
+    df = spark.createDataFrame(
+        [(0, None), (1, b"junkbytes")], "img_id long, media binary"
+    )
+    got = {r.img_id: r.phash for r in image_phash(df).collect()}
+    assert got == {0: None, 1: None}
+
+
+def test_dhash64_known_properties():
+    import numpy as np
+
+    from doc2dataset_spark.operators.multimodal import dhash64
+
+    rng = np.random.RandomState(1)
+    a = rng.randint(0, 200, size=(16, 18, 3), dtype=np.uint8)
+    h = dhash64(a)
+    # deterministic, signed-int64 range, brightness invariant
+    assert h == dhash64(a.copy())
+    assert -(1 << 63) <= h < (1 << 63)
+    shifted = np.clip(a.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    assert dhash64(shifted) == h
+    # a structurally different image hashes differently
+    b = rng.randint(0, 200, size=(16, 18, 3), dtype=np.uint8)
+    assert dhash64(b) != h
