@@ -66,6 +66,9 @@ HEADLINE = [
     "dedup_substring_rewrite",   # chunk-level rewrite dedup (explode+min+rebuild)
     "sim_ann_pq",                # trained product-quantization ADC search
     "agg_count_min",             # relational CMS build + probe
+    # round-6 ops
+    "sim_ann_pq_rerank",         # ADC retrieve + exact rerank (production search)
+    "text_gopher_rules",         # row-local composite quality rules
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

@@ -33,7 +33,8 @@ from doc2dataset_spark.queries.core import (  # noqa: F401
 #                                     analytics ops, all post-gate, all
 #                                     oracle-backed (check_oracle.py green
 #                                     at sf0.001/0.01/0.1)
-#   sql_surface(8) corpus_extras(7)  -> round-5 session-3 modern-SQL
+#   curation_extras(+text_gopher_rules r6)
+#   sql_surface(8) corpus_extras(7 + r6 PQ rerank pair)  -> modern-SQL
 #                                     dialect surface (recursive CTE,
 #                                     LATERAL, SQL UDF, LISTAGG, GROUPING
 #                                     SETS, relational CMS) + substring
