@@ -576,3 +576,141 @@ def q41_pipe_syntax(spark, sf_dir):
         |> SELECT l_returnflag, l_linestatus, n, sum_qty, revenue
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q42 — GROUP BY ALL (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q42_group_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)::BIGINT AS n,
+           round(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4)::DOUBLE
+             AS total
+    FROM orders
+    GROUP BY ALL
+    """,
+    tags=("sql", "dialect"),
+)
+def q42_group_by_all(spark, sf_dir):
+    """``GROUP BY ALL`` — every non-aggregate select item becomes a key
+    (the de-facto modern dialect shorthand; Spark 4 and DuckDB agree on
+    the semantics). Same partial-agg plan as an explicit key list: the
+    shorthand is resolution-time sugar, so there is no performance
+    story to audit — only parity to prove."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4)
+                    AS DOUBLE) AS total
+        FROM orders
+        GROUP BY ALL
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q43 — windowed COUNT(DISTINCT) emulation (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q43_window_count_distinct",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey)
+             ::BIGINT AS n_prio
+    FROM orders
+    WHERE o_orderkey < 5000
+    """,
+    tags=("sql", "window", "dialect"),
+)
+def q43_window_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT …) OVER — a dialect gap made explicit: DuckDB
+    supports distinct aggregates in window frames natively, Spark does
+    not (DISTINCT_WINDOW_FUNCTION_UNSUPPORTED), and the standard
+    workaround is ``size(collect_set(x) OVER w)``. The query proves the
+    rewrite is value-identical on the same partition spec.
+
+    Scale shape: collect_set state is bounded by the DISTINCT cardinality
+    of the windowed column (4 priorities here), not partition row count —
+    the same bound DuckDB's native distinct-window pays. For unbounded-
+    cardinality columns the right tool is approx_count_distinct per group
+    joined back (q16b's shape), not a window."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    w = W.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderpriority").over(w))
+        .cast("bigint")
+        .alias("n_prio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q44 — deterministic correlation / covariance (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q44_corr_covar",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag,
+             count(*)::BIGINT AS n,
+             SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS sy,
+             SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS sxy,
+             SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS sxx,
+             SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6)))
+               AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, n,
+           round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n) / (n - 1), 4)
+             AS covar_samp,
+           round((sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE / n)
+                 / sqrt((sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE / n)
+                        * (syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n)), 6)
+             AS corr
+    FROM s
+    """,
+    tags=("sql", "stats"),
+)
+def q44_corr_covar(spark, sf_dir):
+    """Per-group Pearson correlation and sample covariance of
+    (quantity, extendedprice) — computed from EXPLICIT decimal power
+    sums (n, Σx, Σy, Σxy, Σx², Σy²) instead of the engines' native
+    corr()/covar_samp(), because the natives stream floating point in
+    engine-specific order and diverge in the last ulps; the power sums
+    are exact decimals, so both engines derive bit-identical statistics.
+    The same trick every deterministic distributed-stats layer uses —
+    power sums are also the MERGEABLE form (combine by addition), i.e.
+    exactly what crosses the shuffle as map-side partials.
+
+    Scale shape: one map-side-combinable aggregation; six accumulator
+    columns per group regardless of row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(38,6)")  # noqa: E731
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.sum(dec("l_quantity")).alias("sx"),
+        F.sum(dec("l_extendedprice")).alias("sy"),
+        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(38,6)")).alias("sxy"),
+        F.sum((F.col("l_quantity") * F.col("l_quantity")).cast("decimal(38,6)")).alias("sxx"),
+        F.sum((F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(38,6)")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return s.select(
+        "flag",
+        "n",
+        F.round((sxy - sx * sy / n) / (n - 1), 4).alias("covar_samp"),
+        F.round(
+            (sxy - sx * sy / n)
+            / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)),
+            6,
+        ).alias("corr"),
+    )
