@@ -337,3 +337,58 @@ def image_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
             yield pd.DataFrame(rows, columns=[*passthrough, "phash"])
 
     return df.mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprinting: energy-delta hash for near-dup clip detection
+# ---------------------------------------------------------------------------
+def audio_fingerprint64(arr: np.ndarray) -> int:
+    """64-bit energy-delta fingerprint of an (n, channels) int16 waveform:
+    mix to mono (integer channel sum), split into 65 equal windows,
+    integer energy (sum of squares) per window, bit k = energy[k+1] >
+    energy[k]. The sign-of-energy-delta descriptor is the integer core of
+    the classic audio-fingerprint family (Haitsma-Kalker 2002) minus the
+    spectral transform; invariant to uniform amplitude scaling (energy
+    ORDER is preserved) — the re-encoded/normalized-volume near-dup
+    class. Signed int64 for exact Spark bigint round-tripping."""
+    mono = arr.astype(np.int64).sum(axis=1)
+    n = mono.shape[0]
+    if n < 65:
+        mono = np.pad(mono, (0, 65 - n))
+        n = 65
+    bounds = (np.arange(66) * n // 65).astype(int)
+    energy = np.array(
+        [int((mono[bounds[i]:bounds[i + 1]] ** 2).sum()) for i in range(65)],
+        dtype=object,
+    )
+    val = np.uint64(0)
+    for k in range(64):
+        val = (val << np.uint64(1)) | np.uint64(energy[k + 1] > energy[k])
+    return int(val.astype(np.int64))
+
+
+def audio_phash(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Add a ``phash`` bigint column (energy-delta fingerprint) per clip —
+    the decode boundary of audio dedup; banding/verification downstream
+    is the same JVM-side SQL as image_phash."""
+    in_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name != media_col
+    )
+    schema = f"{in_fields}, phash bigint"
+    passthrough = [f.name for f in df.schema.fields if f.name != media_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                base = {c: rec[c] for c in passthrough}
+                try:
+                    wave, _ = decode_waveform(bytes(rec[media_col]))
+                    rows.append({**base, "phash": audio_fingerprint64(wave)})
+                except Exception:  # noqa: BLE001
+                    rows.append({**base, "phash": None})
+            yield pd.DataFrame(rows, columns=[*passthrough, "phash"])
+
+    return df.mapInPandas(run, schema=schema)

@@ -134,3 +134,60 @@ def multimodal_dedup_phash(spark, sf_dir):
         .filter(F.col("hamming") <= 6)
     )
     return pairs.orderBy("ia", "ib")
+
+
+def _audio_corpus() -> list[tuple[int, bytes]]:
+    """30 clips: 10 bases, each with an amplitude-halved twin
+    (fingerprint-identical — energy order preserved) and a
+    tail-silenced near-twin (few energy-delta bits flip)."""
+    from doc2dataset_spark.operators.multimodal import encode_audio
+
+    clips = []
+    for b in range(10):
+        rng = np.random.RandomState(500 + b)
+        base = rng.randint(-8000, 8000, size=(4000, 1), dtype=np.int64)
+        half = base // 2
+        tail = base.copy()
+        tail[-300:] = 0
+        for j, s in enumerate((base, half, tail)):
+            clips.append((b * 3 + j, encode_audio(s.astype(np.int16), 8000)))
+    return clips
+
+
+@query("multimodal_dedup_audio", oracle=None, tags=("multimodal", "dedup"))
+def multimodal_dedup_audio(spark, sf_dir):
+    """Audio near-dup pairs via energy-delta fingerprint: the image
+    phash pipeline's pattern on waveforms — Arrow-batched fingerprint at
+    the decode boundary, then JVM-side 4x16-bit banding, equi-join on
+    (band, value), hamming <= 6 via bit_count(xor). Rows-only; planted
+    amplitude-scaled twin recovery pytest-asserted exactly."""
+    from doc2dataset_spark.operators.multimodal import audio_phash
+
+    df = spark.createDataFrame(_audio_corpus(), "clip_id long, media binary")
+    hashed = audio_phash(df).filter(F.col("phash").isNotNull())
+    bands = hashed.select(
+        "clip_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+    ).withColumn(
+        "bandval", F.expr("shiftrightunsigned(phash, k * 16) & 65535")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.bandval") == F.col("b.bandval"))
+            & (F.col("a.clip_id") < F.col("b.clip_id")),
+        )
+        .select(
+            F.col("a.clip_id").alias("ca"),
+            F.col("b.clip_id").alias("cb"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+        .orderBy("ca", "cb")
+    )

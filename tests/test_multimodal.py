@@ -183,3 +183,38 @@ def test_dhash64_known_properties():
     # a structurally different image hashes differently
     b = rng.randint(0, 200, size=(16, 18, 3), dtype=np.uint8)
     assert dhash64(b) != h
+
+
+def test_audio_fingerprint_dedup_recovers_planted_twins(spark):
+    """Energy-delta fingerprint (round 6): all planted twin pairs
+    recovered, no cross-base pairs, amplitude-scaled twin is
+    fingerprint-identical (the descriptor's invariance class)."""
+    from doc2dataset_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["multimodal_dedup_audio"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 30
+    assert all(r.ca // 3 == r.cb // 3 for r in rows)
+    halved = {(b * 3, b * 3 + 1) for b in range(10)}
+    assert all(r.hamming == 0 for r in rows if (r.ca, r.cb) in halved)
+
+
+def test_audio_fingerprint64_properties():
+    import numpy as np
+
+    from doc2dataset_spark.operators.multimodal import audio_fingerprint64
+
+    rng = np.random.RandomState(2)
+    a = rng.randint(-8000, 8000, size=(4000, 2), dtype=np.int64)
+    h = audio_fingerprint64(a)
+    assert h == audio_fingerprint64(a.copy())
+    assert -(1 << 63) <= h < (1 << 63)
+    # amplitude scaling preserves energy order -> identical fingerprint
+    assert audio_fingerprint64(a // 4) == h
+    # a different signal differs; tiny clips don't crash (zero-padded)
+    b = rng.randint(-8000, 8000, size=(4000, 2), dtype=np.int64)
+    assert audio_fingerprint64(b) != h
+    audio_fingerprint64(np.ones((3, 1), dtype=np.int64))
