@@ -1,0 +1,100 @@
+"""Table-maintenance operators (round 6): the housekeeping a long-lived
+100 TB parquet corpus needs between pipeline runs.
+
+The small-files problem is the canonical one: a resume-driven pipeline
+(append-mode shard-partitioned writes, sinks/writer.py) accretes one file
+per (shard, run) — thousands of KB-sized files whose per-file open/footer
+cost eventually dominates every scan. ``compact_parquet`` rewrites a
+directory to ~target-sized files with a transactional tmp-dir + rename,
+preserving hive partitioning.
+
+No reference twin: the reference's output is one feather/parquet per
+shard forever (`writer.py:60-80`); compaction is an engine extension in
+the Delta/Iceberg OPTIMIZE family, implemented here for plain parquet
+directories.
+"""
+
+from __future__ import annotations
+
+import math
+import uuid
+
+from pyspark.sql import SparkSession
+
+from doc2dataset_spark import fsio
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024  # the classic HDFS-block target
+
+
+def _dir_bytes(fs, path: str) -> int:
+    total = 0
+    for f in fs.find(path):
+        if f.endswith(".parquet"):
+            try:
+                with fs.open(f, "rb") as fh:
+                    fh.seek(0, 2)
+                    total += fh.tell()
+            except OSError:
+                continue
+    return total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Rewrite a parquet directory into ~``target_bytes`` files.
+
+    Transactional shape: write the compacted copy to a sibling tmp dir,
+    then swap directories with two renames — readers either see the old
+    layout or the new one, never a half-written mix (same discipline as
+    the webdataset sink's two-phase commit). On any failure before the
+    swap, the original directory is untouched and the tmp dir is
+    abandoned for the orphan sweep.
+
+    Sizing: file count = ceil(on-disk bytes / target). Parquet re-encodes
+    with the same codec so output sizes track input sizes closely; a
+    ``repartition(n)`` round-robin shuffle gives uniformly-sized files
+    (coalesce would inherit input skew and can't raise parallelism).
+    With ``partition_by``, rows are repartitioned by the partition
+    columns so each hive partition is written by the tasks that own it.
+
+    Returns {files_before, files_after, bytes}."""
+    fs, p = fsio.url_to_fs(path)
+    files_before = sum(
+        1 for f in fs.find(p) if f.endswith(".parquet")
+    )
+    total = _dir_bytes(fs, p)
+    n_files = max(1, math.ceil(total / target_bytes))
+
+    df = spark.read.parquet(path)
+    tmp = f"{p.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    writer = None
+    if partition_by:
+        from pyspark.sql import functions as F
+
+        writer = (
+            df.repartition(n_files, *[F.col(c) for c in partition_by])
+            .write.partitionBy(*partition_by)
+        )
+    else:
+        writer = df.repartition(n_files).write
+    writer.mode("overwrite").parquet(tmp)
+
+    old = f"{p.rstrip('/')}__old_{uuid.uuid4().hex}"
+    fs.mv(p, old)
+    try:
+        fs.mv(tmp, p)
+    except OSError:
+        fs.mv(old, p)  # roll back: restore the original directory
+        raise
+    fs.rm(old, recursive=True)
+
+    files_after = sum(1 for f in fs.find(p) if f.endswith(".parquet"))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total,
+    }
