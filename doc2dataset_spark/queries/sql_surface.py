@@ -714,3 +714,134 @@ def q44_corr_covar(spark, sf_dir):
             6,
         ).alias("corr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q45/Q46 — TPC-H Q3 and Q5 shapes (round 6)
+# ---------------------------------------------------------------------------
+Q45_CUTOFF = "1997-06-30 00:00:00"
+
+
+@query(
+    "q45_tpch_q3",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           round(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(38,6))), 4)::DOUBLE AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{Q45_CUTOFF}'
+      AND l.l_shipdate > TIMESTAMP '{Q45_CUTOFF}'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("sql", "tpch"),
+)
+def q45_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority): top-10 unshipped BUILDING-segment
+    orders by open revenue — the canonical 3-way join + grouped sum +
+    global top-k. Revenue is exact-decimal summed and rounded before the
+    top-k so the LIMIT is deterministic (l_orderkey tiebreak); the order
+    date is string-formatted per the determinism rules.
+
+    Scale shape: both filters reach their scans (segment on customer,
+    the two date bounds on orders/lineitem); customer-side is a
+    broadcast-eligible dim after filtering, the l⋈o join shuffles on
+    orderkey, and the top-10 is TakeOrderedAndProject — no global
+    sort."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < Q45_CUTOFF
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > Q45_CUTOFF
+    )
+    rev = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(38,6)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "o_orderdate"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q46_tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           round(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(38,6))), 4)::DOUBLE AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    tags=("sql", "tpch"),
+)
+def q46_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): revenue by nation where the
+    supplier and customer share the nation, restricted to one region and
+    a two-year window — the 6-way snowflake join with a non-FK equality
+    (c_nationkey = s_nationkey) folded into the supplier join.
+
+    Scale shape: region/nation/supplier/customer are broadcast dims
+    (region filter prunes the snowflake before any fact shuffle); the
+    only big exchange is lineitem⋈orders on orderkey. The nation-match
+    predicate rides the supplier join — no extra shuffle."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(38,6)")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(c),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
