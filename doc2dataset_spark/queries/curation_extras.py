@@ -628,7 +628,13 @@ def text_gopher_rules(spark, sf_dir):
     metric is computed inside whole-stage codegen and the flags are
     plain column algebra. The filter a 100 TB pipeline runs FIRST,
     before anything that shuffles."""
-    d = load_table(spark, sf_dir, "documents")
+    return gopher_flags(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_flags(d):
+    """Frame-parameterized Gopher rule evaluation over a (doc_id, text)
+    frame — shared by the batch query above and the streaming curate
+    stage (streaming/curate.py), so batch and stream can never drift."""
     toks = F.expr(_TOKS)
     n_words = F.size("w")
     safe_n = F.greatest(n_words, F.lit(1))
