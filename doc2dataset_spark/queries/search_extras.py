@@ -1,0 +1,222 @@
+"""Full-text-search primitives over the documents table (round 6),
+registered AFTER the frozen driver gate, oracle-checked locally like
+everything else.
+
+A corpus pipeline's retrieval side needs more than TF-IDF feature
+extraction (text_tfidf_topk): it needs QUERY-TIME ranking and boolean /
+phrase matching — the inverted-index workloads. Each is expressed as the
+relational plan a distributed search engine actually executes, with an
+exact DuckDB oracle:
+
+- ``search_bm25_topk``     Okapi BM25 ranking of documents for a fixed
+                           term query (k1=1.2, b=0.75), top-20.
+- ``search_boolean_and``   conjunctive boolean retrieval: documents
+                           containing ALL query terms, via posting-list
+                           intersection (match-count == #terms).
+- ``search_phrase``        exact phrase ("table hash") retrieval via
+                           POSITIONAL postings: self-join of the two
+                           terms' postings on (doc, pos+1) — the real
+                           inverted-index phrase plan, not a LIKE scan.
+
+Scale shapes: postings are (doc_id, term[, pos]) rows — the explode is
+linear; every query prunes postings to its own terms FIRST (broadcast
+literal IN-list reaching the scan), so join/aggregate input is the
+postings of the query terms only, never the corpus. BM25's corpus
+statistics (N, avgdl) are 1-row broadcasts; df rides the pruned postings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import query
+from doc2dataset_spark.queries.textops import _DTOKS, _TOKS
+from doc2dataset_spark.session import compute_parallelism, load_table
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+QUERY_TERMS = ("spark", "window", "merge")  # df ~380/500 each at sf0.01
+PHRASE = ("table", "hash")  # ~46 docs at sf0.01
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+@query(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DTOKS}) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*)::BIGINT AS n,
+             (SELECT sum(dl)::DOUBLE / count(*) FROM dl) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok
+      WHERE term IN ({_TERMS_SQL}) GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / s.avgdl))
+             ), 4) AS score,
+             count(*)::BIGINT AS n_terms
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, n_terms FROM (
+      SELECT doc_id, score, n_terms,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= {BM25_TOPK}
+    """,
+    tags=("search", "text", "documents"),
+)
+def search_bm25_topk(spark, sf_dir):
+    """Okapi BM25 document ranking for the fixed query {QUERY_TERMS}:
+    idf·tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) summed over matched terms,
+    global top-BM25_TOPK (doc_id tiebreak). ln() on identical doubles +
+    round-4 keeps both engines bit-equal (the text_tfidf_topk recipe).
+
+    Scale shape: the term IN-list prunes the exploded postings before the
+    tf aggregate, so everything downstream is sized by the query's
+    postings; df is an aggregate OVER tf (already pruned); N/avgdl are a
+    1-row cross-joined broadcast; dl is corpus-linear but map-side
+    combinable. The global top-k is TakeOrdered, not a sort."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        compute_parallelism(spark), "doc_id"
+    )
+    tok = d.select("doc_id", F.explode(F.expr(_TOKS)).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom), 4
+            ).alias("score"),
+            F.count("*").alias("n_terms"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(W.orderBy(F.desc("score"), "doc_id")),
+        )
+        .filter(F.col("rn") <= BM25_TOPK)
+        .drop("rn")
+    )
+
+
+@query(
+    "search_boolean_and",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_DTOKS}) AS term FROM documents
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_matched
+    FROM tok WHERE term IN ({_TERMS_SQL})
+    GROUP BY doc_id
+    HAVING count(*) = {len(QUERY_TERMS)}
+    """,
+    tags=("search", "text", "documents"),
+)
+def search_boolean_and(spark, sf_dir):
+    """Conjunctive boolean retrieval: documents containing ALL of
+    {QUERY_TERMS}, by posting-list intersection — distinct (doc, term)
+    postings pruned to the query terms, then a match-count == #terms
+    HAVING. The classic AND-query plan: no joins at all, one pruned
+    aggregate, output bounded by the rarest term's df.
+
+    (The single-partition window top-k of BM25 does not appear here —
+    this is pure semi-join shape.)"""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        compute_parallelism(spark), "doc_id"
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("term")
+    ).distinct()
+    return (
+        tok.filter(F.col("term").isin(*QUERY_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matched"))
+        .filter(F.col("n_matched") == len(QUERY_TERMS))
+    )
+
+
+@query(
+    "search_phrase",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(w) AS term,
+             generate_subscripts(w, 1) AS pos
+      FROM (SELECT doc_id, {_DTOKS} AS w FROM documents)
+    ), a AS (
+      SELECT doc_id, pos FROM tok WHERE term = '{PHRASE[0]}'
+    ), b AS (
+      SELECT doc_id, pos FROM tok WHERE term = '{PHRASE[1]}'
+    )
+    SELECT a.doc_id, count(*)::BIGINT AS n_occurrences
+    FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    GROUP BY a.doc_id
+    """,
+    tags=("search", "text", "documents"),
+)
+def search_phrase(spark, sf_dir):
+    """Exact phrase search ('{PHRASE[0]} {PHRASE[1]}') via POSITIONAL
+    postings: each term's (doc_id, pos) posting list, equi-joined on
+    (doc_id, pos+1) — the inverted-index phrase plan. Counts occurrences
+    per matching document.
+
+    Scale shape: postings are pruned to the two phrase terms before the
+    join, so the join input is two term-posting lists, not the corpus;
+    the join key (doc_id, pos) is unique on each side — no skew."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        compute_parallelism(spark), "doc_id"
+    )
+    tok = d.select(
+        "doc_id", F.posexplode(F.expr(_TOKS)).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a = tok.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = tok.filter(F.col("term") == PHRASE[1]).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("pb") == F.col("pa") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
