@@ -1,0 +1,139 @@
+"""IVF vector-index lifecycle: build once, persist, probe many.
+
+The registry's ANN queries (sim_ann_ivf / _probe2 / _trained) rebuild
+their cell assignment inside every query — right for an oracle-gated
+operator, wrong for a serving path where the corpus is quantized once and
+probed millions of times. This module persists the index as plain
+parquet and makes probes read ONLY the probed cells:
+
+    index_dir/centroids/   (cent_id, ce)           — K rows
+    index_dir/postings/    cent_id=<k>/*.parquet   — (vec_id, ne),
+                           HIVE-PARTITIONED by cell
+
+A probe scores the K saved centroids (driver-collected: K×D doubles, an
+index PARAMETER, not data), picks nprobe cells per query, and reads the
+postings with a static cent_id filter — partition pruning turns "scan
+the corpus" into "scan the probed cells' files", which is the entire
+point of IVF on disk. The quantization rule (argmax via max(struct),
+sim DESC / cent_id ASC ties) is shared with the query surface through
+``dedup.cell_assignments``'s conventions, and the probe's scoring math
+is ``spark_dot`` — so index-served results are bit-identical to the
+in-query sim_ann_ivf results (locked in tests/test_vector_index.py).
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.dedup import normalized_embeddings, spark_dot
+
+DEFAULT_NPROBE = 1
+DEFAULT_TOPK = 3
+
+
+def _centroids_path(index_dir: str) -> str:
+    return posixpath.join(index_dir, "centroids")
+
+
+def _postings_path(index_dir: str) -> str:
+    return posixpath.join(index_dir, "postings")
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, index_dir: str, n_centroids: int = 16
+) -> None:
+    """Quantize the embeddings table against its first ``n_centroids``
+    vectors (seed centroids — the sim_ann_ivf convention; a trained
+    centroid frame slots in unchanged) and persist centroids + cell-
+    partitioned postings."""
+    n = normalized_embeddings(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("ne").alias("ce")
+    )
+    scored = n.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "ne", "cent_id",
+        spark_dot(F.col("ne"), F.col("ce")).alias("sim"),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("cent_id")).alias("neg_cent"),
+                    F.col("cent_id"),
+                    F.col("ne"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.ne").alias("ne"),
+            F.col("best.cent_id").alias("cent_id"),
+        )
+    )
+    cents.write.mode("overwrite").parquet(_centroids_path(index_dir))
+    (
+        assign.write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(_postings_path(index_dir))
+    )
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    nprobe: int = DEFAULT_NPROBE,
+    topk: int = DEFAULT_TOPK,
+) -> DataFrame:
+    """Top-k neighbors per query from the persisted index.
+
+    ``queries``: (qid, qne) unit-normalized query vectors. Centroids are
+    driver-collected (K×D doubles — bounded by the index parameter) and
+    broadcast back as a literal-free local relation; each query keeps its
+    ``nprobe`` best cells; the probed cell set (≤ K values) prunes the
+    postings scan STATICALLY, so only those hive partitions are read.
+    Self-matches (cid == qid) are excluded, matching sim_ann_ivf."""
+    cents = spark.read.parquet(_centroids_path(index_dir))
+    ranked = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "qid", "qne", "cent_id",
+            spark_dot(F.col("qne"), F.col("ce")).alias("sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy(F.desc("sim"), "cent_id")
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qne", "cent_id")
+    )
+    # ≤ K distinct cells by construction — an index parameter, not data
+    cells = [
+        r["cent_id"]
+        for r in ranked.select("cent_id").distinct().collect()
+    ]
+    postings = spark.read.parquet(_postings_path(index_dir)).filter(
+        F.col("cent_id").isin(cells)
+    )
+    scored = (
+        ranked.join(postings, "cent_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            spark_dot(F.col("qne"), F.col("ne")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= topk)
+        .drop("rn")
+    )

@@ -233,3 +233,18 @@ def test_curate_corpus_embedding_stage_stays_blocked(spark, sf_dir):
         + final.count("reused")
     )
     assert reuse >= 1, "curate_corpus assign subtree executed twice"
+
+
+def test_search_queries_prune_postings_and_stay_blocked(spark, sf_dir):
+    """Round-6 search primitives: term pruning must reach below the
+    posting aggregates (the IN-list filter sits under the first
+    Exchange), and the phrase join stays an equi-join."""
+    for name in ["search_bm25_topk", "search_boolean_and", "search_phrase"]:
+        plan = plan_of(spark, name, sf_dir)
+        assert "CartesianProduct" not in plan, name
+    phrase = plan_of(spark, "search_phrase", sf_dir)
+    # positional join is hash/sort-merge on (doc_id, pos), never BNLJ
+    assert "BroadcastNestedLoopJoin" not in phrase
+    boolean = plan_of(spark, "search_boolean_and", sf_dir)
+    # the IN-list prune appears as a Filter on term before aggregation
+    assert "term" in boolean and "IN (" in boolean or "isin" in boolean

@@ -1,0 +1,66 @@
+"""Persisted IVF index lifecycle: index-served probes must be
+bit-identical to the in-query sim_ann_ivf results, and the postings scan
+must be partition-pruned to the probed cells."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.operators.vector_index import (
+    build_ivf_index,
+    probe_ivf_index,
+)
+from doc2dataset_spark.queries import REGISTRY
+from doc2dataset_spark.queries.dedup import normalized_embeddings
+
+
+@pytest.fixture(scope="module")
+def index_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ivf_index"))
+    build_ivf_index(spark, sf_dir, d)
+    return d
+
+
+def test_probe_matches_in_query_ivf(spark, sf_dir, index_dir):
+    """nprobe=1 over all corpus vectors == sim_ann_ivf, row for row."""
+    queries = normalized_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("qid"), F.col("ne").alias("qne")
+    )
+    got = {
+        (r.qid, r.cid, round(r.cos, 9))
+        for r in probe_ivf_index(spark, index_dir, queries).collect()
+    }
+    want = {
+        (r.qid, r.cid, round(r.cos, 9))
+        for r in REGISTRY["sim_ann_ivf"].builder(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_probe_prunes_postings_partitions(spark, sf_dir, index_dir):
+    """Probing a handful of queries must read only their cells' hive
+    partitions: the scan carries a cent_id partition filter, and widening
+    nprobe widens the candidate set."""
+    queries = (
+        normalized_embeddings(spark, sf_dir)
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), F.col("ne").alias("qne"))
+    )
+    df = probe_ivf_index(spark, index_dir, queries, nprobe=2, topk=3)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    # static IN-filter on the partition column reaches the scan
+    assert "PartitionFilters" in plan
+    pf = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "cent_id" in pf and "IN" in pf.upper()
+
+    n1 = probe_ivf_index(spark, index_dir, queries, nprobe=1, topk=3)
+    n2 = df
+    # recall knob: nprobe=2 scores at least as many candidates; top-k
+    # cosines are >= the nprobe=1 ones per query
+    s1 = {(r.qid, r.cid) for r in n1.collect()}
+    s2 = {(r.qid, r.cid) for r in n2.collect()}
+    assert len(s2) >= len(s1)
