@@ -137,3 +137,45 @@ def probe_ivf_index(
         .filter(F.col("rn") <= topk)
         .drop("rn")
     )
+
+
+def append_to_ivf_index(
+    spark: SparkSession, new_vectors: DataFrame, index_dir: str
+) -> None:
+    """Incremental index update: quantize NEW vectors against the SAVED
+    centroids (never re-deriving them — the index's quantization must stay
+    frozen or old postings silently live in the wrong cells) and append
+    them to the cell partitions. The ingest-side twin of the streaming
+    curate/neardup directories: an accepted batch's embeddings go straight
+    into the serving index without touching existing postings.
+
+    ``new_vectors``: (vec_id, ne) unit-normalized. Append-mode
+    partitioned write touches only the cells the batch lands in."""
+    cents = spark.read.parquet(_centroids_path(index_dir))
+    scored = new_vectors.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "ne", "cent_id",
+        spark_dot(F.col("ne"), F.col("ce")).alias("sim"),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("sim"),
+                    (-F.col("cent_id")).alias("neg_cent"),
+                    F.col("cent_id"),
+                    F.col("ne"),
+                )
+            ).alias("best")
+        )
+        .select(
+            "vec_id",
+            F.col("best.ne").alias("ne"),
+            F.col("best.cent_id").alias("cent_id"),
+        )
+    )
+    (
+        assign.write.mode("append")
+        .partitionBy("cent_id")
+        .parquet(_postings_path(index_dir))
+    )
