@@ -220,3 +220,140 @@ def search_phrase(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_occurrences"))
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted deterministic sampling (round 6)
+# ---------------------------------------------------------------------------
+QW_BASE_PCT = 60  # keep rate (%) for top-quality docs; scales down with score
+
+
+@query(
+    "sample_quality_weighted",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id,
+             len(list_distinct({_DTOKS}))::BIGINT AS v,
+             len({_DTOKS})::BIGINT AS n
+      FROM documents WHERE len({_DTOKS}) > 0
+    ), rated AS (
+      SELECT doc_id,
+             -- keep rate in percent: base * distinct-token fraction,
+             -- integer arithmetic so both engines agree exactly
+             ({QW_BASE_PCT} * v) // n AS rate
+      FROM q
+    )
+    SELECT doc_id, rate FROM rated
+    WHERE ('0x' || substr(md5('qw' || doc_id::VARCHAR), 1, 12))::BIGINT
+          % 100 < rate
+    """,
+    tags=("sampling", "quality", "documents"),
+)
+def sample_quality_weighted(spark, sf_dir):
+    """Quality-weighted deterministic sampling: each document's keep
+    PROBABILITY scales with a quality proxy (distinct-token fraction —
+    repetitive docs get downweighted), realized with the md5-threshold
+    trick: keep iff hash(doc) % 100 < rate(doc). How production mixtures
+    implement "sample low-quality strata at reduced rate" without RNG
+    state — the kept set is identical on any engine, any partitioning,
+    any run. Integer rate arithmetic keeps both engines bit-equal.
+
+    Scale shape: entirely row-local (quality proxy + hash + compare in
+    one codegen stage); zero shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.expr(_TOKS)) > 0
+    )
+    rate = F.expr(
+        f"CAST({QW_BASE_PCT} * size(array_distinct({_TOKS})) AS BIGINT)"
+        f" DIV size({_TOKS})"
+    )
+    h = F.expr(
+        "cast(conv(substring(md5(concat('qw', cast(doc_id AS string))),"
+        " 1, 12), 16, 10) AS bigint)"
+    )
+    return (
+        d.select("doc_id", rate.alias("rate"), h.alias("h"))
+        .filter(F.col("h") % 100 < F.col("rate"))
+        .select("doc_id", "rate")
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy term search via deletion neighborhoods (SymSpell blocking)
+# ---------------------------------------------------------------------------
+FUZZY_QUERY_TERM = "spak"  # distance-1 typo of 'spark' (dropped r)
+
+
+def _deletes_spark(col: str) -> str:
+    """All length-1 deletion variants of a term, plus the term itself."""
+    return (
+        f"array_union(array({col}), "
+        f"transform(sequence(1, length({col})), "
+        f"i -> concat(substring({col}, 1, i - 1), "
+        f"substring({col}, i + 1, length({col})))))"
+    )
+
+
+_DELETES_DUCK = (
+    "list_distinct(list_append("
+    "list_transform(range(1, strlen({c}) + 1), "
+    "i -> substr({c}, 1, i - 1) || substr({c}, i + 1)), {c}))"
+)
+
+
+@query(
+    "search_fuzzy_term",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest({_DTOKS}) AS term FROM documents
+    ), matches AS (
+      SELECT term FROM vocab
+      WHERE levenshtein(term, '{FUZZY_QUERY_TERM}') <= 1
+    ), tok AS (
+      SELECT DISTINCT doc_id, unnest({_DTOKS}) AS term FROM documents
+    )
+    SELECT t.doc_id, t.term
+    FROM tok t JOIN matches m USING (term)
+    """,
+    tags=("search", "fuzzy", "documents"),
+)
+def search_fuzzy_term(spark, sf_dir):
+    """Fuzzy term retrieval (edit distance ≤ 1 from '{FUZZY_QUERY_TERM}')
+    via DELETION-NEIGHBORHOOD blocking — the SymSpell trick: two strings
+    are within edit distance 1 iff their length-≤1 deletion variant sets
+    intersect, so candidate generation is an equi-join on deletion
+    variants (broadcast: the query term has |term|+1 of them) and only
+    candidates pay the exact levenshtein verify. On a billion-term vocab
+    this is the difference between scanning every term with an edit-
+    distance UDF-ish filter and touching ~|variants| hash buckets.
+
+    The oracle runs the naive full-vocab levenshtein scan — equality of
+    the rewrite with the naive form IS the test (the q12b discipline).
+    Output: (doc_id, matched term) postings of all matching terms."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        compute_parallelism(spark), "doc_id"
+    )
+    vocab = (
+        d.select(F.explode(F.expr(_TOKS)).alias("term"))
+        .distinct()
+        # cheap length prefilter: |len - len(q)| <= 1
+        .filter(
+            F.abs(F.length("term") - len(FUZZY_QUERY_TERM)) <= 1
+        )
+    )
+    vdel = vocab.select(
+        "term", F.explode(F.expr(_deletes_spark("term"))).alias("d")
+    )
+    qdel = spark.createDataFrame(
+        [(FUZZY_QUERY_TERM,)], "q string"
+    ).select(F.explode(F.expr(_deletes_spark("q"))).alias("d"))
+    cand = (
+        vdel.join(F.broadcast(qdel), "d")
+        .select("term")
+        .distinct()
+        .filter(F.levenshtein(F.col("term"), F.lit(FUZZY_QUERY_TERM)) <= 1)
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("term")
+    ).distinct()
+    return tok.join(F.broadcast(cand), "term").select("doc_id", "term")
