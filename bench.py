@@ -69,6 +69,7 @@ HEADLINE = [
     # round-6 ops
     "sim_ann_pq_rerank",         # ADC retrieve + exact rerank (production search)
     "text_gopher_rules",         # row-local composite quality rules
+    "search_bm25_topk",          # pruned-postings BM25 ranking
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup
