@@ -787,3 +787,79 @@ def embedding_quantize_int8(spark, sf_dir):
             6,
         ).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mixture rebalancing: per-source keep rates toward a uniform token target
+# ---------------------------------------------------------------------------
+MIX_PPM = 1_000_000
+
+
+@query(
+    "sample_mixture_rebalance",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DTOKS})::BIGINT AS n_tokens
+      FROM documents
+    ), st AS (
+      SELECT source, sum(n_tokens)::BIGINT AS src_tokens
+      FROM t GROUP BY source
+    ), tot AS (
+      SELECT sum(src_tokens)::BIGINT AS total,
+             count(*)::BIGINT AS n_sources
+      FROM st
+    ), rates AS (
+      SELECT st.source,
+             least({MIX_PPM},
+                   (tot.total // tot.n_sources) * {MIX_PPM}
+                     // st.src_tokens) AS rate_ppm
+      FROM st CROSS JOIN tot
+    )
+    SELECT t.doc_id, t.source, r.rate_ppm
+    FROM t JOIN rates r USING (source)
+    WHERE ('0x' || substr(md5('mx' || t.doc_id::VARCHAR), 1, 12))::BIGINT
+          % {MIX_PPM} < r.rate_ppm
+    """,
+    tags=("pipeline", "sampling", "mixing"),
+)
+def sample_mixture_rebalance(spark, sf_dir):
+    """Static mixture rebalancing: compute each source's deterministic
+    keep rate so every source contributes ~the uniform token share
+    (rate = min(1, target_tokens / source_tokens), in integer ppm so
+    both engines agree bit-exactly), then hash-sample documents at that
+    rate — the engine-side form of "downsample the over-represented
+    corpus to the target mixture" that DoReMi-style weight tuning feeds.
+    Over-represented sources are thinned; under-represented ones keep
+    everything (rate capped at 1 — upsampling is a training-loader
+    concern, not a data-loss one).
+
+    Scale shape: one map-side-combinable per-source token aggregate
+    (|sources| rows), a 1-row total, a broadcast join of the rate table
+    back onto documents, and a row-local hash compare. No shuffle
+    touches document rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.expr(_TOKS)).cast("bigint").alias("n_tokens")
+    )
+    st = d.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    tot = st.agg(
+        F.sum("src_tokens").alias("total"), F.count("*").alias("n_sources")
+    )
+    rates = st.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(MIX_PPM),
+            (F.expr("total DIV n_sources") * MIX_PPM)
+            / F.col("src_tokens"),
+        )
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    h = F.expr(
+        "cast(conv(substring(md5(concat('mx', cast(doc_id AS string))),"
+        " 1, 12), 16, 10) AS bigint)"
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(h % MIX_PPM < F.col("rate_ppm"))
+        .select("doc_id", "source", "rate_ppm")
+    )
