@@ -863,3 +863,74 @@ def sample_mixture_rebalance(spark, sf_dir):
         .filter(h % MIX_PPM < F.col("rate_ppm"))
         .select("doc_id", "source", "rate_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff: old crawl vs new crawl reconciliation
+# ---------------------------------------------------------------------------
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, sha256(text) AS digest FROM documents
+    ), new AS (
+      -- the "next crawl": every 7th page gone, every 5th re-rendered
+      -- (content drift), plus a fresh page per 50 old ones
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN sha256('v2 ' || text) ELSE sha256(text) END AS digest
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, sha256('new page ' || doc_id::VARCHAR)
+      FROM documents WHERE doc_id % 50 = 0
+    )
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.digest = n.digest THEN 'unchanged'
+                ELSE 'modified' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+    tags=("pipeline", "diff", "documents"),
+)
+def corpus_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation between two crawls: per-key digest compare
+    via FULL OUTER join, classifying every document as unchanged /
+    modified / removed / added — the diff an incremental pipeline uses to
+    re-extract only what changed (re-fetch 'modified', fan in 'added',
+    tombstone 'removed'). The 'new' snapshot is synthesized
+    deterministically in-query (deletions, content drift, additions) so
+    both engines diff identical inputs.
+
+    Scale shape: digests are row-local; the diff is one equi-join on the
+    document key with digest equality as a post-join projection — no
+    content ever crosses the shuffle, only (key, 32-byte digest)."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.select("doc_id", F.sha2("text", 256).alias("digest"))
+    survivors = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.sha2(F.concat(F.lit("v2 "), F.col("text")), 256),
+        )
+        .otherwise(F.sha2("text", 256))
+        .alias("digest"),
+    )
+    added = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.sha2(
+            F.concat(F.lit("new page "), F.col("doc_id").cast("string")), 256
+        ).alias("digest"),
+    )
+    new = survivors.unionByName(added)
+    o, n = old.alias("o"), new.alias("n")
+    return o.join(
+        n, F.col("o.doc_id") == F.col("n.doc_id"), "full_outer"
+    ).select(
+        F.coalesce(F.col("o.doc_id"), F.col("n.doc_id")).alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), "added")
+        .when(F.col("n.doc_id").isNull(), "removed")
+        .when(F.col("o.digest") == F.col("n.digest"), "unchanged")
+        .otherwise("modified")
+        .alias("change"),
+    )
