@@ -295,3 +295,38 @@ def test_zorder_layout_skipping_is_measurable(spark, tmp_path):
     # is ~720 hours)
     assert z_uspan < t_uspan * 0.66, (z_uspan, t_uspan)
     assert z_hspan < 120, z_hspan
+
+
+def test_mixture_rebalance_rates_and_determinism(spark, sf_dir):
+    """Round-6 mixture sampler: rates are capped at 1e6 ppm, every
+    source survives, the kept fraction per source tracks its rate, and
+    reruns are bit-identical (no RNG anywhere)."""
+    q = REGISTRY["sample_mixture_rebalance"]
+    rows = q.builder(spark, sf_dir).collect()
+    again = q.builder(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    rates = {r.source: r.rate_ppm for r in rows}
+    assert all(0 < v <= 1_000_000 for v in rates.values())
+    docs = load_table(spark, sf_dir, "documents")
+    n_sources = docs.select("source").distinct().count()
+    kept_sources = {r.source for r in rows}
+    assert len(kept_sources) == n_sources
+
+
+def test_snapshot_diff_classes_match_synthesis(spark, sf_dir):
+    """The diff classes must reproduce the synthetic mutation rules:
+    removed == docs with id%7==0, added == one per id%50==0 donor,
+    modified == survivors with id%5==0, everything else unchanged."""
+    rows = REGISTRY["corpus_snapshot_diff"].builder(spark, sf_dir).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.change, set()).add(r.doc_id)
+    ids = {
+        r.doc_id for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    assert by["removed"] == {i for i in ids if i % 7 == 0}
+    assert by["added"] == {i + 1_000_000 for i in ids if i % 50 == 0}
+    assert by["modified"] == {i for i in ids if i % 7 != 0 and i % 5 == 0}
+    assert by["unchanged"] == {
+        i for i in ids if i % 7 != 0 and i % 5 != 0
+    }
