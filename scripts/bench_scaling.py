@@ -78,6 +78,15 @@ SESSION3_SET = [
     "q38_lateral_topk", "q40_listagg", "q17c_grouping_sets",
 ]
 
+# round-6 ops: rerank search, text search, quality/mixture/diff, composed
+# curate (now 4-stage)
+ROUND6_SET = [
+    "sim_ann_pq_rerank", "search_bm25_topk", "search_boolean_and",
+    "search_phrase", "search_fuzzy_term", "text_gopher_rules",
+    "sample_quality_weighted", "sample_mixture_rebalance",
+    "corpus_snapshot_diff", "curate_corpus", "q45_tpch_q3", "q46_tpch_q5",
+]
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -262,6 +271,11 @@ def main() -> None:
             run_set(spark, SESSION3_SET, sf_dir, with_duck=True)
         if os.path.exists(BIG_DIR):
             run_set(spark, SESSION3_SET, BIG_DIR, with_duck=False)
+    elif mode == "round6":
+        for sf_dir in SHIPPED:
+            run_set(spark, ROUND6_SET, sf_dir, with_duck=True)
+        if os.path.exists(BIG1_DIR):
+            run_set(spark, ROUND6_SET, BIG1_DIR, with_duck=False)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
