@@ -671,3 +671,113 @@ def sim_ann_ivf_trained(spark, sf_dir):
         .filter(F.col("rn") <= IVF_TOP_K)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic per-group mode (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "agg_mode_per_group",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id % 16 AS cohort, count(*)::BIGINT AS n
+      FROM events GROUP BY event_type, user_id % 16
+    )
+    SELECT event_type,
+           (max({'n': n, 'neg': -cohort, 'cohort': cohort})).cohort
+             AS mode_cohort,
+           (max({'n': n, 'neg': -cohort, 'cohort': cohort})).n
+             AS mode_n
+    FROM c GROUP BY event_type
+    """,
+    tags=("agg", "analytics", "events"),
+)
+def agg_mode_per_group(spark, sf_dir):
+    """Per-group MODE (most frequent value) with EXPLICIT deterministic
+    tie-breaking — count DESC, value ASC — via the max(struct) argmax
+    instead of the engines' native mode() (whose tie choice is
+    engine/order-defined and therefore un-oracle-able). Two
+    map-side-combinable aggregates, no window, no sort.
+
+    Scale shape: the inner count groups on (group, value) — the same key
+    a native mode must hash anyway; the outer argmax carries one struct
+    per (group, value) row."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.expr("user_id % 16").alias("cohort")
+    )
+    c = e.groupBy("event_type", "cohort").agg(F.count("*").alias("n"))
+    best = F.max(
+        F.struct(
+            F.col("n"), (-F.col("cohort")).alias("neg"), F.col("cohort")
+        )
+    ).alias("best")
+    return (
+        c.groupBy("event_type")
+        .agg(best)
+        .select(
+            "event_type",
+            F.col("best.cohort").alias("mode_cohort"),
+            F.col("best.n").alias("mode_n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# equi-width histogram (round 6)
+# ---------------------------------------------------------------------------
+HIST_BINS = 20
+HIST_LO, HIST_HI = 0.0, 500.0  # events.value spans ~(0, 490]
+
+
+@query(
+    "events_histogram",
+    oracle=f"""
+    SELECT event_type,
+           CASE WHEN value < {HIST_LO} THEN 0
+                WHEN value >= {HIST_HI} THEN {HIST_BINS} + 1
+                ELSE floor((value - {HIST_LO}) * {HIST_BINS}
+                           / ({HIST_HI} - {HIST_LO}))::BIGINT + 1
+           END AS bin,
+           count(*)::BIGINT AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events
+    GROUP BY event_type, bin
+    """,
+    tags=("agg", "analytics", "events"),
+)
+def events_histogram(spark, sf_dir):
+    """Per-type equi-width histogram of event values (bin 0 = underflow,
+    HIST_BINS+1 = overflow, [lo,hi) interior — one shared explicit
+    formula in both engines), with per-bin min/max so the bins are
+    self-describing.
+    The one-pass distributed histogram every monitoring layer needs.
+
+    Scale shape: one map-side-combinable aggregate keyed by
+    (type, bin) — at most |types|·(bins+2) output rows regardless of
+    event count; no shuffle carries raw events beyond the partial
+    aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    # explicit arithmetic instead of width_bucket: DuckDB has no
+    # width_bucket, and sharing one formula keeps edge handling
+    # (underflow 0 / overflow bins+1 / [lo,hi) interior) bit-identical
+    bin_ = (
+        F.when(F.col("value") < HIST_LO, F.lit(0))
+        .when(F.col("value") >= HIST_HI, F.lit(HIST_BINS + 1))
+        .otherwise(
+            F.floor(
+                (F.col("value") - HIST_LO) * HIST_BINS
+                / (HIST_HI - HIST_LO)
+            )
+            + 1
+        )
+        .cast("bigint")
+    )
+    return (
+        e.groupBy("event_type", bin_.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
