@@ -191,3 +191,35 @@ def multimodal_dedup_audio(spark, sf_dir):
         .filter(F.col("hamming") <= 6)
         .orderBy("ca", "cb")
     )
+
+
+def _scene_corpus() -> list[tuple[int, bytes]]:
+    """6 videos of 12 frames: scenes of 4 near-identical frames (tiny
+    noise) with hard cuts between scenes — cut positions are exactly
+    frames 4 and 8."""
+    vids = []
+    for v in range(6):
+        frames = []
+        for scene in range(3):
+            rng = np.random.RandomState(700 + v * 10 + scene)
+            base = rng.randint(0, 255, size=(8, 8, 3), dtype=np.uint8)
+            for j in range(4):
+                jitter = np.clip(
+                    base.astype(np.int64) + (j % 2), 0, 255
+                ).astype(np.uint8)
+                frames.append(jitter)
+        vids.append((v, encode_video(frames)))
+    return vids
+
+
+@query("multimodal_scene_cuts", oracle=None, tags=("multimodal", "video"))
+def multimodal_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection over binary video columns: per-frame mean
+    absolute pixel delta vs the previous frame, cut flag above threshold.
+    Planted scene structure (3 scenes x 4 near-identical frames per
+    video) makes the expected cut set exact — pytest-asserted. Rows-only
+    (binary media has no DuckDB table)."""
+    from doc2dataset_spark.operators.multimodal import video_scene_cuts
+
+    df = spark.createDataFrame(_scene_corpus(), "vid long, media binary")
+    return video_scene_cuts(df).select("vid", "frame_no", "delta", "is_cut")

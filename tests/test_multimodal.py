@@ -218,3 +218,26 @@ def test_audio_fingerprint64_properties():
     b = rng.randint(-8000, 8000, size=(4000, 2), dtype=np.int64)
     assert audio_fingerprint64(b) != h
     audio_fingerprint64(np.ones((3, 1), dtype=np.int64))
+
+
+def test_scene_cuts_found_exactly_at_scene_boundaries(spark):
+    """Planted 3-scene videos: cuts at frames 4 and 8 only; intra-scene
+    deltas are the tiny jitter (<2), inter-scene deltas are large."""
+    from doc2dataset_spark.queries import REGISTRY
+
+    rows = (
+        REGISTRY["multimodal_scene_cuts"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 6 * 12
+    by_vid = {}
+    for r in rows:
+        by_vid.setdefault(r.vid, {})[r.frame_no] = r
+    for vid, frames in by_vid.items():
+        cuts = {f for f, r in frames.items() if r.is_cut}
+        assert cuts == {4, 8}, (vid, cuts)
+        assert frames[0].delta == 0.0
+        for f, r in frames.items():
+            if f not in (0, 4, 8):
+                assert r.delta < 2.0, (vid, f, r.delta)
