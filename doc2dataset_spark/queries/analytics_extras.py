@@ -781,3 +781,80 @@ def events_histogram(spark, sf_dir):
             F.round(F.max("value"), 4).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "events_attribution",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT user_id, event_id AS touch_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+    )
+    SELECT p.event_id AS purchase_id,
+           (max({{'ts': strftime(t.ts, '%Y-%m-%d %H:%M:%S'),
+                 'neg': -t.touch_id,
+                 'id': t.touch_id,
+                 'typ': t.event_type}})).id AS touch_id,
+           (max({{'ts': strftime(t.ts, '%Y-%m-%d %H:%M:%S'),
+                 'neg': -t.touch_id,
+                 'id': t.touch_id,
+                 'typ': t.event_type}})).typ AS touch_type,
+           count(*)::BIGINT AS n_touches
+    FROM p JOIN touches t
+      ON t.user_id = p.user_id AND t.ts < p.ts
+    GROUP BY p.event_id
+    """,
+    tags=("analytics", "events", "attribution"),
+)
+def events_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent prior view/click (latest ts; touch_id DESC tiebreak so
+    simultaneous touches resolve deterministically in both engines —
+    formatted-second timestamps inside the argmax struct keep the
+    comparison engine-identical). Also counts the touches considered.
+
+    Scale shape: one (user_id) equi-join between purchases and touches
+    with the time predicate as a join residual, then a per-purchase
+    max(struct) argmax — map-side combinable, no window over the raw
+    event stream. Skew bounded by per-user activity (the AQE skew-join
+    guard applies on a pathological user)."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    t = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        "ts",
+        "event_type",
+    )
+    joined = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user")) & (F.col("ts") < F.col("p_ts")),
+    )
+    best = F.max(
+        F.struct(
+            F.date_format("ts", _TS_FMT).alias("ts"),
+            (-F.col("touch_id")).alias("neg"),
+            F.col("touch_id").alias("id"),
+            F.col("event_type").alias("typ"),
+        )
+    ).alias("best")
+    return (
+        joined.groupBy("purchase_id")
+        .agg(best, F.count("*").alias("n_touches"))
+        .select(
+            "purchase_id",
+            F.col("best.id").alias("touch_id"),
+            F.col("best.typ").alias("touch_type"),
+            "n_touches",
+        )
+    )
