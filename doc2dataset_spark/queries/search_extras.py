@@ -357,3 +357,119 @@ def search_fuzzy_term(spark, sf_dir):
         "doc_id", F.explode(F.expr(_TOKS)).alias("term")
     ).distinct()
     return tok.join(F.broadcast(cand), "term").select("doc_id", "term")
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations over a bounded vocabulary (round 6)
+# ---------------------------------------------------------------------------
+PMI_VOCAB = 40  # top-V tokens by document frequency
+PMI_MIN_CO = 5  # minimum co-document support
+PMI_TOPK = 20
+
+
+@query(
+    "text_pmi_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest({_DTOKS}) AS term FROM documents
+    ), nd AS (
+      SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tok
+    ), df AS (
+      SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY term
+    ), vocab AS (
+      SELECT term, df FROM (
+        SELECT term, df,
+               row_number() OVER (ORDER BY df DESC, term) AS rk
+        FROM df
+      ) WHERE rk <= {PMI_VOCAB}
+    ), vt AS (
+      SELECT t.doc_id, t.term, v.df FROM tok t JOIN vocab v USING (term)
+    ), co AS (
+      SELECT a.term AS ta, b.term AS tb,
+             a.df AS dfa, b.df AS dfb,
+             count(*)::BIGINT AS dfab
+      FROM vt a JOIN vt b
+        ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY a.term, b.term, a.df, b.df
+      HAVING count(*) >= {PMI_MIN_CO}
+    ), scored AS (
+      SELECT ta, tb, dfab,
+             round(ln(nd.n * dfab / (dfa::DOUBLE * dfb)), 4) AS pmi
+      FROM co CROSS JOIN nd
+    )
+    SELECT ta, tb, dfab, pmi FROM (
+      SELECT ta, tb, dfab, pmi,
+             row_number() OVER (ORDER BY pmi DESC, ta, tb) AS rk
+      FROM scored
+    ) WHERE rk <= {PMI_TOPK}
+    """,
+    tags=("text", "collocations", "documents"),
+)
+def text_pmi_pairs(spark, sf_dir):
+    """Collocation mining: pointwise mutual information of token pairs
+    over a BOUNDED vocabulary — top-PMI_VOCAB tokens by document
+    frequency (deterministic df DESC / term ASC cut), co-document counts
+    for within-vocab pairs, PMI = ln(N·df_ab / (df_a·df_b)), min
+    support, global top-PMI_TOPK. The association-score table behind
+    phrase induction and stopword-pair diagnostics.
+
+    Scale shape: the vocabulary cut bounds the pair space by PARAMETER
+    (V²/2 candidate pairs), not data — the per-doc self-join runs on
+    postings semi-joined to a V-row broadcast vocab, so corpus size only
+    affects the linear posting scan and the map-side-combinable pair
+    counts. The final top-k sorts V²/2 scored rows at most."""
+    d = load_table(spark, sf_dir, "documents").repartition(
+        compute_parallelism(spark), "doc_id"
+    )
+    tok = d.select(
+        "doc_id", F.explode(F.expr(_TOKS)).alias("term")
+    ).distinct()
+    nd = tok.agg(F.countDistinct("doc_id").alias("n"))
+    df = tok.groupBy("term").agg(F.count("*").alias("df"))
+    vocab = (
+        df.withColumn(
+            "rk",
+            F.row_number().over(W.orderBy(F.desc("df"), "term")),
+        )
+        .filter(F.col("rk") <= PMI_VOCAB)
+        .select("term", "df")
+    )
+    vt = tok.join(F.broadcast(vocab), "term")
+    a = vt.select(
+        "doc_id", F.col("term").alias("ta"), F.col("df").alias("dfa")
+    )
+    b = vt.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("term").alias("tb"),
+        F.col("df").alias("dfb"),
+    )
+    co = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("ta") < F.col("tb")),
+        )
+        .groupBy("ta", "tb", "dfa", "dfb")
+        .agg(F.count("*").alias("dfab"))
+        .filter(F.col("dfab") >= PMI_MIN_CO)
+    )
+    scored = co.crossJoin(F.broadcast(nd)).select(
+        "ta",
+        "tb",
+        "dfab",
+        F.round(
+            F.log(
+                F.col("n")
+                * F.col("dfab")
+                / (F.col("dfa").cast("double") * F.col("dfb"))
+            ),
+            4,
+        ).alias("pmi"),
+    )
+    return (
+        scored.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("pmi"), "ta", "tb"))
+        )
+        .filter(F.col("rk") <= PMI_TOPK)
+        .drop("rk")
+    )
