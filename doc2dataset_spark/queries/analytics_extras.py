@@ -858,3 +858,79 @@ def events_attribution(spark, sf_dir):
             "n_touches",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# regular-grid resampling with forward fill (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "events_resample_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS lo,
+             max(date_trunc('day', ts)) AS hi
+      FROM events GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM b
+    ), daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             round(SUM(CAST(value AS DECIMAL(38,6))), 4)::DOUBLE AS day_value
+      FROM events GROUP BY user_id, day
+    )
+    SELECT g.user_id,
+           strftime(g.day, '%Y-%m-%d') AS day,
+           d.day_value IS NOT NULL AS observed,
+           last_value(d.day_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day
+             ROWS UNBOUNDED PRECEDING
+           ) AS value_ffill
+    FROM grid g LEFT JOIN daily d
+      ON d.user_id = g.user_id AND d.day = g.day
+    """,
+    tags=("analytics", "events", "timeseries"),
+)
+def events_resample_ffill(spark, sf_dir):
+    """Regular-grid resampling with forward fill: each user's daily value
+    series re-expressed on a gapless day grid spanning their first-to-
+    last activity, missing days carrying the last observed daily total
+    (LOCF — the standard prep before any time-series model that assumes
+    regular sampling). Day totals use the exact-decimal SUM so both
+    engines agree; the fill itself is last(ignorenulls) over the grid.
+
+    Scale shape: the grid explode is bounded by (users × span-days), a
+    PARAMETER-shaped frame, not event count; daily totals are map-side
+    combinable; the ffill window partitions per user over that bounded
+    grid. Raw events never pass through a window."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    grid = b.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.round(F.sum(F.col("value").cast("decimal(38,6)")), 4)
+        .cast("double")
+        .alias("day_value")
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("day_value").isNotNull().alias("observed"),
+        F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
+    )
