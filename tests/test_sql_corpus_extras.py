@@ -356,3 +356,14 @@ def test_packed_key_guard_raises_on_overflow(spark):
         )
         with pytest.raises(Exception, match="packing overflow"):
             bad.select(_packed_key()).collect()
+
+
+def test_pq_parts_memoized_per_session(spark, sf_dir):
+    """ADVICE r5: repeated _pq_parts entries must share one cached
+    sub-vector frame / trained codebook instead of re-training and
+    re-caching per query (the BENCH_r05 'already cached' warnings)."""
+    from doc2dataset_spark.queries.corpus_extras import _pq_parts
+
+    a = _pq_parts(spark, sf_dir)
+    b = _pq_parts(spark, sf_dir)
+    assert a[0] is b[0] and a[1] is b[1]
