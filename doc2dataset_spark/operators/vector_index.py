@@ -77,8 +77,9 @@ def build_ivf_index(
     )
     cents.write.mode("overwrite").parquet(_centroids_path(index_dir))
     (
-        assign.write.mode("overwrite")
-        .partitionBy("cent_id")
+        assign.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "cent_id")
         .parquet(_postings_path(index_dir))
     )
 
@@ -140,17 +141,21 @@ def probe_ivf_index(
 
 
 def append_to_ivf_index(
-    spark: SparkSession, new_vectors: DataFrame, index_dir: str
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    index_dir: str,
+    batch_id: int = 1,
 ) -> None:
     """Incremental index update: quantize NEW vectors against the SAVED
     centroids (never re-deriving them — the index's quantization must stay
-    frozen or old postings silently live in the wrong cells) and append
-    them to the cell partitions. The ingest-side twin of the streaming
-    curate/neardup directories: an accepted batch's embeddings go straight
-    into the serving index without touching existing postings.
+    frozen or old postings silently live in the wrong cells) and land
+    them under ``batch_id=<n>/cent_id=<k>`` with DYNAMIC partition
+    overwrite — a replayed batch id rewrites exactly its own partitions
+    (the streaming curate/neardup idempotence discipline), so crash-and-
+    retry ingest never duplicates postings. Probes prune on cent_id
+    regardless of the batch level.
 
-    ``new_vectors``: (vec_id, ne) unit-normalized. Append-mode
-    partitioned write touches only the cells the batch lands in."""
+    ``new_vectors``: (vec_id, ne) unit-normalized."""
     cents = spark.read.parquet(_centroids_path(index_dir))
     scored = new_vectors.crossJoin(F.broadcast(cents)).select(
         "vec_id", "ne", "cent_id",
@@ -175,7 +180,9 @@ def append_to_ivf_index(
         )
     )
     (
-        assign.write.mode("append")
-        .partitionBy("cent_id")
+        assign.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "cent_id")
         .parquet(_postings_path(index_dir))
     )

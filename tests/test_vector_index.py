@@ -92,8 +92,8 @@ def test_incremental_append_equals_full_build(spark, sf_dir, tmp_path):
     import shutil
 
     shutil.rmtree(_postings_path(inc_dir))
-    append_to_ivf_index(spark, first, inc_dir)
-    append_to_ivf_index(spark, second, inc_dir)
+    append_to_ivf_index(spark, first, inc_dir, batch_id=1)
+    append_to_ivf_index(spark, second, inc_dir, batch_id=2)
 
     full_dir = str(tmp_path / "full")
     build_ivf_index(spark, sf_dir, full_dir)
@@ -104,6 +104,89 @@ def test_incremental_append_equals_full_build(spark, sf_dir, tmp_path):
     got = {
         (r.qid, r.cid, round(r.cos, 9))
         for r in probe_ivf_index(spark, inc_dir, queries).collect()
+    }
+    want = {
+        (r.qid, r.cid, round(r.cos, 9))
+        for r in probe_ivf_index(spark, full_dir, queries).collect()
+    }
+    assert got == want
+
+
+def test_append_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running an ingest batch id must rewrite its own partitions,
+    not duplicate postings (dynamic overwrite on batch_id/cent_id)."""
+    from doc2dataset_spark.operators.vector_index import (
+        _postings_path,
+        append_to_ivf_index,
+    )
+
+    d = str(tmp_path / "idx")
+    build_ivf_index(spark, sf_dir, d)
+    n = normalized_embeddings(spark, sf_dir)
+    batch = n.filter(F.col("vec_id") < 50)
+    before = spark.read.parquet(_postings_path(d)).count()
+    append_to_ivf_index(spark, batch, d, batch_id=7)
+    once = spark.read.parquet(_postings_path(d)).count()
+    append_to_ivf_index(spark, batch, d, batch_id=7)  # crash-retry replay
+    twice = spark.read.parquet(_postings_path(d)).count()
+    assert once == before + 50
+    assert twice == once
+
+
+def test_streaming_ingest_matches_batch_build(spark, sf_dir, tmp_path):
+    """Vectors streamed in two micro-batches into a seeded index must
+    serve the same probes as one batch build over the full corpus."""
+    import os
+    import time as _time
+
+    from doc2dataset_spark.operators.vector_index import _postings_path
+    from doc2dataset_spark.streaming.index_ingest import run_index_ingest
+
+    n = normalized_embeddings(spark, sf_dir)
+    mid = n.agg(F.max("vec_id")).collect()[0][0] // 2
+
+    # seed: index with centroids only (empty postings beyond batch 0 of
+    # nothing) — build on the full table for centroids, then wipe
+    # postings so ingest provides every vector
+    stream_dir = str(tmp_path / "stream_idx")
+    build_ivf_index(spark, sf_dir, stream_dir)
+    import shutil
+
+    shutil.rmtree(_postings_path(stream_dir))
+
+    # source files: the raw embeddings split in two, arriving in order
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    src = tmp_path / "vec_src"
+    os.makedirs(src, exist_ok=True)
+    raw.filter(F.col("vec_id") <= mid).toPandas().to_parquet(
+        (src / "b0.parquet").as_posix()
+    )
+    raw.filter(F.col("vec_id") > mid).toPandas().to_parquet(
+        (src / "b1.parquet").as_posix()
+    )
+    os.utime(src / "b1.parquet", (_time.time() + 2, _time.time() + 2))
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    q = run_index_ingest(
+        stream, stream_dir, (tmp_path / "ck").as_posix()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    full_dir = str(tmp_path / "full_idx")
+    build_ivf_index(spark, sf_dir, full_dir)
+    queries = n.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("ne").alias("qne")
+    )
+    got = {
+        (r.qid, r.cid, round(r.cos, 9))
+        for r in probe_ivf_index(spark, stream_dir, queries).collect()
     }
     want = {
         (r.qid, r.cid, round(r.cos, 9))
