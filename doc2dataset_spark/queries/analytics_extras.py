@@ -814,10 +814,10 @@ def events_histogram(spark, sf_dir):
 )
 def events_attribution(spark, sf_dir):
     """Last-touch attribution: each purchase credits the user's most
-    recent prior view/click (latest ts; touch_id DESC tiebreak so
-    simultaneous touches resolve deterministically in both engines —
-    formatted-second timestamps inside the argmax struct keep the
-    comparison engine-identical). Also counts the touches considered.
+    recent prior view/click (latest formatted-second ts; same-second
+    ties resolve to the LOWEST touch_id via the -id field in the argmax
+    struct — deterministic and engine-identical). Also counts the
+    touches considered.
 
     Scale shape: one (user_id) equi-join between purchases and touches
     with the time predicate as a join residual, then a per-purchase
