@@ -60,6 +60,9 @@ def compact_parquet(
     (coalesce would inherit input skew and can't raise parallelism).
     With ``partition_by``, rows are repartitioned by the partition
     columns so each hive partition is written by the tasks that own it.
+    A hive-partitioned directory MUST be compacted with its
+    ``partition_by`` — without it the rewrite flattens the layout
+    (partition values become plain columns; data intact, pruning lost).
 
     Returns {files_before, files_after, bytes}."""
     fs, p = fsio.url_to_fs(path)
@@ -69,7 +72,11 @@ def compact_parquet(
     total = _dir_bytes(fs, p)
     n_files = max(1, math.ceil(total / target_bytes))
 
-    df = spark.read.parquet(path)
+    # mergeSchema: a long-lived directory may have evolved (later batches
+    # added columns); the default single-footer schema pick would silently
+    # DROP those columns from the compacted copy depending on which file
+    # wins — a compactor must always unify
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     tmp = f"{p.rstrip('/')}__compact_{uuid.uuid4().hex}"
     writer = None
     if partition_by:

@@ -61,3 +61,26 @@ def test_compact_preserves_hive_partitions(spark, sf_dir, tmp_path):
     assert any(
         d.startswith("flag=") for d in os.listdir(out) if not d.startswith("_")
     )
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Operational reality check: a long-lived corpus directory whose
+    later batches added a column reads cleanly with mergeSchema — old
+    rows surface NULL for the new column, and compaction unifies the
+    layout under the merged schema."""
+    out = str(tmp_path / "evolving")
+    li = load_table(spark, sf_dir, "lineitem").limit(200)
+    li.select("l_orderkey", "l_quantity").write.parquet(out)
+    li.select(
+        "l_orderkey", "l_quantity", F.lit("batch2").alias("provenance")
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert "provenance" in merged.columns
+    assert merged.count() == 400
+    assert merged.filter(F.col("provenance").isNull()).count() == 200
+
+    # compaction writes the merged schema everywhere
+    compact_parquet(spark, out, target_bytes=1 << 40)
+    flat = spark.read.parquet(out)
+    assert "provenance" in flat.columns and flat.count() == 400
