@@ -679,3 +679,83 @@ def gopher_flags(d):
         ok_stop.alias("ok_stop"),
         (ok_words & ok_mwl & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# invisible-character scrubbing (round 6)
+# ---------------------------------------------------------------------------
+# the classic web-text contaminants: zero-width space/non-joiner, BOM,
+# soft hyphen — invisible to the eye, poison to tokenizers and dedup
+_INVIS = ["​", "‌", "﻿", "­"]
+
+
+def _inject_sql(engine: str) -> str:
+    """Deterministically contaminate documents in-query (the pii_scrub
+    precedent: the corpus has no natural invisibles, so plant them and
+    exercise the scrubber for real). doc_id%3==0 gets a ZWSP+BOM pair
+    after the first 8 chars; doc_id%5==0 additionally a soft hyphen +
+    ZWNJ at position 3."""
+    if engine == "spark":
+        sub = "substring"
+        cat = "concat"
+    else:
+        sub = "substr"
+        cat = "concat"
+    zw, zwnj, bom, shy = _INVIS
+    base = (
+        f"CASE WHEN doc_id % 3 = 0 THEN "
+        f"{cat}({sub}(text, 1, 8), '{zw}{bom}', {sub}(text, 9)) "
+        f"ELSE text END"
+    )
+    return (
+        f"CASE WHEN doc_id % 5 = 0 THEN "
+        f"{cat}({sub}({base}, 1, 3), '{shy}{zwnj}', {sub}({base}, 4)) "
+        f"ELSE {base} END"
+    )
+
+
+def _strip_chain(expr: str) -> str:
+    """Nested literal replace() — identical byte semantics in both
+    engines (no regex dialect in play)."""
+    for ch in _INVIS:
+        expr = f"replace({expr}, '{ch}', '')"
+    return expr
+
+
+@query(
+    "text_clean_invisible",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT doc_id, {_inject_sql('duck')} AS raw FROM documents
+    )
+    SELECT doc_id,
+           length(raw)::BIGINT - length({_strip_chain('raw')})::BIGINT
+             AS n_removed,
+           length({_strip_chain('raw')})::BIGINT AS clean_len,
+           md5({_strip_chain('raw')}) AS clean_md5
+    FROM dirty
+    """,
+    tags=("text", "cleaning", "documents"),
+)
+def text_clean_invisible(spark, sf_dir):
+    """Invisible-character scrubbing: strip zero-width space/non-joiner,
+    BOM and soft hyphen — the characters that make two visually
+    identical documents hash differently and smuggle extra tokens past
+    length filters. The corpus is deterministically contaminated
+    in-query first (doc_id%3 / doc_id%5 plant rules), so the scrubber is
+    exercised on real occurrences in BOTH engines; the md5 of the
+    cleaned text proves content equality, not just counts.
+
+    Scale shape: entirely row-local — a literal replace() chain (no
+    regex dialect divergence) inside whole-stage codegen; zero
+    shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.expr(_inject_sql("spark"))
+    dirty = d.select("doc_id", raw.alias("raw"))
+    clean = F.expr(_strip_chain("raw"))
+    return dirty.select(
+        "doc_id",
+        (F.length("raw") - F.length(clean)).cast("bigint").alias("n_removed"),
+        F.length(clean).cast("bigint").alias("clean_len"),
+        F.md5(clean).alias("clean_md5"),
+    )
