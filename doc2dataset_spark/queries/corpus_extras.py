@@ -1089,3 +1089,78 @@ def ann_pq_rerank_recall(spark, sf_dir):
         F.count("rcid").alias("n_hits"),
         F.round(F.count("rcid").cast("double") / PQ_TOPK, 4).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-prefiltered decontamination (round 6) — registered post-gate
+# ---------------------------------------------------------------------------
+from doc2dataset_spark.queries.dedup import (  # noqa: E402
+    _CONTAIN_ORACLE,
+    _H48_SPARK,
+    _doc_shingles,
+    CONTAIN_THRESHOLD,
+    N_TEST_DOCS,
+)
+
+BLOOM_PREFILTER_W = 1 << 20  # sketch width: the broadcast's hard cap
+
+
+@query(
+    "dedup_decontam_bloom",
+    oracle=_CONTAIN_ORACLE,
+    tags=("dedup", "documents", "decontamination", "scale"),
+)
+def dedup_decontam_bloom(spark, sf_dir):
+    """test-set decontamination with a BLOOM pre-filter — same exact
+    semantics as dedup_ngram_containment (the oracle is literally the
+    same SQL; rewrite equality IS the test, the q12b discipline), but
+    the corpus shingle stream is first screened against a relational
+    bloom bit-set built over the test side's shingles: one shared-hash
+    bit position per shingle modulo BLOOM_PREFILTER_W, distinct test
+    bits broadcast (≤ W rows — a PARAMETER bound, however large the
+    held-out suite), corpus shingles pre-filtered by a left-semi join
+    on their bit before the exact containment join pays any shuffle.
+
+    Why this variant exists: the broadcast-test-side join of
+    dedup_ngram_containment assumes the test shingle frame fits in
+    executor memory. The bit-set caps phase 1's broadcast at the sketch
+    width; false positives are removed by the exact join, false
+    negatives don't exist (every true match shares its bit), so
+    exactness is preserved by construction. (Spark's internal
+    bloom_filter_agg/might_contain pair is not exposed as a public SQL
+    routine in 4.1 — the relational formulation is the same mechanism
+    with an inspectable plan, the agg_bloom_filter approach.)"""
+    from pyspark.sql import Window as W
+
+    sd = _doc_shingles(spark, sf_dir)
+    test = (
+        sd.filter(F.col("doc_id") < N_TEST_DOCS)
+        .withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
+        .select(
+            F.col("doc_id").alias("test_id"), F.col("sh").alias("tsh"), "n"
+        )
+    )
+    tbits = test.select(
+        (F.expr(_H48_SPARK.format(s="tsh")) % BLOOM_PREFILTER_W).alias("bit")
+    ).distinct()
+    corpus = (
+        sd.withColumn(
+            "bit", F.expr(_H48_SPARK.format(s="sh")) % BLOOM_PREFILTER_W
+        )
+        .join(F.broadcast(tbits), "bit", "left_semi")
+        .select("doc_id", "sh")
+    )
+    shared = (
+        F.broadcast(test)
+        .join(
+            corpus,
+            (F.col("tsh") == F.col("sh"))
+            & (F.col("test_id") != F.col("doc_id")),
+        )
+        .groupBy("test_id", F.col("doc_id").alias("corpus_id"), "n")
+        .agg(F.count("*").alias("sh_n"))
+    )
+    contain = F.col("sh_n").cast("double") / F.col("n")
+    return shared.filter(contain >= CONTAIN_THRESHOLD).select(
+        "test_id", "corpus_id", F.round(contain, 4).alias("containment")
+    )
