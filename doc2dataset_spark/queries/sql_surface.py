@@ -845,3 +845,40 @@ def q46_tpch_q5(spark, sf_dir):
         .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q47 — distribution window functions (round 6)
+# ---------------------------------------------------------------------------
+@query(
+    "q47_distribution_windows",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd
+    FROM orders
+    WHERE o_orderkey < 4000
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("sql", "window", "distribution"),
+)
+def q47_distribution_windows(spark, sf_dir):
+    """percent_rank + cume_dist — the distribution windows q20's ranking
+    family didn't cover: relative position (rank-1)/(n-1) and the
+    empirical CDF per partition, with the o_orderkey tiebreaker making
+    both exactly reproducible (identical ANSI semantics, rounded to 6 dp
+    so the division result is order-independent).
+
+    Scale shape: one window keyed by customer — a bounded per-key sort,
+    the same partition spec both engines pay."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") < 4000
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
