@@ -18,6 +18,7 @@ everything else.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from doc2dataset_spark.queries.core import query
@@ -933,4 +934,83 @@ def events_resample_ffill(spark, sf_dir):
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("day_value").isNotNull().alias("observed"),
         F.last("day_value", ignorenulls=True).over(w).alias("value_ffill"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval concurrency via sweep line (round 6)
+# ---------------------------------------------------------------------------
+CONC_DUR_MIN = 10  # each event held "active" for 10 minutes
+
+
+@query(
+    "events_max_concurrency",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type, event_id, ts AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT event_type, event_id,
+             ts + INTERVAL {CONC_DUR_MIN} MINUTE, -1 FROM events
+    ), swept AS (
+      SELECT event_type, t,
+             sum(d) OVER (PARTITION BY event_type
+                          ORDER BY t, d, event_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS conc
+      FROM pts
+    )
+    SELECT event_type,
+           (max({{'c': conc, 'nt': -epoch_us(t), 't': strftime(t,
+                 '%Y-%m-%d %H:%M:%S')}})).c AS max_concurrency,
+           (max({{'c': conc, 'nt': -epoch_us(t), 't': strftime(t,
+                 '%Y-%m-%d %H:%M:%S')}})).t AS at_time
+    FROM swept GROUP BY event_type
+    """,
+    tags=("analytics", "events", "intervals"),
+)
+def events_max_concurrency(spark, sf_dir):
+    """Max concurrent intervals per event type (each event active for
+    CONC_DUR_MIN minutes) — the sweep-line classic: explode every
+    interval into a +1 start and a -1 end point, running-sum in time
+    order (ends sort before starts at the same instant via d ASC, so
+    touching intervals don't count as concurrent; event_id breaks exact
+    ties), take the per-type argmax with earliest-time tiebreak.
+
+    Scale shape: the sweep is a per-type window over 2n points — at
+    100 TB you'd pre-bucket time and run the same sweep per bucket with
+    carried-in offsets (the pack_sequences shard discipline); the
+    argmax is a map-side-combinable max(struct)."""
+    e = load_table(spark, sf_dir, "events")
+    starts = e.select(
+        "event_type", "event_id", F.col("ts").alias("t"), F.lit(1).alias("d")
+    )
+    ends = e.select(
+        "event_type",
+        "event_id",
+        (F.col("ts") + F.expr(f"INTERVAL {CONC_DUR_MIN} MINUTE")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    pts = starts.unionByName(ends)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = pts.select(
+        "event_type", "t", F.sum("d").over(w).cast("bigint").alias("conc")
+    )
+    best = F.max(
+        F.struct(
+            F.col("conc").alias("c"),
+            (-F.unix_micros("t")).alias("nt"),
+            F.date_format("t", _TS_FMT).alias("t"),
+        )
+    ).alias("best")
+    return (
+        swept.groupBy("event_type")
+        .agg(best)
+        .select(
+            "event_type",
+            F.col("best.c").alias("max_concurrency"),
+            F.col("best.t").alias("at_time"),
+        )
     )
