@@ -170,6 +170,19 @@ class MemoryFS:
                 if s == k or s.startswith(k + "/")
             )
 
+    def ls(self, path: str, detail: bool = False) -> list[str]:
+        # fsspec surface: immediate children (keys and pseudo-dirs)
+        # derived from the key store, full-path form like LocalFS.ls
+        k = self._key(path).rstrip("/")
+        with self._lock:
+            children = set()
+            for s in self._store:
+                if s == k:
+                    children.add(s)
+                elif s.startswith(k + "/"):
+                    children.add(k + "/" + s[len(k) + 1:].split("/", 1)[0])
+        return sorted("memory://" + c for c in children)
+
 
 _LOCAL = LocalFS()
 _MEMORY = MemoryFS()

@@ -844,15 +844,18 @@ def sample_mixture_rebalance(spark, sf_dir):
     tot = st.agg(
         F.sum("src_tokens").alias("total"), F.count("*").alias("n_sources")
     )
+    # Integer division end-to-end (DIV, not /): the oracle uses exact
+    # ``//`` and a float intermediate can shift rate_ppm by 1 via double
+    # rounding (and loses exactness past 2^53 numerators at scale),
+    # which would change the kept set.
     rates = st.crossJoin(F.broadcast(tot)).select(
         "source",
         F.least(
-            F.lit(MIX_PPM),
-            (F.expr("total DIV n_sources") * MIX_PPM)
-            / F.col("src_tokens"),
-        )
-        .cast("bigint")
-        .alias("rate_ppm"),
+            F.lit(MIX_PPM).cast("bigint"),
+            F.expr(
+                f"(total DIV n_sources) * {MIX_PPM} DIV src_tokens"
+            ),
+        ).alias("rate_ppm"),
     )
     h = F.expr(
         "cast(conv(substring(md5(concat('mx', cast(doc_id AS string))),"

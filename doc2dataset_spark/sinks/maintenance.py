@@ -48,11 +48,20 @@ def compact_parquet(
     """Rewrite a parquet directory into ~``target_bytes`` files.
 
     Transactional shape: write the compacted copy to a sibling tmp dir,
-    then swap directories with two renames — readers either see the old
-    layout or the new one, never a half-written mix (same discipline as
-    the webdataset sink's two-phase commit). On any failure before the
+    then swap directories with two renames. On any failure before the
     swap, the original directory is untouched and the tmp dir is
-    abandoned for the orphan sweep.
+    abandoned for the orphan sweep (same discipline as the webdataset
+    sink's two-phase commit).
+
+    The swap itself is two renames, NOT one atomic operation: between
+    ``mv(p, old)`` and ``mv(tmp, p)`` a concurrent reader sees the
+    dataset path missing — run compaction when the path is quiesced (the
+    OPTIMIZE model) or behind a catalog pointer. If the process dies
+    inside that window, the data survives intact under the
+    deterministic ``<path>__old_compact`` sibling: recovery is
+    ``mv(<path>__old_compact, <path>)``, and orphan sweeps can find it
+    by that fixed name. Any in-process failure of the second rename
+    (including non-OSError) triggers automatic rollback.
 
     Sizing: file count = ceil(on-disk bytes / target). Parquet re-encodes
     with the same codec so output sizes track input sizes closely; a
@@ -90,11 +99,19 @@ def compact_parquet(
         writer = df.repartition(n_files).write
     writer.mode("overwrite").parquet(tmp)
 
-    old = f"{p.rstrip('/')}__old_{uuid.uuid4().hex}"
+    # deterministic old-dir name: crash recovery / orphan sweeps can find
+    # it without scanning for uuid-suffixed siblings
+    old = f"{p.rstrip('/')}__old_compact"
+    if fs.exists(old):  # leftover from a previous crashed swap
+        raise RuntimeError(
+            f"found leftover {old!r} from an interrupted compaction — "
+            f"recover it (mv back to {p!r} if {p!r} is missing, else rm) "
+            "before compacting again"
+        )
     fs.mv(p, old)
     try:
         fs.mv(tmp, p)
-    except OSError:
+    except BaseException:
         fs.mv(old, p)  # roll back: restore the original directory
         raise
     fs.rm(old, recursive=True)

@@ -111,8 +111,16 @@ def run_curate_stream(
     spark = docs_stream.sparkSession
 
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Crash-replay idempotence: a replayed batch must NOT see the
+        # digest partition it wrote before the crash (batch=<batch_id>),
+        # or every accepted doc would be flagged dup_earlier against its
+        # own digest and then have its state overwritten with an empty
+        # frame.  Partition discovery exposes the ``batch`` column, so
+        # the directory read is restricted to strictly earlier batches.
         directory = (
-            spark.read.parquet(state_dir)
+            spark.read.parquet(state_dir).filter(
+                F.col("batch") < F.lit(int(batch_id))
+            )
             if digest_directory_exists(state_dir)
             else None
         )

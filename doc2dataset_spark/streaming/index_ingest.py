@@ -42,12 +42,29 @@ def run_index_ingest(
     index_dir: str,
     checkpoint_dir: str,
 ):
-    """Wire the stream; the index must already exist (build_ivf_index) —
-    ingest only ever quantizes against its frozen centroids. Stream
-    batch ids land as ``batch_id + 1`` (batch 0 is the initial build's
-    partition). Returns the StreamingQuery."""
+    """Wire the stream and block until drained; the index must already
+    exist (build_ivf_index) — ingest only ever quantizes against its
+    frozen centroids. Stream batch ids land as ``batch_id + 1`` (batch 0
+    is the initial build's partition).
+
+    Same-checkpoint restarts are exactly idempotent (dynamic partition
+    overwrite rewrites a replayed batch's own partitions). A FRESH
+    checkpoint into an existing index has the run_cms_partials hazard:
+    the replay renumbers batches from 0 and may use fewer batches, so
+    stale higher-numbered ``batch_id=*`` posting partitions from the old
+    incarnation would survive and probe_ivf_index would serve duplicated
+    postings. Guard (same as streaming/sketch.run_cms_partials): when
+    this call starts with no pre-existing checkpoint, every posting
+    partition with ``batch_id > max(fired) + 1`` is deleted after the
+    stream completes."""
+    from doc2dataset_spark import fsio
+
+    ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
+    fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
+    fired: list[int] = []
 
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fired.append(batch_id)
         append_to_ivf_index(
             batch_df.sparkSession,
             normalize_vectors(batch_df),
@@ -55,8 +72,27 @@ def run_index_ingest(
             batch_id=batch_id + 1,
         )
 
-    return (
+    q = (
         vectors_stream.writeStream.foreachBatch(one_batch)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+    q.processAllAvailable()
+    q.stop()
+
+    if fresh_checkpoint and fired:
+        from doc2dataset_spark.operators.vector_index import _postings_path
+
+        post_dir = _postings_path(index_dir)
+        out_fs, out_path = fsio.url_to_fs(post_dir)
+        max_id = max(fired) + 1
+        for entry in out_fs.ls(out_path, detail=False):
+            name = str(entry).rstrip("/").rsplit("/", 1)[-1]
+            if name.startswith("batch_id="):
+                try:
+                    bid = int(name.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if bid > max_id:
+                    out_fs.rm(entry, recursive=True)
+    return q

@@ -76,11 +76,9 @@ if __name__ == "__main__":
         .option("maxFilesPerTrigger", 1)
         .parquet(vec_src)
     )
-    q2 = run_index_ingest(
+    run_index_ingest(
         vec_stream, index_dir, os.path.join(root, "ck_index")
     )
-    q2.processAllAvailable()
-    q2.stop()
     n_postings = spark.read.parquet(_postings_path(index_dir)).count()
     print(f"index holds {n_postings} accepted vectors")
 

@@ -135,3 +135,36 @@ def test_streaming_curate_replay_idempotent(spark, curate_setup, tmp_path):
     q.stop()
     after = sorted(map(tuple, spark.read.parquet(out).collect()))
     assert after == before
+
+
+def test_streaming_curate_crash_replay_not_self_dup(
+    spark, curate_setup, tmp_path
+):
+    """Crash-replay: batch=N state already on disk when batch N re-fires.
+
+    A FRESH checkpoint over the same state/out dirs re-fires every file
+    as batches 0..2 with their own prior ``batch=<id>`` digest
+    partitions present.  The directory read must exclude the replayed
+    batch's own partition — otherwise every accepted doc is flagged
+    dup_earlier against its own digest and its digests are wiped."""
+    src, schema, _, _ = curate_setup
+    out, state = _run(spark, src, schema, tmp_path, "crash")
+    before_out = sorted(map(tuple, spark.read.parquet(out).collect()))
+    before_state = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert any(t[-1] for t in before_out)  # sanity: some docs accepted
+
+    # fresh checkpoint => full replay of batches 0..2 with state present
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = run_curate_stream(
+        stream, state, out, (tmp_path / "ck_crash2").as_posix()
+    )
+    q.processAllAvailable()
+    q.stop()
+    after_out = sorted(map(tuple, spark.read.parquet(out).collect()))
+    after_state = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert after_out == before_out
+    assert after_state == before_state

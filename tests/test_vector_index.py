@@ -173,11 +173,7 @@ def test_streaming_ingest_matches_batch_build(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(src.as_posix())
     )
-    q = run_index_ingest(
-        stream, stream_dir, (tmp_path / "ck").as_posix()
-    )
-    q.processAllAvailable()
-    q.stop()
+    run_index_ingest(stream, stream_dir, (tmp_path / "ck").as_posix())
 
     full_dir = str(tmp_path / "full_idx")
     build_ivf_index(spark, sf_dir, full_dir)
@@ -193,3 +189,23 @@ def test_streaming_ingest_matches_batch_build(spark, sf_dir, tmp_path):
         for r in probe_ivf_index(spark, full_dir, queries).collect()
     }
     assert got == want
+
+    # Disaster recovery: a FRESH checkpoint replay that ingests
+    # everything as ONE micro-batch must sweep the old incarnation's
+    # stale higher-numbered batch_id partitions (old batches landed as
+    # batch_id 1 and 2; the replay lands everything as batch_id 1), or
+    # probes would serve each batch-2 posting twice.
+    replay_stream = spark.readStream.schema(raw.schema).parquet(
+        src.as_posix()  # no maxFilesPerTrigger: one big batch
+    )
+    run_index_ingest(
+        replay_stream, stream_dir, (tmp_path / "ck_fresh").as_posix()
+    )
+    post = spark.read.parquet(_postings_path(stream_dir))
+    assert post.agg(F.max("batch_id")).collect()[0][0] == 1
+    assert post.count() == post.select("vec_id").distinct().count()
+    got2 = {
+        (r.qid, r.cid, round(r.cos, 9))
+        for r in probe_ivf_index(spark, stream_dir, queries).collect()
+    }
+    assert got2 == want
