@@ -505,23 +505,23 @@ def corpus_mix_stats(spark, sf_dir):
     "epochs over source X" decision).
 
     Scale shape: one map-side-combinable aggregation keyed by
-    (source, lang); the share denominator is an unpartitioned window over
-    the AGGREGATED frame (|sources|x|langs| rows, not corpus rows), so
-    the single-partition window touches a frame the size of the config
-    space, never the data."""
+    (source, lang); the share denominator is a 1-row scalar aggregate
+    cross-joined as a broadcast — no window at all, so the registry-wide
+    no-unpartitioned-window plan gate holds with zero whitelist."""
     d = load_table(spark, sf_dir, "documents")
     t = d.groupBy("source", "lang").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.expr(_TOKS))).alias("n_tokens"),
     )
-    return t.select(
+    total = t.agg(F.sum("n_tokens").alias("tot_tokens"))
+    return t.crossJoin(F.broadcast(total)).select(
         "source",
         "lang",
         "n_docs",
         "n_tokens",
         F.round(
             F.col("n_tokens").cast("double")
-            / F.sum("n_tokens").over(W.partitionBy()).cast("double"),
+            / F.col("tot_tokens").cast("double"),
             6,
         ).alias("token_share"),
     )

@@ -27,7 +27,6 @@ statistics (N, avgdl) are 1-row broadcasts; df rides the pruned postings.
 
 from __future__ import annotations
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from doc2dataset_spark.queries.core import query
@@ -92,7 +91,11 @@ def search_bm25_topk(spark, sf_dir):
     tf aggregate, so everything downstream is sized by the query's
     postings; df is an aggregate OVER tf (already pruned); N/avgdl are a
     1-row cross-joined broadcast; dl is corpus-linear but map-side
-    combinable. The global top-k is TakeOrdered, not a sort."""
+    combinable. The global top-k is orderBy().limit() →
+    TakeOrderedAndProject: each task keeps its local top-20, the driver
+    merges 20·P rows — never a single-partition window over every
+    matching doc (for stopword-ish terms that would be corpus-scale
+    through ONE task)."""
     d = load_table(spark, sf_dir, "documents").repartition(
         compute_parallelism(spark), "doc_id"
     )
@@ -126,14 +129,7 @@ def search_bm25_topk(spark, sf_dir):
             F.count("*").alias("n_terms"),
         )
     )
-    return (
-        scored.withColumn(
-            "rn",
-            F.row_number().over(W.orderBy(F.desc("score"), "doc_id")),
-        )
-        .filter(F.col("rn") <= BM25_TOPK)
-        .drop("rn")
-    )
+    return scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOPK)
 
 
 @query(
@@ -417,7 +413,8 @@ def text_pmi_pairs(spark, sf_dir):
     (V²/2 candidate pairs), not data — the per-doc self-join runs on
     postings semi-joined to a V-row broadcast vocab, so corpus size only
     affects the linear posting scan and the map-side-combinable pair
-    counts. The final top-k sorts V²/2 scored rows at most."""
+    counts. Both top-k cuts (vocab and final) are orderBy().limit() →
+    TakeOrderedAndProject — no single-partition window anywhere."""
     d = load_table(spark, sf_dir, "documents").repartition(
         compute_parallelism(spark), "doc_id"
     )
@@ -426,13 +423,13 @@ def text_pmi_pairs(spark, sf_dir):
     ).distinct()
     nd = tok.agg(F.countDistinct("doc_id").alias("n"))
     df = tok.groupBy("term").agg(F.count("*").alias("df"))
-    vocab = (
-        df.withColumn(
-            "rk",
-            F.row_number().over(W.orderBy(F.desc("df"), "term")),
-        )
-        .filter(F.col("rk") <= PMI_VOCAB)
-        .select("term", "df")
+    # vocabulary cut via orderBy().limit() → TakeOrderedAndProject: one
+    # row per DISTINCT TERM on a web corpus is hundreds of millions of
+    # rows — a global row_number window here would push all of them
+    # through one task; the distributed partial top-k keeps V rows per
+    # task instead (identical deterministic df DESC / term ASC cut).
+    vocab = df.orderBy(F.desc("df"), "term").limit(PMI_VOCAB).select(
+        "term", "df"
     )
     vt = tok.join(F.broadcast(vocab), "term")
     a = vt.select(
@@ -466,10 +463,4 @@ def text_pmi_pairs(spark, sf_dir):
             4,
         ).alias("pmi"),
     )
-    return (
-        scored.withColumn(
-            "rk", F.row_number().over(W.orderBy(F.desc("pmi"), "ta", "tb"))
-        )
-        .filter(F.col("rk") <= PMI_TOPK)
-        .drop("rk")
-    )
+    return scored.orderBy(F.desc("pmi"), "ta", "tb").limit(PMI_TOPK)

@@ -235,6 +235,47 @@ def test_curate_corpus_embedding_stage_stays_blocked(spark, sf_dir):
     assert reuse >= 1, "curate_corpus assign subtree executed twice"
 
 
+def _iter_plan_nodes(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _iter_plan_nodes(node.children().apply(i))
+    try:  # correlated/scalar subqueries hang off the node, not children
+        subs = node.subqueries()
+        for i in range(subs.size()):
+            yield from _iter_plan_nodes(subs.apply(i))
+    except Exception:
+        pass
+
+
+def test_registry_wide_no_unpartitioned_window(spark, sf_dir):
+    """Registry-wide scale gate (round-6 verdict What's-wrong #1): NO
+    query plan may contain a Window with an empty partitionSpec — the
+    "Moving all data to a single partition" WindowExec that funnels an
+    unbounded frame through one task. Global top-k must be
+    orderBy().limit() (TakeOrderedAndProject: distributed partial
+    top-k); share-of-total must be a broadcast scalar cross-join. The
+    whitelist is EMPTY by construction — add to it only with a written
+    boundedness argument."""
+    whitelist: set[str] = set()
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if name in whitelist:
+            continue
+        plan = (
+            spec.builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+        )
+        for nd in _iter_plan_nodes(plan):
+            if nd.nodeName() == "Window" and nd.partitionSpec().isEmpty():
+                offenders[name] = str(nd.simpleString(120))[:200]
+                break
+    assert not offenders, (
+        "unpartitioned Window (single-partition scale-killer) in: "
+        f"{offenders}"
+    )
+
+
 def test_search_queries_prune_postings_and_stay_blocked(spark, sf_dir):
     """Round-6 search primitives: term pruning must reach below the
     posting aggregates (the IN-list filter sits under the first
@@ -248,3 +289,10 @@ def test_search_queries_prune_postings_and_stay_blocked(spark, sf_dir):
     boolean = plan_of(spark, "search_boolean_and", sf_dir)
     # the IN-list prune appears as a Filter on term before aggregation
     assert "term" in boolean and "IN (" in boolean or "isin" in boolean
+    # global top-k is the distributed partial top-k, not a sort or a
+    # single-partition window (scalar-aggregate SinglePartition
+    # exchanges over 1-row partials are fine and still present)
+    for name in ["search_bm25_topk", "text_pmi_pairs"]:
+        plan = plan_of(spark, name, sf_dir)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, name
