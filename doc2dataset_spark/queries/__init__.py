@@ -73,3 +73,35 @@ gate_swap(
     promote=["q37_recursive_cte", "q40_listagg"],
     demote=["agg_percentiles_approx", "q16c_hll_sketch"],
 )
+
+# Round-7 deliberate gate rotation (round-6 verdict, Next round #2):
+# 8 windows-surface rows have been gate-green since round 1 — their
+# continued presence in the external snapshot proves nothing new, while
+# the round-5/6 flagship ops (TPC-H Q3/Q5, lateral top-k, BM25, the
+# substring-rewrite dedup, trained PQ search, the 4-stage curation
+# chain, Misra-Gries heavy hitters) have never had a driver-recorded
+# hash row. Rotate them in; the demoted rows keep full coverage via the
+# local mirror (scripts/driver_mirror.py) + pytest. Pinned by
+# tests/test_registry_gate.py.
+gate_swap(
+    promote=[
+        "q45_tpch_q3",
+        "q46_tpch_q5",
+        "q38_lateral_topk",
+        "search_bm25_topk",
+        "dedup_substring_rewrite",
+        "sim_ann_pq",
+        "curate_corpus",
+        "text_heavy_hitters",
+    ],
+    demote=[
+        "q20_ranking_windows",
+        "q21_analytic_windows",
+        "q23_set_ops",
+        "q24_correlated_subquery",
+        "q25_not_exists",
+        "q26_explode",
+        "q27_array_fns",
+        "q28_json_fns",
+    ],
+)
