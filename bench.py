@@ -70,6 +70,9 @@ HEADLINE = [
     "sim_ann_pq_rerank",         # ADC retrieve + exact rerank (production search)
     "text_gopher_rules",         # row-local composite quality rules
     "search_bm25_topk",          # pruned-postings BM25 ranking
+    # round-7 ops
+    "curate_corpus_indexed",     # curation chain served from persisted IVF
+    "text_pmi_pairs",            # PMI collocations (TakeOrdered top-k cuts)
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

@@ -209,3 +209,24 @@ def test_streaming_ingest_matches_batch_build(spark, sf_dir, tmp_path):
         for r in probe_ivf_index(spark, stream_dir, queries).collect()
     }
     assert got2 == want
+
+
+def test_curate_corpus_index_path_is_bit_identical(spark, sf_dir, index_dir):
+    """Round-7: the curation chain served from the persisted index must
+    equal the in-query-assignment plan row for row — the shared
+    quantization rule (max(struct) argmax, sim DESC / cent_id ASC ties)
+    guarantees the SemDeDup stage sees the same (vec_id, ne, cent_id)
+    either way."""
+    from doc2dataset_spark.queries.pipeline_extras import _curate_corpus_plan
+
+    cold = {
+        tuple(r)
+        for r in _curate_corpus_plan(spark, sf_dir).collect()
+    }
+    warm = {
+        tuple(r)
+        for r in _curate_corpus_plan(
+            spark, sf_dir, index_dir=index_dir
+        ).collect()
+    }
+    assert warm == cold and len(cold) > 0
