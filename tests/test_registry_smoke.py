@@ -72,3 +72,48 @@ def test_hll_sketch_close_to_exact(spark, sf_dir):
     assert set(got) == set(exact)
     for k, e in exact.items():
         assert abs(got[k] - e) / e < 0.05, (k, got[k], e)
+
+
+def test_approx_count_distinct_close_to_exact(spark, sf_dir):
+    """q16b's docstring promises a ±5% pytest envelope vs exact — this is
+    it (rsd param 0.02, so 5% has headroom)."""
+    from pyspark.sql import functions as F
+
+    from doc2dataset_spark.session import load_table
+
+    got = {
+        r["o_orderpriority"]: r["approx_cust"]
+        for r in REGISTRY["q16b_approx_count_distinct"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    o = load_table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert abs(got[k] - e) / e < 0.05, (k, got[k], e)
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    """agg_percentiles_approx vs its exact oracle twin agg_percentiles:
+    the 10000-accuracy KLL-style sketch must land within 2% relative on
+    every (returnflag, percentile) cell."""
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in REGISTRY["agg_percentiles_approx"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"], r["p99"])
+        for r in REGISTRY["agg_percentiles"].builder(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, evals in exact.items():
+        for a, e in zip(approx[k], evals):
+            assert abs(a - e) / abs(e) < 0.02, (k, a, e)
