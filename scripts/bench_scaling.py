@@ -174,11 +174,20 @@ def _exec_metric_totals(spark) -> dict[str, int]:
     return tot
 
 
-def run_heavy6(spark, sf_dir: str) -> None:
-    """Heavy-six wall time + per-query shuffle/spill deltas."""
+# round-7 additions (verdict Next round #7): the round-6/7 ops that
+# earned scale claims this round — the de-windowed search/collocation
+# pair, the heavy-hitters sketch, both curation paths, multi-table LSH
+HEAVY_R7 = [
+    "search_bm25_topk", "text_pmi_pairs", "text_heavy_hitters",
+    "curate_corpus", "curate_corpus_indexed", "sim_ann_hyperplane_multi",
+]
+
+
+def run_heavy6(spark, sf_dir: str, names: list[str] | None = None) -> None:
+    """Heavy-set wall time + per-query shuffle/spill deltas."""
     load_table(spark, sf_dir, "documents").count()  # warmup
     out = {}
-    for name in HEAVY6:
+    for name in names or HEAVY6:
         before = _exec_metric_totals(spark)
         t = spark_time(spark, name, sf_dir, runs=1)
         after = _exec_metric_totals(spark)
@@ -250,15 +259,16 @@ def main() -> None:
     if mode == "make-big1":
         make_big(BIG1_DIR, REPLICAS1)
         return
-    if mode == "heavy6":
+    if mode in ("heavy6", "heavy-r7"):
         # own UI-enabled session so shuffle/spill deltas are readable
         spark = get_spark(
-            app_name="bench_scaling_heavy6",
+            app_name=f"bench_scaling_{mode}",
             extra_conf={"spark.ui.enabled": "true"},
         )
+        names = HEAVY_R7 if mode == "heavy-r7" else HEAVY6
         for sf_dir in ["/root/testdata/sf0.1", BIG1_DIR]:
             if os.path.exists(sf_dir):
-                run_heavy6(spark, sf_dir)
+                run_heavy6(spark, sf_dir, names)
         return
     spark = get_spark(app_name="bench_scaling")
     if mode == "curve":
