@@ -464,3 +464,60 @@ def text_pmi_pairs(spark, sf_dir):
         ).alias("pmi"),
     )
     return scored.orderBy(F.desc("pmi"), "ta", "tb").limit(PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# index-served BM25 (round 7): the persisted-inverted-index serve path
+# ---------------------------------------------------------------------------
+def _cached_text_index_dir(sf_dir: str) -> str:
+    """Deterministic per-corpus cache for the serving index, keyed by the
+    absolute sf_dir and the documents table's mtime (the
+    curate_corpus_indexed recipe) — a regenerated corpus never serves a
+    stale index."""
+    import hashlib
+    import os
+    import posixpath
+    import tempfile
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    mtime = int(os.path.getmtime(doc)) if os.path.exists(doc) else 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{mtime}|text".encode()
+    ).hexdigest()[:12]
+    return posixpath.join(tempfile.gettempdir(), f"d2d_text_cache_{key}")
+
+
+@query(
+    "search_bm25_indexed",
+    oracle=None,  # set below: identical to search_bm25_topk by design
+    tags=("search", "text", "documents", "index"),
+)
+def search_bm25_indexed(spark, sf_dir):
+    """search_bm25_topk served from the PERSISTED inverted index
+    (operators/text_index.py): postings/doclen/stats are read from
+    parquet written once at index-build time; the probe scans only the
+    query terms' hash-buckets (static partition filter). Identical
+    oracle — the scoring expression and tokenizer are shared — so the
+    driver hash-verifies that index-served ranking equals the corpus-
+    scan ranking. First call per corpus builds the index into an
+    mtime-keyed temp cache; subsequent calls are pure bucket reads."""
+    from doc2dataset_spark.fsio import url_to_fs
+    from doc2dataset_spark.operators.text_index import (
+        _stats_path,
+        build_text_index,
+        probe_text_index,
+    )
+
+    idx = _cached_text_index_dir(sf_dir)
+    fs, _ = url_to_fs(idx)
+    if not fs.exists(_stats_path(idx)):
+        build_text_index(spark, sf_dir, idx)
+    return probe_text_index(
+        spark, idx, list(QUERY_TERMS), topk=BM25_TOPK
+    )
+
+
+# same oracle as search_bm25_topk: index-served == corpus-scan is the claim
+from doc2dataset_spark.queries.core import REGISTRY as _REG  # noqa: E402
+
+_REG["search_bm25_indexed"].oracle = _REG["search_bm25_topk"].oracle

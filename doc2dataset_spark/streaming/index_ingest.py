@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from doc2dataset_spark import fsio
+
 from doc2dataset_spark.operators.vector_index import append_to_ivf_index
 from doc2dataset_spark.queries.dedup import spark_dot
 
@@ -57,8 +59,6 @@ def run_index_ingest(
     this call starts with no pre-existing checkpoint, every posting
     partition with ``batch_id > max(fired) + 1`` is deleted after the
     stream completes."""
-    from doc2dataset_spark import fsio
-
     ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
     fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
     fired: list[int] = []
@@ -82,17 +82,73 @@ def run_index_ingest(
 
     if fresh_checkpoint and fired:
         from doc2dataset_spark.operators.vector_index import _postings_path
+        from doc2dataset_spark.streaming.util import sweep_stale_batches
 
-        post_dir = _postings_path(index_dir)
-        out_fs, out_path = fsio.url_to_fs(post_dir)
-        max_id = max(fired) + 1
-        for entry in out_fs.ls(out_path, detail=False):
-            name = str(entry).rstrip("/").rsplit("/", 1)[-1]
-            if name.startswith("batch_id="):
-                try:
-                    bid = int(name.split("=", 1)[1])
-                except ValueError:
-                    continue
-                if bid > max_id:
-                    out_fs.rm(entry, recursive=True)
+        sweep_stale_batches(_postings_path(index_dir), max(fired) + 1)
+    return q
+
+
+def run_text_index_ingest(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming inverted-index ingest: micro-batches of (doc_id, text)
+    land as ``batch_id=<n>/tb=<b>`` posting partitions via
+    ``operators/text_index.append_to_text_index`` (which also rebuilds
+    doclen/stats from the full postings, so BM25's df/avgdl/N stay EXACT
+    after every batch — not estimates). Blocks until drained.
+
+    Same idempotence contract as run_index_ingest: dynamic partition
+    overwrite makes same-checkpoint replays exact, and a fresh-checkpoint
+    replay sweeps stale higher-numbered batch partitions. Batch ids land
+    as ``batch_id + 1`` (batch 0 is the initial build's partition).
+    tests/test_text_index.py locks stream-ingested probes == batch-built
+    probes on the same documents."""
+    from doc2dataset_spark.operators.text_index import (
+        _postings_path as _text_postings,
+    )
+    from doc2dataset_spark.operators.text_index import append_to_text_index
+    from doc2dataset_spark.streaming.util import sweep_stale_batches
+
+    ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
+    fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
+    fired: list[int] = []
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fired.append(batch_id)
+        append_to_text_index(
+            batch_df.sparkSession,
+            batch_df,
+            index_dir,
+            batch_id=batch_id + 1,
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    if fresh_checkpoint and fired:
+        sweep_stale_batches(_text_postings(index_dir), max(fired) + 1)
+        # doclen/stats were derived from postings that included the stale
+        # partitions — rebuild them from the swept postings
+        spark = docs_stream.sparkSession
+        from pyspark.sql import functions as F
+
+        post = spark.read.parquet(_text_postings(index_dir))
+        from doc2dataset_spark.operators.text_index import (
+            _doclen_path,
+            _stats_path,
+        )
+
+        dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dl.write.mode("overwrite").parquet(_doclen_path(index_dir))
+        dl_saved = spark.read.parquet(_doclen_path(index_dir))
+        dl_saved.agg(
+            F.count("*").alias("n"),
+            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        ).write.mode("overwrite").parquet(_stats_path(index_dir))
     return q

@@ -100,17 +100,9 @@ def run_cms_partials(
     q.stop()
 
     if fresh_checkpoint and fired:
-        out_fs, out_path = fsio.url_to_fs(out_dir)
-        max_id = max(fired)
-        for entry in out_fs.ls(out_path, detail=False):
-            name = str(entry).rstrip("/").rsplit("/", 1)[-1]
-            if name.startswith("batch_id="):
-                try:
-                    bid = int(name.split("=", 1)[1])
-                except ValueError:
-                    continue
-                if bid > max_id:
-                    out_fs.rm(entry, recursive=True)
+        from doc2dataset_spark.streaming.util import sweep_stale_batches
+
+        sweep_stale_batches(out_dir, max(fired))
 
 
 def cms_merge(spark: SparkSession, out_dir: str) -> DataFrame:
