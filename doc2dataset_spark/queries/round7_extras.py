@@ -1,0 +1,298 @@
+"""Round-7 coverage extras: two more canonical TPC-H plans and three
+corpus-curation accounting ops a training-data run needs, each with an
+exact DuckDB oracle.
+
+- ``q48_tpch_q10``           returned-item revenue report: 4-way join,
+                             grouped decimal sum, global top-20.
+- ``q49_tpch_q18``           large-volume orders: aggregate-HAVING
+                             derived table joined back to orders —
+                             the classic "semi-join on an agg" plan.
+- ``curriculum_length_buckets`` decile bucketing by EXACT percentile
+                             cutoffs computed once and broadcast — the
+                             scale-safe replacement for ntile()'s
+                             global-sort window (which the registry
+                             plan gate bans).
+- ``corpus_source_overlap``  source×source shared-head-fingerprint
+                             contamination matrix — which sources
+                             duplicate each other, the planning input
+                             for cross-source dedup priorities.
+- ``text_lang_fertility``    per-language tokenizer fertility
+                             (chars/token) and volume accounting.
+
+Scale notes in each docstring; no global sorts, no unpartitioned
+windows, every join either broadcast-dim or bounded-key equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import dsum, query, sql_dsum
+from doc2dataset_spark.queries.pipeline_extras import HEAD_WORDS
+from doc2dataset_spark.queries.textops import _DTOKS, _TOKS
+from doc2dataset_spark.session import load_table
+
+Q48_START = "1995-07-01"
+Q48_END = "1995-10-01"
+Q48_TOPK = 20
+Q49_MIN_QTY = 150
+N_BUCKETS = 10
+_PCTS = [i / N_BUCKETS for i in range(1, N_BUCKETS)]  # 0.1 .. 0.9
+_PCTS_SQL = ", ".join(str(p) for p in _PCTS)
+
+
+@query(
+    "q48_tpch_q10",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "revenue")},
+           round(c.c_acctbal, 2) AS c_acctbal
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{Q48_START}'
+      AND o.o_orderdate < TIMESTAMP '{Q48_END}'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT {Q48_TOPK}
+    """,
+    tags=("sql", "tpch"),
+)
+def q48_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting, adapted to the shipped
+    columns): top-20 customers by revenue on returned lineitems in a
+    quarter. The canonical fact⋈fact⋈dim⋈dim report plan.
+
+    Scale shape: the date window prunes orders and the returnflag
+    literal prunes lineitem AT THE SCAN; the l⋈o join shuffles on
+    orderkey, customer/nation broadcast after filtering; the grouped sum
+    is decimal-exact (order-independent) and the top-20 is
+    TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q48_START)
+        & (F.col("o_orderdate") < Q48_END)
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(Q48_TOPK)
+    )
+
+
+@query(
+    "q49_tpch_q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity)::BIGINT AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > {Q49_MIN_QTY}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+           round(o.o_totalprice, 2) AS o_totalprice,
+           b.total_qty
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("sql", "tpch"),
+)
+def q49_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose lineitems total
+    more than Q49_MIN_QTY units, joined back to order and customer
+    detail — the aggregate-derived-table semi-join plan (GROUP BY +
+    HAVING feeding a join, not a correlated subquery per row).
+
+    Scale shape: the quantity aggregate is map-side combinable on the
+    natural lineitem key (l_orderkey — bounded rows per key), its
+    HAVING output is a tiny fraction of orders (AQE broadcast-eligible),
+    and both detail joins are key-equi. l_quantity is integral in the
+    data, so the BIGINT total is exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") > Q49_MIN_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "o_orderdate"
+            ),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "curriculum_length_buckets",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_DTOKS})::BIGINT AS n_tokens FROM documents
+      WHERE len({_DTOKS}) > 0
+    ), cuts AS (
+      SELECT quantile_cont(n_tokens, [{_PCTS_SQL}]) AS cs FROM t
+    )
+    SELECT doc_id, n_tokens,
+           (len(list_filter(cuts.cs, c -> n_tokens > c)) + 1)::INT
+             AS bucket
+    FROM t CROSS JOIN cuts
+    """,
+    tags=("curation", "documents", "sampling"),
+)
+def curriculum_length_buckets(spark, sf_dir):
+    """Curriculum / length-stratified bucketing: every document assigned
+    to one of N_BUCKETS deciles of the token-length distribution — the
+    stratification key behind length-curriculum schedules and
+    bucket-balanced batch sampling.
+
+    The naive spelling is ``ntile(10) OVER (ORDER BY n_tokens)`` — a
+    global-sort single-partition window, exactly what the registry plan
+    gate bans. The scale-safe plan computes the 9 exact interpolated
+    percentile cutoffs ONCE (scalar aggregate, partial-merged), then
+    assigns buckets row-locally against the broadcast 1-row cutoff
+    array: zero global sort, one tiny shuffle for the cutoff agg, one
+    codegen stage for assignment. (Semantics differ from ntile only on
+    ties/equal-count guarantees — cutoff-bucketing is the one that's
+    actually wanted for curricula, since equal VALUES land in equal
+    buckets.) Spark `percentile` == DuckDB `quantile_cont` (both
+    interpolate at rank (n-1)p — the agg_percentiles precedent)."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(F.expr(_TOKS)).cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    pcts = ", ".join(str(p) for p in _PCTS)
+    cuts = t.agg(
+        F.expr(f"percentile(n_tokens, array({pcts}))").alias("cs")
+    )
+    return t.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.size(F.expr("filter(cs, c -> n_tokens > c)")) + 1
+        ).cast("int").alias("bucket"),
+    )
+
+
+@query(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH fp AS (
+      SELECT DISTINCT
+             md5(array_to_string({_DTOKS}[1:{HEAD_WORDS}], ' ')) AS fp,
+             source
+      FROM documents WHERE len({_DTOKS}) > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*)::BIGINT AS shared_heads
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    tags=("dedup", "documents", "accounting"),
+)
+def corpus_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: for every source pair, how
+    many distinct head-fingerprints they share — the measurement that
+    decides cross-source dedup priorities (dedup_cross_source) and
+    flags a source as a re-crawl of another.
+
+    Scale shape: fingerprints are row-local md5s; the distinct
+    (fp, source) frame is corpus-bounded; the pair join is an equi-join
+    on fp whose per-key fan-out is bounded by the source count (≤ S rows
+    per fingerprint after distinct), so worst-case join output is
+    S²/2 per fingerprint — a parameter, not data."""
+    fp = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.expr(_TOKS)) > 0)
+        .select(
+            F.md5(
+                F.expr(f"array_join(slice({_TOKS}, 1, {HEAD_WORDS}), ' ')")
+            ).alias("fp"),
+            "source",
+        )
+        .distinct()
+    )
+    a = fp.alias("a")
+    b = fp.select(
+        F.col("fp").alias("fp_b"), F.col("source").alias("source_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("fp") == F.col("fp_b"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count("*").alias("shared_heads"))
+    )
+
+
+@query(
+    "text_lang_fertility",
+    oracle=f"""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(len({_DTOKS}))::BIGINT AS n_tokens,
+           sum(n_chars)::BIGINT AS total_chars,
+           round(sum(n_chars)::DOUBLE
+                 / greatest(sum(len({_DTOKS})), 1), 4) AS chars_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "documents", "accounting"),
+)
+def text_lang_fertility(spark, sf_dir):
+    """Per-language tokenizer-fertility accounting: docs, tokens, chars,
+    and chars/token per language — the table that calibrates per-language
+    token budgets (fertility differences are why 'equal bytes' is not
+    'equal tokens' across languages).
+
+    Scale shape: one map-side-combinable aggregate keyed by lang (all
+    inputs integral, ratio derived post-agg from exact sums — bit-equal
+    on both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.expr(_TOKS))).cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum("n_chars").cast("double")
+            / F.greatest(F.sum(F.size(F.expr(_TOKS))), F.lit(1)),
+            4,
+        ).alias("chars_per_token"),
+    )
