@@ -296,3 +296,93 @@ def text_lang_fertility(spark, sf_dir):
             4,
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced diversity sampling
+# ---------------------------------------------------------------------------
+CLUSTER_CAP = 25  # max docs kept per embedding cell
+
+
+@query(
+    "sample_cluster_balanced",
+    oracle=None,  # set below (needs the shared _IVF_ASSIGN_DUCK import)
+    tags=("sampling", "embeddings", "documents", "curation"),
+)
+def sample_cluster_balanced(spark, sf_dir):
+    """Diversity sampling: cap the corpus at CLUSTER_CAP documents per
+    embedding cell, keeping the highest-quality docs (distinct-token
+    fraction in ppm — integer, engine-exact) with doc_id tiebreak. The
+    SemDeDup-adjacent recipe for flattening over-represented semantic
+    modes without dropping rare ones.
+
+    Scale shape: cell assignment is the shared 16-row-broadcast argmax
+    (dedup.cell_assignments). A naive per-cell rank is a window over
+    cent_id — K=16 partitions means corpus/16 rows through ONE task's
+    sort at 100 TB. This plan is the exact TWO-PHASE top-k instead:
+    a local top-CAP per (cell, input partition) — any global winner is
+    necessarily a local winner — then the final per-cell rank sees at
+    most P×CAP rows per cell. Both windows are bounded; no
+    corpus-scale sort anywhere."""
+    from doc2dataset_spark.queries.dedup import cell_assignments
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (
+            F.expr(f"CAST(1000000 * size(array_distinct({_TOKS})) AS BIGINT)")
+            / F.size(F.expr(_TOKS))
+        ).cast("bigint").alias("quality_ppm"),
+    ).filter(F.size(F.expr(_TOKS)) > 0)
+    assigned = (
+        cell_assignments(spark, sf_dir)
+        .select(F.col("vec_id").alias("doc_id"), "cent_id")
+        .join(d, "doc_id")
+    )
+    part = assigned.withColumn("pid", F.spark_partition_id())
+    w_local = W.partitionBy("cent_id", "pid").orderBy(
+        F.desc("quality_ppm"), "doc_id"
+    )
+    local = (
+        part.withColumn("rn", F.row_number().over(w_local))
+        .filter(F.col("rn") <= CLUSTER_CAP)
+        .drop("rn", "pid")
+    )
+    w_final = W.partitionBy("cent_id").orderBy(
+        F.desc("quality_ppm"), "doc_id"
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= CLUSTER_CAP)
+        .select("doc_id", "cent_id", "quality_ppm", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def _set_cluster_balanced_oracle() -> None:
+    from doc2dataset_spark.queries.core import REGISTRY as _reg
+    from doc2dataset_spark.queries.dedup import _IVF_ASSIGN_DUCK
+
+    _reg["sample_cluster_balanced"].oracle = f"""
+    WITH {_IVF_ASSIGN_DUCK},
+    d AS (
+      SELECT doc_id,
+             (1000000 * len(list_distinct({_DTOKS})))
+               // len({_DTOKS}) AS quality_ppm
+      FROM documents WHERE len({_DTOKS}) > 0
+    ),
+    j AS (
+      SELECT a.vec_id AS doc_id, a.cent_id, d.quality_ppm
+      FROM assign a JOIN d ON d.doc_id = a.vec_id
+    )
+    SELECT doc_id, cent_id, quality_ppm, rk FROM (
+      SELECT doc_id, cent_id, quality_ppm,
+             row_number() OVER (
+               PARTITION BY cent_id
+               ORDER BY quality_ppm DESC, doc_id
+             )::INT AS rk
+      FROM j
+    ) WHERE rk <= {CLUSTER_CAP}
+    """
+
+
+_set_cluster_balanced_oracle()
