@@ -55,6 +55,19 @@ def main() -> None:
         print(name)
         REGISTRY[name].builder(spark, sf_dir).show(5)
 
+    # 5. (round 7) the persisted inverted index: build once, probe with a
+    # bucket-pruned postings read — identical ranking to the corpus scan
+    from doc2dataset_spark.operators.text_index import (
+        build_text_index,
+        probe_text_index,
+    )
+    from doc2dataset_spark.queries.search_extras import QUERY_TERMS
+
+    text_dir = tempfile.mkdtemp(prefix="text_index_")
+    build_text_index(spark, sf_dir, text_dir)
+    print(f"inverted index built at {text_dir}; probe {QUERY_TERMS}:")
+    probe_text_index(spark, text_dir, list(QUERY_TERMS), topk=5).show()
+
 
 if __name__ == "__main__":
     main()
