@@ -386,3 +386,49 @@ def _set_cluster_balanced_oracle() -> None:
 
 
 _set_cluster_balanced_oracle()
+
+
+# ---------------------------------------------------------------------------
+# index-served IVF ANN: the persisted-vector-index serve path, driver-hashed
+# ---------------------------------------------------------------------------
+@query(
+    "sim_ann_ivf_indexed",
+    oracle=None,  # set below: identical to sim_ann_ivf by design
+    tags=("similarity", "embeddings", "index"),
+)
+def sim_ann_ivf_indexed(spark, sf_dir):
+    """sim_ann_ivf served from the PERSISTED IVF index
+    (operators/vector_index.py): centroids + cell-partitioned postings
+    are read from parquet written once at build time; each query reads
+    only its probed cells' partitions. Identical oracle — the
+    quantization rule and scoring math are shared — so the driver
+    hash-verifies index-served == in-query ANN (the search_bm25_indexed
+    discipline applied to vectors). Reuses curate_corpus_indexed's
+    mtime-keyed cached index (same artifact)."""
+    from doc2dataset_spark.fsio import url_to_fs
+    from doc2dataset_spark.operators.vector_index import (
+        _centroids_path,
+        build_ivf_index,
+        probe_ivf_index,
+    )
+    from doc2dataset_spark.queries.dedup import normalized_embeddings
+    from doc2dataset_spark.queries.pipeline_extras import _cached_index_dir
+    from doc2dataset_spark.queries.scale import IVF_TOP_K
+
+    idx = _cached_index_dir(sf_dir)
+    fs, _ = url_to_fs(idx)
+    if not fs.exists(_centroids_path(idx)):
+        build_ivf_index(spark, sf_dir, idx)
+    queries_df = normalized_embeddings(spark, sf_dir).select(
+        F.col("vec_id").alias("qid"), F.col("ne").alias("qne")
+    )
+    return probe_ivf_index(spark, idx, queries_df, nprobe=1, topk=IVF_TOP_K)
+
+
+def _set_ivf_indexed_oracle() -> None:
+    from doc2dataset_spark.queries.core import REGISTRY as _reg
+
+    _reg["sim_ann_ivf_indexed"].oracle = _reg["sim_ann_ivf"].oracle
+
+
+_set_ivf_indexed_oracle()
