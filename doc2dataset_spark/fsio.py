@@ -252,3 +252,26 @@ def read_parquet_dir(dir_path: str):
         with fs.open(p, "rb") as fh:
             tables.append(pq.read_table(fh))
     return pa.concat_tables(tables, promote_options="default")
+
+
+def ensure_local_cache_dir(target: str, marker: str, build) -> str:
+    """Build-once local cache with atomic publication.
+
+    If ``target/marker`` exists, the cache is ready. Otherwise ``build``
+    is invoked against a uuid-suffixed sibling, which is then atomically
+    ``os.rename``d into place — two processes racing (e.g. bench and the
+    correctness mirror sharing a /tmp index cache) each build privately
+    and exactly one rename wins; the loser discards its copy. Local
+    paths only (the caches live in tempdir by construction)."""
+    import uuid as _uuid
+
+    if os.path.exists(os.path.join(target, marker)):
+        return target
+    tmp = f"{target}.build-{_uuid.uuid4().hex}"
+    build(tmp)
+    try:
+        os.rename(tmp, target)
+    except OSError:
+        # another builder won the race between our check and rename
+        shutil.rmtree(tmp, ignore_errors=True)
+    return target

@@ -539,16 +539,14 @@ def curate_corpus_indexed(spark, sf_dir):
     pure reads. Scale shape: identical to curate_corpus minus the
     per-run quantization pass — the postings scan is cell-partitioned
     parquet."""
-    from doc2dataset_spark.fsio import url_to_fs
-    from doc2dataset_spark.operators.vector_index import (
-        _centroids_path,
-        build_ivf_index,
-    )
+    from doc2dataset_spark.fsio import ensure_local_cache_dir
+    from doc2dataset_spark.operators.vector_index import build_ivf_index
 
-    idx = _cached_index_dir(sf_dir)
-    fs, _ = url_to_fs(idx)
-    if not fs.exists(_centroids_path(idx)):
-        build_ivf_index(spark, sf_dir, idx)
+    idx = ensure_local_cache_dir(
+        _cached_index_dir(sf_dir),
+        "centroids",
+        lambda tmp: build_ivf_index(spark, sf_dir, tmp),
+    )
     return _curate_corpus_plan(spark, sf_dir, index_dir=idx)
 
 

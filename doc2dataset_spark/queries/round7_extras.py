@@ -405,9 +405,8 @@ def sim_ann_ivf_indexed(spark, sf_dir):
     hash-verifies index-served == in-query ANN (the search_bm25_indexed
     discipline applied to vectors). Reuses curate_corpus_indexed's
     mtime-keyed cached index (same artifact)."""
-    from doc2dataset_spark.fsio import url_to_fs
+    from doc2dataset_spark.fsio import ensure_local_cache_dir
     from doc2dataset_spark.operators.vector_index import (
-        _centroids_path,
         build_ivf_index,
         probe_ivf_index,
     )
@@ -415,10 +414,11 @@ def sim_ann_ivf_indexed(spark, sf_dir):
     from doc2dataset_spark.queries.pipeline_extras import _cached_index_dir
     from doc2dataset_spark.queries.scale import IVF_TOP_K
 
-    idx = _cached_index_dir(sf_dir)
-    fs, _ = url_to_fs(idx)
-    if not fs.exists(_centroids_path(idx)):
-        build_ivf_index(spark, sf_dir, idx)
+    idx = ensure_local_cache_dir(
+        _cached_index_dir(sf_dir),
+        "centroids",
+        lambda tmp: build_ivf_index(spark, sf_dir, tmp),
+    )
     queries_df = normalized_embeddings(spark, sf_dir).select(
         F.col("vec_id").alias("qid"), F.col("ne").alias("qne")
     )

@@ -501,17 +501,17 @@ def search_bm25_indexed(spark, sf_dir):
     driver hash-verifies that index-served ranking equals the corpus-
     scan ranking. First call per corpus builds the index into an
     mtime-keyed temp cache; subsequent calls are pure bucket reads."""
-    from doc2dataset_spark.fsio import url_to_fs
+    from doc2dataset_spark.fsio import ensure_local_cache_dir
     from doc2dataset_spark.operators.text_index import (
-        _stats_path,
         build_text_index,
         probe_text_index,
     )
 
-    idx = _cached_text_index_dir(sf_dir)
-    fs, _ = url_to_fs(idx)
-    if not fs.exists(_stats_path(idx)):
-        build_text_index(spark, sf_dir, idx)
+    idx = ensure_local_cache_dir(
+        _cached_text_index_dir(sf_dir),
+        "stats",
+        lambda tmp: build_text_index(spark, sf_dir, tmp),
+    )
     return probe_text_index(
         spark, idx, list(QUERY_TERMS), topk=BM25_TOPK
     )

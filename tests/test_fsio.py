@@ -210,3 +210,50 @@ def test_download_does_not_mutate_callers_config(spark, corpus, tmp_path):
         assert cfg.output_folder == "rel_out"
     finally:
         os.chdir(old)
+
+
+def test_ensure_local_cache_dir_atomic_and_race_safe(tmp_path):
+    """Build-once semantics: first call builds and publishes atomically;
+    a second call is a no-op read; a racing builder that loses the
+    rename discards its private copy without clobbering the winner."""
+    import os
+
+    from doc2dataset_spark.fsio import ensure_local_cache_dir
+
+    target = str(tmp_path / "cache")
+    calls = []
+
+    def build(tmp):
+        calls.append(tmp)
+        os.makedirs(os.path.join(tmp, "marker"))
+        with open(os.path.join(tmp, "marker", "v"), "w") as fh:
+            fh.write("first")
+
+    assert ensure_local_cache_dir(target, "marker", build) == target
+    assert open(os.path.join(target, "marker", "v")).read() == "first"
+    assert len(calls) == 1
+
+    # ready cache: build not invoked again
+    ensure_local_cache_dir(target, "marker", build)
+    assert len(calls) == 1
+
+    # simulate a racing loser: target already exists when rename fires
+    def build_loser(tmp):
+        os.makedirs(os.path.join(tmp, "marker"))
+        with open(os.path.join(tmp, "marker", "v"), "w") as fh:
+            fh.write("loser")
+
+    # force the race by removing the marker so the builder runs, but the
+    # target dir itself still exists non-empty -> rename must fail
+    ensure_local_cache_dir(target + "_x", "marker", build)
+    os.rename(target + "_x", target + "_y")
+    os.makedirs(target + "_x")
+    with open(os.path.join(target + "_x", "occupied"), "w") as fh:
+        fh.write("winner-was-here")
+    ensure_local_cache_dir(target + "_x", "marker", build_loser)
+    # winner's content intact, loser's private dir cleaned up
+    assert os.path.exists(os.path.join(target + "_x", "occupied"))
+    leftovers = [
+        d for d in os.listdir(tmp_path) if ".build-" in d
+    ]
+    assert leftovers == []
