@@ -235,6 +235,21 @@ def test_curate_corpus_embedding_stage_stays_blocked(spark, sf_dir):
     assert reuse >= 1, "curate_corpus assign subtree executed twice"
 
 
+def test_salted_join_is_shuffle_not_broadcast(spark, sf_dir):
+    """join_salted_replicated exists to demonstrate salt-replication for
+    skewed keys — a broadcast would mask the pattern entirely. The join
+    must shuffle on the compound (source, salt) key."""
+    plan = plan_of(spark, "join_salted_replicated", sf_dir)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # formatted mode prints join keys in the detail section
+    key_lines = [
+        l for l in plan.splitlines()
+        if "Left keys" in l or "Right keys" in l
+    ]
+    assert key_lines and all("salt" in l for l in key_lines), key_lines
+
+
 def _iter_plan_nodes(node):
     yield node
     for i in range(node.children().size()):
