@@ -96,6 +96,15 @@ def search_bm25_topk(spark, sf_dir):
     merges 20·P rows — never a single-partition window over every
     matching doc (for stopword-ish terms that would be corpus-scale
     through ONE task)."""
+    scored = _bm25_scored(spark, sf_dir)
+    return scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOPK)
+
+
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, score, n_terms) for every document matching any of
+    QUERY_TERMS — the BM25 scored frame before the top-k cut. Shared by
+    search_bm25_topk and the hybrid-RRF fusion (which needs a deeper
+    candidate cut than the query's top-20)."""
     d = load_table(spark, sf_dir, "documents").repartition(
         compute_parallelism(spark), "doc_id"
     )
@@ -117,7 +126,7 @@ def search_bm25_topk(spark, sf_dir):
     denom = F.col("tf") + BM25_K1 * (
         1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
@@ -129,7 +138,6 @@ def search_bm25_topk(spark, sf_dir):
             F.count("*").alias("n_terms"),
         )
     )
-    return scored.orderBy(F.desc("score"), "doc_id").limit(BM25_TOPK)
 
 
 @query(

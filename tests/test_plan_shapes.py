@@ -271,7 +271,12 @@ def test_registry_wide_no_unpartitioned_window(spark, sf_dir):
     top-k); share-of-total must be a broadcast scalar cross-join. The
     whitelist is EMPTY by construction — add to it only with a written
     boundedness argument."""
-    whitelist: set[str] = set()
+    # Whitelisted ONLY with a written boundedness argument:
+    # - search_hybrid_rrf: its two rank windows run AFTER a limit(200) —
+    #   the input is a TakeOrdered result already in one partition of at
+    #   most 200 rows (a query parameter), so no corpus-scale data can
+    #   ever reach them.
+    whitelist: set[str] = {"search_hybrid_rrf"}
     offenders = {}
     for name, spec in REGISTRY.items():
         if name in whitelist:
