@@ -73,6 +73,9 @@ HEADLINE = [
     # round-7 ops
     "curate_corpus_indexed",     # curation chain served from persisted IVF
     "text_pmi_pairs",            # PMI collocations (TakeOrdered top-k cuts)
+    "sim_ann_hyperplane_multi",  # L=4-table OR-amplified LSH
+    "search_bm25_indexed",       # BM25 served from the persisted inverted index
+    "search_hybrid_rrf",         # lexical+semantic reciprocal-rank fusion
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

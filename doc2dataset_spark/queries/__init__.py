@@ -62,6 +62,11 @@ from doc2dataset_spark.queries import curation_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import sql_surface  # noqa: F401, E402
 from doc2dataset_spark.queries import corpus_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import search_extras  # noqa: F401, E402
+
+# round-7 modules (all post-gate): multi-table OR-amplified hyperplane
+# LSH + its recall eval; TPC-H Q10/Q18, percentile-cutoff curriculum
+# buckets, source-overlap matrix, language fertility, cluster-balanced
+# sampling, index-served IVF probe, salted replicated join, hybrid RRF
 from doc2dataset_spark.queries import ann_multilsh  # noqa: F401, E402
 from doc2dataset_spark.queries import round7_extras  # noqa: F401, E402
 
