@@ -82,6 +82,14 @@ def build_text_index(
 
 
 def _write_index(docs: DataFrame, index_dir: str, batch_id: int) -> None:
+    """One batch's postings + doclen partitions, then a stats refresh.
+
+    INCREMENTAL by construction: postings and doclen are aggregated from
+    THIS batch's token stream only (doc_ids are disjoint across batches
+    — the append contract — so per-batch doclen partitions concatenate
+    to the exact corpus doclen). Only the stats refresh reads persisted
+    state, and it reads DOCLEN (1 row per document), never the postings
+    — an append touches O(batch + n_docs), not O(index)."""
     tok = _tokenize(docs)
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     (
@@ -92,12 +100,22 @@ def _write_index(docs: DataFrame, index_dir: str, batch_id: int) -> None:
         .partitionBy("batch_id", "tb")
         .parquet(_postings_path(index_dir))
     )
-    spark = docs.sparkSession
-    # doclen/stats derive from the FULL persisted postings (all batches),
-    # so incremental appends keep them exact
-    post = spark.read.parquet(_postings_path(index_dir))
-    dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dl.write.mode("overwrite").parquet(_doclen_path(index_dir))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    (
+        dl.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(_doclen_path(index_dir))
+    )
+    refresh_index_stats(docs.sparkSession, index_dir)
+
+
+def refresh_index_stats(spark: SparkSession, index_dir: str) -> None:
+    """Rewrite the 1-row corpus stats from the full doclen directory
+    (1 row per document — corpus-linear in DOCS, independent of postings
+    size). Also the recovery hook after a stale-batch sweep."""
+    dl = spark.read.parquet(_doclen_path(index_dir))
     stats = dl.agg(
         F.count("*").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
@@ -109,9 +127,13 @@ def append_to_text_index(
     spark: SparkSession, new_docs: DataFrame, index_dir: str, batch_id: int = 1
 ) -> None:
     """Incremental index update: tokenize ONLY the new documents, land
-    their postings under ``batch_id=<n>/tb=<b>`` (dynamic overwrite — a
-    replayed batch rewrites exactly its own partitions), then rebuild
-    doclen/stats from the full postings so df/avgdl stay exact.
+    their postings under ``batch_id=<n>/tb=<b>`` and their doclen rows
+    under ``batch_id=<n>`` (dynamic overwrite — a replayed batch
+    rewrites exactly its own partitions), then refresh the 1-row stats
+    from the doclen directory. df is never materialized (the probe
+    derives it from pruned postings), so an append costs O(batch) work
+    plus a doc-count-linear stats pass — the full postings are never
+    re-read.
 
     ``new_docs``: (doc_id, text) with doc_ids disjoint from the indexed
     corpus (the caller's contract, same as vector-index append)."""
@@ -142,7 +164,7 @@ def probe_text_index(
         .select("doc_id", "term", "tf")
     )
     df = post.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    dl = spark.read.parquet(_doclen_path(index_dir))
+    dl = spark.read.parquet(_doclen_path(index_dir)).select("doc_id", "dl")
     stats = spark.read.parquet(_stats_path(index_dir))
     idf = F.log(
         (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0

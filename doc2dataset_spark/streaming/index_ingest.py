@@ -132,23 +132,15 @@ def run_text_index_ingest(
     q.processAllAvailable()
     q.stop()
     if fresh_checkpoint and fired:
-        sweep_stale_batches(_text_postings(index_dir), max(fired) + 1)
-        # doclen/stats were derived from postings that included the stale
-        # partitions — rebuild them from the swept postings
-        spark = docs_stream.sparkSession
-        from pyspark.sql import functions as F
-
-        post = spark.read.parquet(_text_postings(index_dir))
         from doc2dataset_spark.operators.text_index import (
             _doclen_path,
-            _stats_path,
+            refresh_index_stats,
         )
 
-        dl = post.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        dl.write.mode("overwrite").parquet(_doclen_path(index_dir))
-        dl_saved = spark.read.parquet(_doclen_path(index_dir))
-        dl_saved.agg(
-            F.count("*").alias("n"),
-            (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        ).write.mode("overwrite").parquet(_stats_path(index_dir))
+        # stale partitions exist in BOTH batch-partitioned artifacts
+        sweep_stale_batches(_text_postings(index_dir), max(fired) + 1)
+        sweep_stale_batches(_doclen_path(index_dir), max(fired) + 1)
+        # stats were refreshed from a doclen that included the stale
+        # batches — refresh again from the swept directory
+        refresh_index_stats(docs_stream.sparkSession, index_dir)
     return q
