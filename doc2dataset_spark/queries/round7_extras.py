@@ -327,12 +327,15 @@ def sample_cluster_balanced(spark, sf_dir):
     from doc2dataset_spark.queries.dedup import cell_assignments
     from pyspark.sql import Window as W
 
+    # integer DIV end-to-end: the oracle uses exact // and a float
+    # intermediate can shift the ppm by 1 via double rounding (the
+    # sample_mixture_rebalance lesson from the round-6 advisory)
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        (
-            F.expr(f"CAST(1000000 * size(array_distinct({_TOKS})) AS BIGINT)")
-            / F.size(F.expr(_TOKS))
-        ).cast("bigint").alias("quality_ppm"),
+        F.expr(
+            f"CAST(1000000 * size(array_distinct({_TOKS})) AS BIGINT)"
+            f" DIV size({_TOKS})"
+        ).alias("quality_ppm"),
     ).filter(F.size(F.expr(_TOKS)) > 0)
     assigned = (
         cell_assignments(spark, sf_dir)
