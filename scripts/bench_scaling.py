@@ -182,6 +182,16 @@ HEAVY_R7 = [
     "curate_corpus", "curate_corpus_indexed", "sim_ann_hyperplane_multi",
 ]
 
+# round-7 new query set: slope data vs DuckDB at the shipped SFs
+ROUND7_SET = [
+    "q48_tpch_q10", "q49_tpch_q18", "curriculum_length_buckets",
+    "corpus_source_overlap", "text_lang_fertility",
+    "sample_cluster_balanced", "join_salted_replicated",
+    "search_hybrid_rrf", "sim_ann_hyperplane_multi",
+    "ann_hyperplane_multi_recall", "search_bm25_indexed",
+    "sim_ann_ivf_indexed",
+]
+
 
 def run_heavy6(spark, sf_dir: str, names: list[str] | None = None) -> None:
     """Heavy-set wall time + per-query shuffle/spill deltas."""
@@ -286,6 +296,9 @@ def main() -> None:
             run_set(spark, ROUND6_SET, sf_dir, with_duck=True)
         if os.path.exists(BIG1_DIR):
             run_set(spark, ROUND6_SET, BIG1_DIR, with_duck=False)
+    elif mode == "round7":
+        for sf_dir in SHIPPED:
+            run_set(spark, ROUND7_SET, sf_dir, with_duck=True)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 

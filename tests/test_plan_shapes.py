@@ -235,6 +235,24 @@ def test_curate_corpus_embedding_stage_stays_blocked(spark, sf_dir):
     assert reuse >= 1, "curate_corpus assign subtree executed twice"
 
 
+def test_round7_tpch_plans(spark, sf_dir):
+    """q48 (Q10): both filters reach their scans, the top-20 is a
+    TakeOrderedAndProject, nation broadcasts. q49 (Q18): the quantity
+    aggregate map-side combines (two HashAggregate levels) and no
+    cartesian appears."""
+    q48 = plan_of(spark, "q48_tpch_q10", sf_dir)
+    assert "TakeOrderedAndProject" in q48
+    assert "PushedFilters" in q48
+    pushed = [l for l in q48.splitlines() if "PushedFilters" in l]
+    assert any("l_returnflag" in l and "R" in l for l in pushed), pushed
+    assert any("o_orderdate" in l for l in pushed), pushed
+    assert "BroadcastHashJoin" in q48
+
+    q49 = plan_of(spark, "q49_tpch_q18", sf_dir)
+    assert q49.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in q49
+
+
 def test_salted_join_is_shuffle_not_broadcast(spark, sf_dir):
     """join_salted_replicated exists to demonstrate salt-replication for
     skewed keys — a broadcast would mask the pattern entirely. The join
