@@ -664,3 +664,68 @@ def _set_hybrid_oracle() -> None:
 
 
 _set_hybrid_oracle()
+
+
+# ---------------------------------------------------------------------------
+# one-pass column profiling (the SUMMARIZE / data-profiling workload)
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ["doc_id", "lang", "source", "n_chars"]
+
+
+@query(
+    "profile_documents",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           count(*)::BIGINT AS n_rows,
+           (count(*) - count({c}))::BIGINT AS n_null,
+           count(DISTINCT {c})::BIGINT AS n_distinct,
+           min({c})::VARCHAR AS min_str,
+           max({c})::VARCHAR AS max_str
+    FROM documents"""
+        for c in _PROFILE_COLS
+    ),
+    tags=("quality", "documents", "profiling"),
+)
+def profile_documents(spark, sf_dir):
+    """Column profiling in ONE scan: per-column row/null/exact-distinct
+    counts and min/max (stringified for a uniform schema) — the
+    SUMMARIZE / data-contract baseline a quality dashboard reads.
+
+    Scale shape: a single wide aggregate computes every column's
+    profile in one pass (Catalyst plans the multiple exact DISTINCTs via
+    one Expand — one shuffle, rows×|cols| expanded but map-side
+    combined), then a literal-keyed stack reshapes the 1-row result into
+    one row per column — no per-column re-scan, no second pass over the
+    data. text is profiled via the quality/fertility queries instead
+    (distinct-count on a long text column is a hash of the whole corpus
+    — wasteful next to the fingerprint ops that already exist)."""
+    d = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__n"),
+            (F.count("*") - F.count(c)).alias(f"{c}__null"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = d.agg(*aggs)
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"{c}__n").alias("n_rows"),
+                        F.col(f"{c}__null").alias("n_null"),
+                        F.col(f"{c}__dist").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_str"),
+                        F.col(f"{c}__max").alias("max_str"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*")
