@@ -729,3 +729,108 @@ def profile_documents(spark, sf_dir):
         ).alias("p")
     )
     return stacked.select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 + event path mining
+# ---------------------------------------------------------------------------
+Q50_START = "1996-01-01"
+Q50_END = "1997-01-01"
+PATH_N = 3  # event-type n-gram width
+PATH_TOPK = 20
+
+
+@query(
+    "q50_tpch_q6",
+    oracle=f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")},
+           count(*)::BIGINT AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q50_START}'
+      AND l_shipdate < TIMESTAMP '{Q50_END}'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("sql", "tpch"),
+)
+def q50_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): pure scan-filter-aggregate
+    — the query that measures pushdown + codegen with zero joins. All
+    three predicates reach the parquet scan; the sum is decimal-exact.
+
+    Scale shape: no shuffle except the 1-row final aggregate merge;
+    at 100 TB this is bounded by scan bandwidth alone."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= Q50_START)
+            & (F.col("l_shipdate") < Q50_END)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS evs
+      FROM events GROUP BY user_id
+    ), grams AS (
+      SELECT unnest(list_transform(
+               range(1, len(evs) - {PATH_N} + 2),
+               i -> array_to_string(evs[i:i + {PATH_N} - 1], '>')
+             )) AS path
+      FROM seq WHERE len(evs) >= {PATH_N}
+    )
+    SELECT path, count(*)::BIGINT AS n FROM grams
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT {PATH_TOPK}
+    """,
+    tags=("events", "analytics", "paths"),
+)
+def events_top_paths(spark, sf_dir):
+    """User-journey path mining: the PATH_TOPK most common length-PATH_N
+    event-type sequences across per-user ordered streams — the
+    "what do users do before X" table behind funnel design.
+
+    Scale shape: per-user state is bounded by that user's event count
+    (collect_list keyed by user_id — same bound every sessionization
+    op carries); n-grams explode row-locally from the collected array;
+    the count is map-side combinable on the path string (≤ |types|^N
+    distinct keys — a parameter); the top-k is TakeOrderedAndProject.
+    Ordering inside a user is (ts, event_id) — a total order, so both
+    engines build identical sequences."""
+    ev = load_table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id,"
+                " event_type))), s -> s.event_type)"
+            ).alias("evs")
+        )
+        .filter(F.size("evs") >= PATH_N)
+    )
+    grams = seq.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(evs) - {PATH_N}),"
+                f" i -> array_join(slice(evs, i + 1, {PATH_N}), '>'))"
+            )
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(PATH_TOPK)
+    )
