@@ -834,3 +834,116 @@ def events_top_paths(spark, sf_dir):
         .orderBy(F.desc("n"), "path")
         .limit(PATH_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered set-similarity join (AllPairs/PPJoin blocking)
+# ---------------------------------------------------------------------------
+PF_TAU = 0.9  # Jaccard threshold — the synthetic corpus shares a
+# heavy common vocabulary (tau=0.6 matches 57% of ALL pairs, which
+# would make the op an all-pairs join semantically); 0.9 keeps the
+# output the near-dup tail (~9k pairs at sf0.01) and the prefix
+# short (|set|/10 + 1 tokens), i.e. the regime the algorithm is for
+
+
+@query(
+    "dedup_prefix_filter",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, list_distinct({_DTOKS}) AS toks FROM documents
+      WHERE len({_DTOKS}) > 0
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.toks, b.toks))::DOUBLE
+               / len(list_distinct(list_concat(a.toks, b.toks))) AS jac
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, round(jac, 6) AS jaccard
+    FROM pairs WHERE jac >= {PF_TAU}
+    """,
+    tags=("dedup", "documents", "similarity"),
+)
+def dedup_prefix_filter(spark, sf_dir):
+    """Set-similarity self-join at Jaccard ≥ PF_TAU via PREFIX FILTERING
+    (the AllPairs/PPJoin family, Bayardo et al. 2007): order each
+    document's distinct tokens by GLOBAL frequency (rarest first,
+    token-string tiebreak), keep only the first
+    ⌊(1−τ)·|set|⌋+1 tokens as the "prefix" — two sets with Jaccard ≥ τ
+    MUST share at least one prefix token — and equi-join on prefix
+    tokens before the exact Jaccard verify. A third rigorously-derived
+    blocking scheme alongside shared-shingle (dedup_ngram_jaccard) and
+    MinHash banding (dedup_minhash_lsh), with a different cost profile:
+    no hashing, candidate volume driven by RARE-token collisions, which
+    is why production set-joins prefer it when frequency skew is high.
+
+    The oracle is the NAIVE all-pairs Jaccard — completeness of the
+    prefix filter IS the test (the q12b discipline).
+
+    Scale shape: global token frequencies are one map-side-combinable
+    aggregate; the frequency join back to postings is key-equi; the
+    candidate join is an equi-join on prefix tokens whose per-token
+    fan-out is the token's document frequency — and prefix tokens are
+    by construction the RAREST in each document, so fan-out is driven
+    by the small-df tail, not stopwords. Exact verify runs only on
+    candidates. No all-pairs anywhere."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.expr(_TOKS)) > 0
+    )
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(F.expr(_TOKS)).alias("toks"),
+    )
+    post = toks.select(
+        "doc_id", F.size("toks").alias("sz"), F.explode("toks").alias("t")
+    )
+    freq = post.groupBy("t").agg(F.count("*").alias("df"))
+    # rank tokens within each doc by (global df ASC, token ASC); the
+    # per-doc window partition is the document's own token set — bounded
+    ranked = post.join(freq, "t").withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy("df", "t")
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.floor((1.0 - PF_TAU) * F.col("sz")) + 1
+    ).select("doc_id", "sz", "t")
+    a = prefix.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"), "t"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"), "t"
+    )
+    cand = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size filter: |A∩B| ≤ min(|A|,|B|), so Jaccard ≥ τ requires
+        # τ·|A| ≤ |B| ≤ |A|/τ — prunes size-mismatched candidates free
+        .filter(
+            (F.col("sz_b") >= PF_TAU * F.col("sz_a"))
+            & (F.col("sz_a") >= PF_TAU * F.col("sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+                / F.size(F.array_union("toks_a", "toks_b"))
+            ).alias("jac"),
+        )
+        .filter(F.col("jac") >= PF_TAU)
+    )
+    return verified.select(
+        "id_a", "id_b", F.round("jac", 6).alias("jaccard")
+    )
