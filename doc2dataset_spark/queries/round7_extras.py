@@ -947,3 +947,61 @@ def dedup_prefix_filter(spark, sf_dir):
     return verified.select(
         "id_a", "id_b", F.round("jac", 6).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling without replacement (Efraimidis-Spirakis)
+# ---------------------------------------------------------------------------
+WS_K = 100
+
+
+@query(
+    "sample_weighted_topk",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({_DTOKS})::BIGINT AS w,
+             -- u in (0,1]: 12 md5 hex chars -> uniform integer + 1
+             (('0x' || substr(md5('ws' || doc_id::VARCHAR), 1, 12))::BIGINT
+               + 1) / 281474976710656.0 AS u
+      FROM documents WHERE len({_DTOKS}) > 0
+    ), keyed AS (
+      SELECT doc_id, w, round(-ln(u) / w, 12) AS k FROM t
+    )
+    SELECT doc_id, w, k FROM (
+      SELECT doc_id, w, k,
+             row_number() OVER (ORDER BY k, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= {WS_K}
+    """,
+    tags=("sampling", "documents"),
+)
+def sample_weighted_topk(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement, k=WS_K, weight = token
+    count — the Efraimidis-Spirakis A-ES algorithm: each row draws
+    key = −ln(u)/w (u uniform) and the k SMALLEST keys are an exact
+    weighted sample. The distributed-sampling workhorse: key assignment
+    is row-local, selection is a top-k — no sequential pass, no global
+    RNG state. Here u is derandomized from md5(doc_id) (the
+    sample_deterministic discipline), so the sample is reproducible on
+    any engine, any partitioning, any run — and DuckDB can oracle it
+    bit-exactly (ln on identical doubles, round-12 on the key).
+
+    Scale shape: one row-local projection + TakeOrderedAndProject;
+    zero shuffle beyond the top-k merge."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.expr(_TOKS)) > 0
+    )
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat('ws', cast(doc_id AS string))),"
+            " 1, 12), 16, 10) AS bigint)"
+        )
+        + 1
+    ) / F.lit(281474976710656.0)  # 16^12
+    keyed = d.select(
+        "doc_id",
+        F.size(F.expr(_TOKS)).cast("bigint").alias("w"),
+        F.round(-F.log(u) / F.size(F.expr(_TOKS)), 12).alias("k"),
+    )
+    return keyed.orderBy("k", "doc_id").limit(WS_K)
