@@ -1005,3 +1005,68 @@ def sample_weighted_topk(spark, sf_dir):
         F.round(-F.log(u) / F.size(F.expr(_TOKS)), 12).alias("k"),
     )
     return keyed.orderBy("k", "doc_id").limit(WS_K)
+
+
+# ---------------------------------------------------------------------------
+# per-group IQR outlier flagging (Tukey fences)
+# ---------------------------------------------------------------------------
+@query(
+    "quality_iqr_outliers",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DTOKS})::BIGINT AS n_tokens
+      FROM documents WHERE len({_DTOKS}) > 0
+    ), q AS (
+      SELECT source,
+             quantile_cont(n_tokens, 0.25) AS q1,
+             quantile_cont(n_tokens, 0.75) AS q3
+      FROM t GROUP BY source
+    )
+    SELECT t.doc_id, t.source, t.n_tokens,
+           round(q.q1 - 1.5 * (q.q3 - q.q1), 4) AS lo,
+           round(q.q3 + 1.5 * (q.q3 - q.q1), 4) AS hi,
+           (t.n_tokens < q.q1 - 1.5 * (q.q3 - q.q1)
+            OR t.n_tokens > q.q3 + 1.5 * (q.q3 - q.q1)) AS is_outlier
+    FROM t JOIN q USING (source)
+    """,
+    tags=("quality", "documents", "curation"),
+)
+def quality_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier flagging per source: documents whose token
+    count falls outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] of their OWN
+    source's length distribution — the per-stratum anomaly screen that
+    catches a broken extractor flooding one source with stubs or
+    megadocs without punishing legitimately different sources.
+
+    Scale shape: per-source exact quartiles are ONE grouped aggregate
+    (|sources| output rows — broadcast-sized), joined back broadcast;
+    flagging is row-local. The same percentile-cutoff-then-broadcast
+    recipe as curriculum_length_buckets — never a per-group sort window
+    over data rows. Fence comparison uses the UNROUNDED quantiles on
+    both engines (rounding only the displayed fence columns), so the
+    boolean is bit-stable."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.expr(_TOKS)).cast("bigint").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    q = t.groupBy("source").agg(
+        F.expr("percentile(n_tokens, 0.25)").alias("q1"),
+        F.expr("percentile(n_tokens, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return t.join(F.broadcast(q), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.round(lo, 4).alias("lo"),
+        F.round(hi, 4).alias("hi"),
+        ((F.col("n_tokens") < lo) | (F.col("n_tokens") > hi)).alias(
+            "is_outlier"
+        ),
+    )
