@@ -253,6 +253,24 @@ def test_round7_tpch_plans(spark, sf_dir):
     assert "CartesianProduct" not in q49
 
 
+def test_curriculum_buckets_no_global_sort(spark, sf_dir):
+    """The decile bucketing must be the broadcast-cutoff plan, never an
+    ntile global sort: no Sort over data rows, no Window at all, and the
+    cutoff frame joins via BroadcastNestedLoopJoin/Broadcast exchange
+    (1-row side)."""
+    plan = plan_of(spark, "curriculum_length_buckets", sf_dir)
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan  # global sort signature
+
+
+def test_profile_documents_single_pass(spark, sf_dir):
+    """The profiler must compute every column's stats in one pass: a
+    single scan of the documents table (formatted explain lists each
+    scan node once in the tree and once in detail -> count == 2)."""
+    plan = plan_of(spark, "profile_documents", sf_dir)
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+
+
 def test_salted_join_is_shuffle_not_broadcast(spark, sf_dir):
     """join_salted_replicated exists to demonstrate salt-replication for
     skewed keys — a broadcast would mask the pattern entirely. The join
