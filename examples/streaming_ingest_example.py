@@ -90,3 +90,28 @@ if __name__ == "__main__":
     )
     print("probe results:")
     probe_ivf_index(spark, index_dir, queries, nprobe=2).show()
+
+    # 4) (round 7) the SAME accepted docs also stream into the serving
+    #    inverted index — crawl -> curate -> BOTH retrieval paths live
+    from doc2dataset_spark.operators.text_index import probe_text_index
+    from doc2dataset_spark.queries.search_extras import QUERY_TERMS
+    from doc2dataset_spark.streaming.index_ingest import run_text_index_ingest
+
+    text_src = os.path.join(root, "text_arrivals")
+    (
+        spark.read.parquet(src)
+        .join(accepted.select("doc_id"), "doc_id")
+        .repartition(3)
+        .write.parquet(text_src)
+    )
+    text_index = os.path.join(root, "text_index")
+    text_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(text_src)
+    )
+    run_text_index_ingest(
+        text_stream, text_index, os.path.join(root, "ck_text")
+    )
+    print(f"BM25 over the curated text index, terms {QUERY_TERMS}:")
+    probe_text_index(spark, text_index, list(QUERY_TERMS), topk=5).show()
