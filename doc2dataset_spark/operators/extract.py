@@ -91,6 +91,16 @@ def decode_document(data: bytes) -> list[str]:
             # strip the volatile per-page id, reference `extractor.py:136-137`
             pages.append(page.get_text("xhtml").replace(' id="page0"', ""))
         return pages
+    if data.startswith(b"%PDF"):
+        # a REAL pdf in a container without the real codec: make the
+        # error name the actual cause, not "unknown format" — at fleet
+        # scale this is the difference between a misconfigured worker
+        # image being obvious in the error histogram and being buried
+        # under genuinely-corrupt documents
+        raise ValueError(
+            "cannot open document: real PDF but PyMuPDF (fitz) is not "
+            "installed (pip install -r requirements-extras.txt)"
+        )
     raise ValueError("cannot open document: unknown format")
 
 

@@ -488,3 +488,45 @@ def test_orc_sink_roundtrip(spark, corpus, tmp_path):
     assert sorted(r["key"] for r in orc.select("key").collect()) == sorted(
         r["key"] for r in pq.select("key").collect()
     )
+
+
+def test_real_pdf_without_fitz_names_the_cause(spark, tmp_path):
+    """Round-7: a REAL %PDF document hitting a container without PyMuPDF
+    must fail extraction with an error naming the missing codec — at
+    fleet scale a misconfigured worker image must be visible in the
+    error histogram, not buried under 'unknown format'. (In an
+    environment WITH fitz this same fixture extracts; the hermetic
+    container asserts the diagnostic path.)"""
+    import importlib.util
+
+    if importlib.util.find_spec("fitz") is not None:
+        pytest.skip("fitz installed: the real decode path runs instead")
+
+    # minimal valid single-page PDF, authored byte-for-byte (uncompressed
+    # content stream) — no pdf library needed to write it
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n"
+        b"2 0 obj<</Type/Pages/Kids[3 0 R]/Count 1>>endobj\n"
+        b"3 0 obj<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]"
+        b"/Contents 4 0 R>>endobj\n"
+        b"4 0 obj<</Length 44>>stream\n"
+        b"BT /F1 12 Tf 72 720 Td (Hello parity) Tj ET\n"
+        b"endstream endobj\n"
+        b"trailer<</Root 1 0 R>>\n%%EOF\n"
+    )
+    doc = tmp_path / "real.pdf"
+    doc.write_bytes(pdf)
+    urls = tmp_path / "urls.txt"
+    urls.write_text(f"file://{doc}\n")
+    cfg = DownloadConfig(
+        url_list=str(urls),
+        output_folder=str(tmp_path / "out"),
+        input_format="txt",
+        compute_hash=None,
+    )
+    rows = build_pipeline(spark, cfg).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["status"] == "failed_to_extract"
+    assert "PyMuPDF" in r["error_message"] and "fitz" in r["error_message"]
