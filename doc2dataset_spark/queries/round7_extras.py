@@ -1076,3 +1076,40 @@ def quality_iqr_outliers(spark, sf_dir):
             "is_outlier"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# lateral column aliases (Spark 3.4+ dialect surface)
+# ---------------------------------------------------------------------------
+@query(
+    "q51_lateral_alias",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1 - l_discount), 4) AS disc_price,
+           round(disc_price * (1 + l_tax), 4) AS charge,
+           round(charge - disc_price, 4) AS tax_amount
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+    tags=("sql", "dialect"),
+)
+def q51_lateral_alias(spark, sf_dir):
+    """Lateral column aliases: later SELECT expressions reference
+    earlier aliases in the same list (disc_price → charge →
+    tax_amount) — the Spark 3.4+ dialect feature that kills the
+    nested-subquery boilerplate for derived-metric chains. DuckDB
+    supports the same referencing, so the oracle is the identical
+    statement. Catalyst inlines the chain into one projection — the
+    plan is a single codegen stage over the pruned scan, alias depth
+    has no runtime cost."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_v"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 4) AS disc_price,
+               round(disc_price * (1 + l_tax), 4) AS charge,
+               round(charge - disc_price, 4) AS tax_amount
+        FROM lineitem_v WHERE l_orderkey < 100
+        """
+    )
