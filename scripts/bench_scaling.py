@@ -180,6 +180,7 @@ def _exec_metric_totals(spark) -> dict[str, int]:
 HEAVY_R7 = [
     "search_bm25_topk", "text_pmi_pairs", "text_heavy_hitters",
     "curate_corpus", "curate_corpus_indexed", "sim_ann_hyperplane_multi",
+    "search_bm25_indexed", "sim_ann_ivf_indexed",
 ]
 
 # round-7 new query set: slope data vs DuckDB at the shipped SFs
