@@ -1230,3 +1230,91 @@ def _set_scurve_oracle() -> None:
 
 
 _set_scurve_oracle()
+
+
+# ---------------------------------------------------------------------------
+# null-semantics battery
+# ---------------------------------------------------------------------------
+@query(
+    "q52_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_orderpriority END AS prio,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT coalesce(prio, '<null>') AS prio,
+           count(*)::BIGINT AS n_rows,
+           count(price)::BIGINT AS n_price,          -- count skips nulls
+           count(*) FILTER (WHERE price IS NULL)::BIGINT AS n_null_price,
+           round(sum(price), 2) AS sum_price,        -- sum skips nulls
+           sum(CASE WHEN price IS NOT DISTINCT FROM NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_nsafe
+    FROM t
+    GROUP BY prio
+    """,
+    tags=("sql", "semantics"),
+)
+def q52_null_semantics(spark, sf_dir):
+    """Null-semantics battery on one grouped aggregate: NULL group keys
+    form their OWN group (surfaced via coalesce so both engines label it
+    identically), COUNT(col)/SUM skip nulls while COUNT(*) does not,
+    FILTER counts them explicitly, and null-safe comparison
+    (Spark ``<=>`` == SQL ``IS NOT DISTINCT FROM``) treats NULL=NULL as
+    true. The contract every downstream aggregate silently depends on —
+    locked as an oracle hash so an engine upgrade that shifts null
+    grouping or null-safe-eq behavior fails loudly.
+
+    Scale shape: one pruned scan + one map-side-combinable aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    t = o.select(
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio"),
+        F.when(F.col("o_orderkey") % 11 == 0, None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+    return t.groupBy(
+        F.coalesce("prio", F.lit("<null>")).alias("prio")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count("price").alias("n_price"),
+        F.count_if(F.col("price").isNull()).alias("n_null_price"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+        F.sum(
+            F.when(F.col("price").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        ).alias("n_nsafe"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY ALL dialect + deterministic full ordering
+# ---------------------------------------------------------------------------
+@query(
+    "q53_order_by_all",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY ALL
+    """,
+    tags=("sql", "dialect"),
+)
+def q53_order_by_all(spark, sf_dir):
+    """ORDER BY ALL (Spark 4 / DuckDB dialect): order by every select
+    column left-to-right — the deterministic-output shorthand for small
+    grouped reports. The result set here is |priorities|×|statuses|
+    rows, so the global sort is over a parameter-bounded frame (the
+    driver compare is order-insensitive anyway; this query exists for
+    dialect parity, and the aggregate beneath is the scalable part)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders_v GROUP BY o_orderpriority, o_orderstatus
+        ORDER BY ALL
+        """
+    )
