@@ -1318,3 +1318,70 @@ def q53_order_by_all(spark, sf_dir):
         ORDER BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# overlapping-window chunking (the RAG / context-window splitter)
+# ---------------------------------------------------------------------------
+CHUNK_W = 64  # tokens per chunk
+CHUNK_S = 48  # stride (CHUNK_W - CHUNK_S = 16 tokens of overlap)
+
+
+@query(
+    "text_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DTOKS} AS w FROM documents WHERE len({_DTOKS}) > 0
+    )
+    SELECT doc_id, k AS chunk_no,
+           len(w[k * {CHUNK_S} + 1 : k * {CHUNK_S} + {CHUNK_W}])::INT
+             AS n_tokens,
+           md5(array_to_string(
+             w[k * {CHUNK_S} + 1 : k * {CHUNK_S} + {CHUNK_W}], ' '
+           )) AS chunk_digest
+    FROM t, unnest(range(0,
+        greatest((len(w) - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}, 0) + 1
+    )) AS u(k)
+    """,
+    tags=("text", "documents", "chunking"),
+)
+def text_chunk_windows(spark, sf_dir):
+    """Overlapping-window chunking: each document split into CHUNK_W-token
+    windows at stride CHUNK_S (16-token overlap) — the context-window
+    splitter behind RAG ingestion and fixed-length pretraining examples.
+    Emits (doc_id, chunk_no, n_tokens, md5-of-chunk) — the digest is what
+    a chunk-level dedup or an embedding pipeline keys on.
+
+    Chunk count per doc = ceil((len - W) / S) + 1 (minimum 1, so short
+    docs yield one short chunk); the last chunk may be partial — both
+    engines share the identical slice arithmetic.
+
+    Scale shape: entirely row-local — a sequence() explode per document
+    (fan-out bounded by len/S) and slice/digest expressions in one
+    codegen stage; zero shuffle."""
+    t = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.expr(_TOKS)) > 0
+    ).select("doc_id", F.expr(_TOKS).alias("w"))
+    return (
+        t.select(
+            "doc_id",
+            "w",
+            F.explode(F.expr(
+                f"sequence(0, greatest(CAST(ceil((size(w) - {CHUNK_W}) /"
+                f" {CHUNK_S}.0) AS INT), 0))"
+            )).alias("chunk_no"),
+        )
+        .select(
+            "doc_id",
+            "chunk_no",
+            F.expr(
+                f"size(slice(w, chunk_no * {CHUNK_S} + 1, {CHUNK_W}))"
+            ).cast("int").alias("n_tokens"),
+            F.md5(
+                F.expr(
+                    f"array_join(slice(w, chunk_no * {CHUNK_S} + 1,"
+                    f" {CHUNK_W}), ' ')"
+                )
+            ).alias("chunk_digest"),
+        )
+    )
