@@ -1385,3 +1385,84 @@ def text_chunk_windows(spark, sf_dir):
             ).alias("chunk_digest"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level cross-document contamination (composes text_chunk_windows)
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_chunk_crossdoc",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DTOKS} AS w FROM documents WHERE len({_DTOKS}) > 0
+    ), chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               w[k * {CHUNK_S} + 1 : k * {CHUNK_S} + {CHUNK_W}], ' '
+             )) AS chunk_digest
+      FROM t, unnest(range(0,
+          greatest((len(w) - {CHUNK_W} + {CHUNK_S} - 1) // {CHUNK_S}, 0) + 1
+      )) AS u(k)
+    ), shared AS (
+      SELECT chunk_digest FROM chunks
+      GROUP BY chunk_digest HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT c.doc_id,
+           count(*)::BIGINT AS n_chunks,
+           count(s.chunk_digest)::BIGINT AS n_shared,
+           round(count(s.chunk_digest)::DOUBLE / count(*), 4)
+             AS shared_frac
+    FROM chunks c LEFT JOIN shared s USING (chunk_digest)
+    GROUP BY c.doc_id
+    HAVING count(s.chunk_digest) > 0
+    """,
+    tags=("dedup", "documents", "chunking"),
+)
+def dedup_chunk_crossdoc(spark, sf_dir):
+    """Chunk-level cross-document contamination: which documents share
+    64-token windows with OTHER documents, and what fraction of their
+    chunks is shared — the doc-level score a span-removal or doc-drop
+    policy thresholds on. Composes text_chunk_windows' digests: shared =
+    digests appearing in ≥2 distinct docs (exact, hash-grouped).
+
+    Scale shape: chunking is row-local; the shared-digest set is one
+    map-side-combinable aggregate keyed by a uniform 128-bit hash; the
+    flag-back join is digest-equi with fan-out = digest multiplicity.
+    Same skeleton as dedup_boilerplate_spans, at window (not fixed-span)
+    granularity with overlap."""
+    t = load_table(spark, sf_dir, "documents").filter(
+        F.size(F.expr(_TOKS)) > 0
+    ).select("doc_id", F.expr(_TOKS).alias("w"))
+    chunks = t.select(
+        "doc_id",
+        F.explode(F.expr(
+            f"sequence(0, greatest(CAST(ceil((size(w) - {CHUNK_W}) /"
+            f" {CHUNK_S}.0) AS INT), 0))"
+        )).alias("k"),
+        "w",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.expr(
+                f"array_join(slice(w, k * {CHUNK_S} + 1, {CHUNK_W}), ' ')"
+            )
+        ).alias("chunk_digest"),
+    )
+    shared = (
+        chunks.groupBy("chunk_digest")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk_digest", F.lit(1).alias("is_shared"))
+    )
+    return (
+        chunks.join(shared, "chunk_digest", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count("is_shared").alias("n_shared"),
+            F.round(
+                F.count("is_shared") / F.count("*").cast("double"), 4
+            ).alias("shared_frac"),
+        )
+        .filter(F.col("n_shared") > 0)
+    )
