@@ -76,6 +76,8 @@ HEADLINE = [
     "sim_ann_hyperplane_multi",  # L=4-table OR-amplified LSH
     "search_bm25_indexed",       # BM25 served from the persisted inverted index
     "search_hybrid_rrf",         # lexical+semantic reciprocal-rank fusion
+    "q55_tpch_q7",               # 5-way join, disjunctive nation pairs
+    "q56_tpch_q8",               # 8-way snowflake, CASE-sum ratio
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup
