@@ -194,6 +194,22 @@ ROUND7_SET = [
 ]
 
 
+# round-7 TPC-H completion: all 16 expressible TPC-H shapes, slope data
+# vs DuckDB at the shipped SFs; the join-heavy five get sf1 shuffle/spill
+# metrics (run_heavy6) to extend the scale-decade evidence
+TPCH_SET = [
+    "q14_tpch_q1", "q45_tpch_q3", "q46_tpch_q5", "q50_tpch_q6",
+    "q48_tpch_q10", "q49_tpch_q18",
+    "q54_tpch_q4", "q55_tpch_q7", "q56_tpch_q8", "q57_tpch_q9",
+    "q58_tpch_q13", "q59_tpch_q15", "q60_tpch_q17", "q61_tpch_q22",
+    "q62_tpch_q14", "q63_tpch_q19",
+]
+TPCH_HEAVY = [
+    "q55_tpch_q7", "q56_tpch_q8", "q57_tpch_q9", "q49_tpch_q18",
+    "q58_tpch_q13",
+]
+
+
 def run_heavy6(spark, sf_dir: str, names: list[str] | None = None) -> None:
     """Heavy-set wall time + per-query shuffle/spill deltas."""
     load_table(spark, sf_dir, "documents").count()  # warmup
@@ -300,6 +316,11 @@ def main() -> None:
     elif mode == "round7":
         for sf_dir in SHIPPED:
             run_set(spark, ROUND7_SET, sf_dir, with_duck=True)
+    elif mode == "tpch":
+        for sf_dir in SHIPPED:
+            run_set(spark, TPCH_SET, sf_dir, with_duck=True)
+        if os.path.exists(BIG1_DIR):
+            run_heavy6(spark, BIG1_DIR, names=TPCH_HEAVY)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
