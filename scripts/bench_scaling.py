@@ -297,6 +297,16 @@ def main() -> None:
             if os.path.exists(sf_dir):
                 run_heavy6(spark, sf_dir, names)
         return
+    if mode == "tpch-sf1":
+        # UI-enabled session: the sf1 shuffle/spill deltas need the REST
+        # metrics endpoint (a ui-disabled session silently reads 0)
+        spark = get_spark(
+            app_name="bench_scaling_tpch_sf1",
+            extra_conf={"spark.ui.enabled": "true"},
+        )
+        if os.path.exists(BIG1_DIR):
+            run_heavy6(spark, BIG1_DIR, names=TPCH_HEAVY)
+        return
     spark = get_spark(app_name="bench_scaling")
     if mode == "curve":
         for sf_dir in SHIPPED:
@@ -317,10 +327,10 @@ def main() -> None:
         for sf_dir in SHIPPED:
             run_set(spark, ROUND7_SET, sf_dir, with_duck=True)
     elif mode == "tpch":
+        # shipped-SF slopes only; `tpch-sf1` (above) runs the sf1 heavy
+        # five with readable shuffle metrics
         for sf_dir in SHIPPED:
             run_set(spark, TPCH_SET, sf_dir, with_duck=True)
-        if os.path.exists(BIG1_DIR):
-            run_heavy6(spark, BIG1_DIR, names=TPCH_HEAVY)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
