@@ -297,6 +297,67 @@ def main() -> None:
             if os.path.exists(sf_dir):
                 run_heavy6(spark, sf_dir, names)
         return
+    if mode == "bucketed":
+        # bucketed co-located join vs the identical plain join, both SMJ
+        # (merge hint), shuffle deltas from the UI endpoint: the
+        # measured shuffle-elimination claim behind
+        # queries/bucketed_join.py. The bucketed build cost is reported
+        # separately — it is the amortized one-time layout investment.
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from doc2dataset_spark.queries.bucketed_join import (  # noqa: PLC0415
+            _bucketed_table,
+            _joined,
+        )
+
+        spark = get_spark(
+            app_name="bench_scaling_bucketed",
+            extra_conf={"spark.ui.enabled": "true"},
+        )
+
+        def agg(j):
+            return (
+                j.groupBy("o_orderpriority")
+                .agg(
+                    F.sum(
+                        (
+                            F.col("l_extendedprice")
+                            * (1 - F.col("l_discount"))
+                        ).cast("decimal(38,6)")
+                    ).alias("revenue"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+
+        for sf_dir in ["/root/testdata/sf0.1", BIG1_DIR]:
+            if not os.path.exists(sf_dir):
+                continue
+            out = {}
+            t0 = time.time()
+            _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+            _bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+            out["build_sec"] = round(time.time() - t0, 3)
+            li = load_table(spark, sf_dir, "lineitem")
+            o = load_table(spark, sf_dir, "orders")
+            plain = li.hint("merge").join(
+                o, F.col("l_orderkey") == F.col("o_orderkey")
+            )
+            for label, j in (("plain", plain), ("bucketed", _joined(spark, sf_dir))):
+                before = _exec_metric_totals(spark)
+                t0 = time.time()
+                agg(j).count()
+                sec = round(time.time() - t0, 3)
+                after = _exec_metric_totals(spark)
+                out[label] = {
+                    "sec": sec,
+                    **{
+                        k: round((after[k] - before[k]) / 1e6, 1)
+                        for k in before
+                    },
+                }
+            print(json.dumps({"sf_dir": sf_dir, "bucketed_vs_plain": out,
+                              "units": "sec / MB"}))
+        return
     if mode == "tpch-sf1":
         # UI-enabled session: the sf1 shuffle/spill deltas need the REST
         # metrics endpoint (a ui-disabled session silently reads 0)
