@@ -115,3 +115,25 @@ gate_swap(
         "q28_json_fns",
     ],
 )
+
+# Round-7 second rotation (same rationale): the session's new flagships
+# — two join-heaviest TPC-H shapes, the zero-shuffle bucketed join, and
+# the two dataset-maintenance ops — get driver-recorded hash rows;
+# five more round-1-stable windows rows move to the tail where the
+# degated-parity pytest and the mirror keep hash-checking them.
+gate_swap(
+    promote=[
+        "q55_tpch_q7",
+        "q56_tpch_q8",
+        "join_bucketed_colocated",
+        "merge_cdc_apply",
+        "rollup_incremental_merge",
+    ],
+    demote=[
+        "q22_frame_windows",
+        "q29_pivot",
+        "q30_time_bucket",
+        "q31_sessionize",
+        "q32_asof_join",
+    ],
+)

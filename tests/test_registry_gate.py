@@ -60,22 +60,24 @@ FROZEN_GATE = [
     "q36_explode_udtf",
     "q36_python_udtf",
     "q36_map_in_arrow",
-    # round-7 rotation (verdict Next round #2): 8 round-1-stable windows
-    # rows demoted to the tail (mirror+pytest keep covering them); the
-    # round-5/6 flagships take their slots for a driver-recorded hash row
+    # round-7 rotations (verdict Next round #2, applied twice): 13
+    # round-1-stable windows rows demoted to the tail (mirror+pytest keep
+    # covering them); the round-5/6 flagships and the round-7 session's
+    # new flagships (TPC-H Q7/Q8, bucketed join, CDC merge, MV refresh)
+    # take their slots for driver-recorded hash rows
     "q45_tpch_q3",
     "q46_tpch_q5",
-    "q22_frame_windows",
+    "q55_tpch_q7",
     "q38_lateral_topk",
     "search_bm25_topk",
     "dedup_substring_rewrite",
     "sim_ann_pq",
     "curate_corpus",
     "text_heavy_hitters",
-    "q29_pivot",
-    "q30_time_bucket",
-    "q31_sessionize",
-    "q32_asof_join",
+    "q56_tpch_q8",
+    "join_bucketed_colocated",
+    "merge_cdc_apply",
+    "rollup_incremental_merge",
 ]
 
 
