@@ -109,6 +109,33 @@ def merge_cdc_apply(spark, sf_dir):
     return survivors.unionByName(upd).unionByName(ins)
 
 
+def mv_partial(df):
+    """One input slice → its UNROUNDED daily partials (decimal revenue
+    sum + count). Shared by the batch MV refresh below and the streaming
+    refresh (streaming/rollup.py) so the two can never drift."""
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    return df.groupBy(
+        F.date_format(F.date_trunc("day", "l_shipdate"), "yyyy-MM-dd").alias(
+            "day"
+        )
+    ).agg(
+        F.sum(vol).alias("rev_part"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt_part"),
+    )
+
+
+def mv_merge_partials(parts):
+    """Merge any union of partials by key; round ONLY here. Exact
+    decimal addition makes this bit-equal to the one-pass aggregate
+    regardless of how the input was sliced."""
+    return parts.groupBy("day").agg(
+        F.round(F.sum("rev_part"), 4).cast("double").alias("revenue"),
+        F.sum("cnt_part").cast("bigint").alias("n_items"),
+    )
+
+
 @query(
     "rollup_incremental_merge",
     oracle=f"""
@@ -141,33 +168,6 @@ def rollup_incremental_merge(spark, sf_dir):
     refresh cost is O(delta + |MV|), not O(history). Both partial aggs
     map-side combine; the merge is one small shuffle on the day key."""
     li = load_table(spark, sf_dir, "lineitem")
-    day = F.date_format(F.date_trunc("day", "l_shipdate"), "yyyy-MM-dd")
-    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(38,6)"
-    )
-    hist = (
-        li.filter(F.col("l_shipdate") < MV_SPLIT)
-        .groupBy(day.alias("day"))
-        .agg(
-            F.sum(vol).alias("rev_part"),
-            F.count(F.lit(1)).cast("bigint").alias("cnt_part"),
-        )
-    )
-    delta = (
-        li.filter(F.col("l_shipdate") >= MV_SPLIT)
-        .groupBy(day.alias("day"))
-        .agg(
-            F.sum(vol).alias("rev_part"),
-            F.count(F.lit(1)).cast("bigint").alias("cnt_part"),
-        )
-    )
-    return (
-        hist.unionByName(delta)
-        .groupBy("day")
-        .agg(
-            F.round(F.sum("rev_part"), 4)
-            .cast("double")
-            .alias("revenue"),
-            F.sum("cnt_part").cast("bigint").alias("n_items"),
-        )
-    )
+    hist = mv_partial(li.filter(F.col("l_shipdate") < MV_SPLIT))
+    delta = mv_partial(li.filter(F.col("l_shipdate") >= MV_SPLIT))
+    return mv_merge_partials(hist.unionByName(delta))
