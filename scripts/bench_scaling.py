@@ -157,7 +157,7 @@ def _exec_metric_totals(spark) -> dict[str, int]:
     base = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
     tot = {"shuffle_read": 0, "shuffle_write": 0,
-           "spill_mem": 0, "spill_disk": 0}
+           "spill_mem": 0, "spill_disk": 0, "input_bytes": 0}
     if not base:
         return tot
     url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
@@ -171,6 +171,7 @@ def _exec_metric_totals(spark) -> dict[str, int]:
         tot["shuffle_write"] += int(s.get("shuffleWriteBytes", 0))
         tot["spill_mem"] += int(s.get("memoryBytesSpilled", 0))
         tot["spill_disk"] += int(s.get("diskBytesSpilled", 0))
+        tot["input_bytes"] += int(s.get("inputBytes", 0))
     return tot
 
 
@@ -356,6 +357,63 @@ def main() -> None:
                     },
                 }
             print(json.dumps({"sf_dir": sf_dir, "bucketed_vs_plain": out,
+                              "units": "sec / MB"}))
+        return
+    if mode == "dpp":
+        # dynamic partition pruning: the month-partitioned fact twin +
+        # quarter-filtered dim join vs the identical join over the flat
+        # table — input_bytes deltas show the scan elimination.
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        from doc2dataset_spark.queries.dpp_join import (  # noqa: PLC0415
+            DPP_QUARTER,
+            join_dpp_partitioned,
+            month_dim,
+            partitioned_lineitem,
+        )
+
+        spark = get_spark(
+            app_name="bench_scaling_dpp",
+            extra_conf={"spark.ui.enabled": "true"},
+        )
+        for sf_dir in ["/root/testdata/sf0.1", BIG1_DIR]:
+            if not os.path.exists(sf_dir):
+                continue
+            out = {}
+            t0 = time.time()
+            partitioned_lineitem(spark, sf_dir).rdd.getNumPartitions()
+            out["build_sec"] = round(time.time() - t0, 3)
+            li_flat = load_table(spark, sf_dir, "lineitem").withColumn(
+                "ship_month",
+                F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM"),
+            )
+            dim = month_dim(spark, sf_dir).filter(
+                F.col("quarter") == DPP_QUARTER
+            )
+            flat = (
+                li_flat.join(
+                    F.broadcast(dim), li_flat["ship_month"] == dim["month"]
+                )
+                .groupBy("month")
+                .count()
+            )
+            for label, df in (
+                ("flat", flat),
+                ("dpp", join_dpp_partitioned(spark, sf_dir)),
+            ):
+                before = _exec_metric_totals(spark)
+                t0 = time.time()
+                df.count()
+                sec = round(time.time() - t0, 3)
+                after = _exec_metric_totals(spark)
+                out[label] = {
+                    "sec": sec,
+                    **{
+                        k: round((after[k] - before[k]) / 1e6, 1)
+                        for k in before
+                    },
+                }
+            print(json.dumps({"sf_dir": sf_dir, "dpp_vs_flat": out,
                               "units": "sec / MB"}))
         return
     if mode == "tpch-sf1":
