@@ -78,6 +78,8 @@ HEADLINE = [
     "search_hybrid_rrf",         # lexical+semantic reciprocal-rank fusion
     "q55_tpch_q7",               # 5-way join, disjunctive nation pairs
     "q56_tpch_q8",               # 8-way snowflake, CASE-sum ratio
+    "merge_cdc_apply",           # MERGE semantics: anti-join + union
+    "rollup_incremental_merge",  # algebraic MV refresh (partial merge)
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup
