@@ -225,3 +225,85 @@ def mine_links(
     ).repartition(max(len(wat_paths), 1))
     links = paths.mapInPandas(extract, "url string")
     return links.dropDuplicates(["url"])
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (native expressions — runs in codegen, no UDF)
+# ---------------------------------------------------------------------------
+
+# tracking params dropped during canonicalization (lowercase match)
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|mc_eid)="
+
+
+def canonical_url_col(col: str = "url"):
+    """Canonical form of an http(s) URL as a pure column expression:
+    scheme and host lowercased, default port stripped (``:80`` http /
+    ``:443`` https), fragment dropped, tracking params removed
+    (TRACKING_PARAM_RE), remaining query params sorted, empty path
+    normalized to ``/``.
+
+    The reference dedups RAW url strings
+    (`get_pdf_links_from_cc.py:104` distinct), so
+    ``http://A.com/x?b=1&a=2#f`` and ``http://a.com:80/x?a=2&b=1``
+    survive as two downloads of the same bytes; canonical dedup is the
+    production upgrade. All string surgery is regexp/array built-ins —
+    whole-stage-codegen, no Python boundary, safe at 90k-WAT scale.
+    Idempotence (canon∘canon == canon) is property-tested in
+    tests/test_cc_wat.py."""
+    from pyspark.sql import functions as F
+
+    u = F.col(col)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    netloc = F.lower(F.regexp_extract(u, r"^[A-Za-z][^:]*://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(netloc, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(netloc, r":443$", ""))
+        .otherwise(netloc)
+    )
+    path = F.regexp_extract(u, r"^[A-Za-z][^:]*://[^/?#]*([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~F.lower(p).rlike(TRACKING_PARAM_RE),
+        )
+    )
+    qtail = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qtail)
+
+
+def dedup_canonical(links: DataFrame) -> DataFrame:
+    """(url, canonical_url) with one representative RAW url per
+    canonical form — the deterministic min, so reruns pick the same
+    winner. The dedup shuffles on the canonical hash exactly as
+    mine_links' raw dedup does; at crawl scale the canonical key only
+    merges groups (never splits), so skew cannot worsen."""
+    from pyspark.sql import functions as F
+
+    return (
+        links.withColumn("canonical_url", canonical_url_col("url"))
+        .groupBy("canonical_url")
+        .agg(F.min("url").alias("url"))
+        .select("url", "canonical_url")
+    )
+
+
+def host_stats(links: DataFrame) -> DataFrame:
+    """Per-host link counts over the canonical host — the crawl-planning
+    roll-up (politeness budgeting, domain caps) the miner's output feeds.
+    One narrow aggregate, map-side combinable."""
+    from pyspark.sql import functions as F
+
+    return (
+        links.withColumn(
+            "host",
+            F.lower(
+                F.regexp_extract(F.col("url"), r"^[A-Za-z][^:]*://([^/?#:]*)", 1)
+            ),
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n_links"))
+    )

@@ -65,3 +65,9 @@ if __name__ == "__main__":
     n = spark.read.parquet(out).count()
     print(f"{n} unique pdf links -> {out}")
     assert n == 3
+
+    # production upgrade over the reference's raw-string dedup: collapse
+    # case/port/tracking-param spellings and budget the crawl per host
+    canon = cc_wat.dedup_canonical(links)
+    canon.show(truncate=False)
+    cc_wat.host_stats(canon).orderBy("host").show(truncate=False)

@@ -206,3 +206,93 @@ def test_open_wat_streams_without_full_buffer(wat_files):
     # a gzip stream wrapped for incremental reads — not BytesIO
     assert not isinstance(stream.raw, _io.BytesIO)
     assert list(cc_wat.iter_warc_records(stream))  # still parses fully
+
+
+# ---------------------------------------------------------------------------
+# canonical-URL dedup (native-expression canonicalizer)
+# ---------------------------------------------------------------------------
+
+CANON_CASES = [
+    # (raw, canonical)
+    ("http://A.Example.COM/x.pdf", "http://a.example.com/x.pdf"),
+    ("http://a.com:80/x.pdf", "http://a.com/x.pdf"),
+    ("https://a.com:443/x.pdf", "https://a.com/x.pdf"),
+    ("https://a.com:8443/x.pdf", "https://a.com:8443/x.pdf"),  # non-default kept
+    ("http://a.com", "http://a.com/"),  # empty path -> /
+    ("http://a.com/x.pdf#page=2", "http://a.com/x.pdf"),  # fragment dropped
+    (
+        "http://a.com/x.pdf?b=1&a=2",
+        "http://a.com/x.pdf?a=2&b=1",
+    ),  # params sorted
+    (
+        "http://a.com/x.pdf?utm_source=tw&a=1&fbclid=F&gclid=G",
+        "http://a.com/x.pdf?a=1",
+    ),  # tracking stripped
+    (
+        "http://a.com/x.pdf?UTM_CAMPAIGN=z",
+        "http://a.com/x.pdf",
+    ),  # tracking match is case-insensitive, zero params -> no '?'
+    ("HTTP://a.com/X.pdf", "http://a.com/X.pdf"),  # path case preserved
+]
+
+
+def test_canonical_url_exact_cases(spark):
+    from doc2dataset_spark.sources.cc_wat import canonical_url_col
+
+    df = spark.createDataFrame([(r,) for r, _ in CANON_CASES], "url string")
+    got = [
+        r[0]
+        for r in df.select(canonical_url_col("url")).collect()
+    ]
+    assert got == [c for _, c in CANON_CASES]
+
+
+def test_canonical_url_idempotent(spark):
+    """canon(canon(u)) == canon(u) over every case — re-canonicalizing a
+    stored canonical link must be a no-op."""
+    from doc2dataset_spark.sources.cc_wat import canonical_url_col
+
+    df = spark.createDataFrame([(r,) for r, _ in CANON_CASES], "url string")
+    once = df.select(canonical_url_col("url").alias("url"))
+    twice = once.select(canonical_url_col("url").alias("url"))
+    assert [r[0] for r in once.collect()] == [r[0] for r in twice.collect()]
+
+
+def test_dedup_canonical_picks_min_representative(spark):
+    from doc2dataset_spark.sources.cc_wat import dedup_canonical
+
+    raws = [
+        "http://A.com/x.pdf?b=1&a=2",
+        "http://a.com:80/x.pdf?a=2&b=1&utm_source=t",
+        "http://a.com/x.pdf?a=2&b=1",
+        "http://other.com/y.pdf",
+    ]
+    out = {
+        r["canonical_url"]: r["url"]
+        for r in dedup_canonical(
+            spark.createDataFrame([(u,) for u in raws], "url string")
+        ).collect()
+    }
+    assert out == {
+        # min() of the three raw spellings is the uppercase-A one
+        # ('A' < 'a' in codepoint order)
+        "http://a.com/x.pdf?a=2&b=1": "http://A.com/x.pdf?b=1&a=2",
+        "http://other.com/y.pdf": "http://other.com/y.pdf",
+    }
+
+
+def test_host_stats(spark):
+    from doc2dataset_spark.sources.cc_wat import host_stats
+
+    raws = [
+        "http://A.com/1.pdf",
+        "http://a.com:80/2.pdf",
+        "https://b.com/3.pdf",
+    ]
+    got = {
+        r["host"]: r["n_links"]
+        for r in host_stats(
+            spark.createDataFrame([(u,) for u in raws], "url string")
+        ).collect()
+    }
+    assert got == {"a.com": 2, "b.com": 1}
