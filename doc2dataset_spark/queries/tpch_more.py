@@ -1,13 +1,14 @@
-"""TPC-H plan-shape completion: the ten remaining canonical TPC-H
-queries expressible on the shipped star schema (TESTDATA.md has no
-``partsupp`` table and no comment/commitdate/receiptdate/phone/container
-columns, so Q2/Q11/Q16/Q20 are out of reach and the rest are *adapted*
-to the shipped columns — each adaptation is documented in its docstring,
-the PLAN SHAPE being the point, exactly as ``q48_tpch_q10`` did).
+"""TPC-H plan-shape completion on the shipped star schema (TESTDATA.md
+has no ``partsupp`` table and no comment/commitdate/receiptdate/phone/
+container columns, so several queries are *adapted* to the shipped
+columns — each adaptation is documented in its docstring, the PLAN SHAPE
+being the point, exactly as ``q48_tpch_q10`` did).
 
 With the six already registered (Q1 ``q14_tpch_q1``, Q3 ``q45``, Q5
-``q46``, Q6 ``q50``, Q10 ``q48``, Q18 ``q49``), this module brings the
-engine to 16 of the 22 TPC-H plan shapes:
+``q46``, Q6 ``q50``, Q10 ``q48``, Q18 ``q49``), the twelve here, and the
+four partsupp-dependent shapes over the derived partsupp
+(``queries/tpch_partsupp.py`` — Q2/Q11/Q16/Q20), the engine covers all
+**22 of 22** TPC-H plan shapes:
 
 - ``q54_tpch_q4``   order-priority checking: date-pruned orders,
                     EXISTS (left-semi) with a non-equi ship-lag term.
@@ -29,6 +30,10 @@ engine to 16 of the 22 TPC-H plan shapes:
                     date-bucketed join.
 - ``q63_tpch_q19``  disjunctive OR-of-ANDs predicate join (the pushdown
                     torture test).
+- ``q68_tpch_q12``  lateness-class conditional aggregate over a
+                    non-equi-residual join (shipmode→linestatus adapt).
+- ``q69_tpch_q21``  kept-orders-waiting: EXISTS + NOT EXISTS double
+                    decorrelation into semi + anti joins.
 
 Determinism follows the registry rules (queries/core.py): doubles are
 accumulated as DECIMAL(38,6) then rounded; ratios divide the two exact
@@ -628,4 +633,130 @@ def q63_tpch_q19(spark, sf_dir):
             ),
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         )
+    )
+
+
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+Q12_LAG_DAYS = 60
+Q21_LAG_DAYS = 60
+
+
+@query(
+    "q68_tpch_q12",
+    oracle=f"""
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN o.o_orderpriority IN
+                 ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}') THEN 1 ELSE 0 END)::BIGINT
+             AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN
+                 ('{Q12_HIGH[0]}', '{Q12_HIGH[1]}') THEN 1 ELSE 0 END)::BIGINT
+             AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL {Q12_LAG_DAYS} DAY
+    GROUP BY l.l_linestatus
+    """,
+    tags=("sql", "tpch"),
+)
+def q68_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping-mode priority analysis), adapted: the
+    reference groups by l_shipmode with a commit/receipt lateness
+    predicate (none of those columns are shipped) — here the group key
+    is l_linestatus and lateness is the ship-lag proxy (shipped more
+    than Q12_LAG_DAYS after ordering), preserving the plan shape: a
+    fact⋈fact join with a NON-EQUI residual feeding a conditional
+    (CASE-sum) aggregate.
+
+    Scale shape: the join shuffles on orderkey with the lag term as a
+    residual; both CASE-sums partial-aggregate into two counters per
+    group — the whole reduce is |groups|×2 cells."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag = F.expr(f"INTERVAL {Q12_LAG_DAYS} DAYS")
+    high = F.col("o_orderpriority").isin(*Q12_HIGH)
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + lag),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@query(
+    "q69_tpch_q21",
+    oracle=f"""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LAG_DAYS} DAY
+    )
+    SELECT s.s_name, count(*)::BIGINT AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+    tags=("sql", "tpch"),
+)
+def q69_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    ship-lag lateness proxy: late lineitems on multi-supplier orders
+    where NO OTHER supplier was also late — the double-correlated
+    EXISTS + NOT EXISTS shape, decorrelated into one LEFT SEMI and one
+    LEFT ANTI join over the shared ``late`` frame (computed once; the
+    anti side reuses it).
+
+    Scale shape: ``late`` is a key-equi join with a residual; both the
+    semi and anti joins hash on l_orderkey (bounded fan-in per order);
+    the supplier roll-up broadcasts. No correlated re-execution — the
+    classic Q21 optimizer test, passed by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lag = F.expr(f"INTERVAL {Q21_LAG_DAYS} DAYS")
+    late = (
+        li.join(
+            o,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + lag),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        late.join(
+            l2,
+            (F.col("o2") == F.col("l_orderkey"))
+            & (F.col("s2") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o3") == F.col("l_orderkey"))
+            & (F.col("s3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
     )

@@ -204,6 +204,9 @@ TPCH_SET = [
     "q54_tpch_q4", "q55_tpch_q7", "q56_tpch_q8", "q57_tpch_q9",
     "q58_tpch_q13", "q59_tpch_q15", "q60_tpch_q17", "q61_tpch_q22",
     "q62_tpch_q14", "q63_tpch_q19",
+    # 22/22 completion: derived-partsupp four + Q12/Q21 adaptations
+    "q64_tpch_q2", "q65_tpch_q11", "q66_tpch_q16", "q67_tpch_q20",
+    "q68_tpch_q12", "q69_tpch_q21",
 ]
 TPCH_HEAVY = [
     "q55_tpch_q7", "q56_tpch_q8", "q57_tpch_q9", "q49_tpch_q18",
