@@ -114,3 +114,68 @@ def test_warc_roundtrip_and_link_extraction(records, compress):
         if headers.get("warc-type") == "metadata":
             links.extend(cc_wat.links_from_wat_record(payload))
     assert links == _expected_links(records)
+
+
+# ---------------------------------------------------------------------------
+# canonical-URL properties (Spark-evaluated, batched per example)
+# ---------------------------------------------------------------------------
+
+_SCHEME = st.sampled_from(["http", "HTTP", "https", "Https"])
+_HOST = st.from_regex(r"[A-Za-z][A-Za-z0-9.-]{0,14}", fullmatch=True)
+_PORT = st.sampled_from(["", ":80", ":443", ":8080"])
+_PATH = st.from_regex(r"(/[A-Za-z0-9._~-]{0,8}){0,3}", fullmatch=True)
+_PARAM = st.from_regex(
+    r"[A-Za-z_][A-Za-z0-9_]{0,6}=[A-Za-z0-9]{0,6}", fullmatch=True
+)
+_TRACK = st.sampled_from(["utm_source=x", "utm_c=1", "fbclid=Z", "gclid=q"])
+_FRAG = st.sampled_from(["", "#frag", "#p=2"])
+
+
+@st.composite
+def _url(draw):
+    params = draw(
+        st.lists(st.one_of(_PARAM, _TRACK), min_size=0, max_size=4)
+    )
+    q = "?" + "&".join(params) if params else ""
+    return (
+        draw(_SCHEME)
+        + "://"
+        + draw(_HOST)
+        + draw(_PORT)
+        + draw(_PATH)
+        + q
+        + draw(_FRAG)
+    )
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(_url(), min_size=1, max_size=24))
+def test_canonical_url_properties(urls):
+    """For arbitrary http(s)-shaped URLs: canonicalization is idempotent
+    and its output carries no fragment, no tracking params, a lowercase
+    scheme/host, and no default port."""
+    from pyspark.sql import SparkSession
+
+    from doc2dataset_spark.sources.cc_wat import canonical_url_col
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = [
+        r[0] for r in df.select(canonical_url_col("url").alias("url")).collect()
+    ]
+    df2 = spark.createDataFrame([(u,) for u in once], "url string")
+    twice = [
+        r[0] for r in df2.select(canonical_url_col("url").alias("url")).collect()
+    ]
+    assert once == twice  # idempotent
+    for c in once:
+        assert "#" not in c
+        assert "utm_" not in c.lower() and "fbclid" not in c and "gclid" not in c
+        scheme, rest = c.split("://", 1)
+        assert scheme == scheme.lower()
+        host = rest.split("/", 1)[0]
+        assert host == host.lower()
+        if scheme == "http":
+            assert not host.endswith(":80")
+        if scheme == "https":
+            assert not host.endswith(":443")
