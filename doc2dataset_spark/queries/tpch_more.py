@@ -716,15 +716,21 @@ def q68_tpch_q12(spark, sf_dir):
 def q69_tpch_q21(spark, sf_dir):
     """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
     ship-lag lateness proxy: late lineitems on multi-supplier orders
-    where NO OTHER supplier was also late — the double-correlated
-    EXISTS + NOT EXISTS shape, decorrelated into one LEFT SEMI and one
-    LEFT ANTI join over the shared ``late`` frame (computed once; the
-    anti side reuses it).
+    where NO OTHER supplier was also late. The ORACLE keeps the
+    reference's double-correlated EXISTS + NOT EXISTS spelling (the
+    declared semantics); the Spark plan uses the aggregate rewrite —
+    the pair (EXISTS other-supplier, NOT EXISTS other-late-supplier) is
+    exactly (distinct suppliers ≥ 2, distinct LATE suppliers = 1) per
+    order, so two per-order COUNT(DISTINCT)s joined back replace both
+    correlated probes of the full lineitem table.
 
-    Scale shape: ``late`` is a key-equi join with a residual; both the
-    semi and anti joins hash on l_orderkey (bounded fan-in per order);
-    the supplier roll-up broadcasts. No correlated re-execution — the
-    classic Q21 optimizer test, passed by construction."""
+    Scale shape: ``late`` is a key-equi join with a residual; the two
+    per-order distinct counts map-side partial-aggregate on l_orderkey
+    (bounded fan-in per order) and join back on the same key — every
+    shuffle in the plan shares the l_orderkey partitioning, where the
+    semi/anti spelling probed the FULL lineitem a second time. The
+    supplier roll-up broadcasts. Hash equality against the correlated
+    oracle is the rewrite's proof."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     lag = F.expr(f"INTERVAL {Q21_LAG_DAYS} DAYS")
@@ -736,26 +742,17 @@ def q69_tpch_q21(spark, sf_dir):
         )
         .select("l_orderkey", "l_suppkey")
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    ostats = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
     )
-    l3 = late.select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    lstats = late.groupBy(F.col("l_orderkey").alias("lk")).agg(
+        F.countDistinct("l_suppkey").alias("n_late")
     )
     s = load_table(spark, sf_dir, "supplier")
     return (
-        late.join(
-            l2,
-            (F.col("o2") == F.col("l_orderkey"))
-            & (F.col("s2") != F.col("l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("o3") == F.col("l_orderkey"))
-            & (F.col("s3") != F.col("l_suppkey")),
-            "left_anti",
-        )
+        late.join(ostats, F.col("ok") == F.col("l_orderkey"))
+        .join(lstats, F.col("lk") == F.col("l_orderkey"))
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
