@@ -1,0 +1,96 @@
+"""Streaming CDC materialization: a live changelog (upserts +
+tombstones) landed idempotently per micro-batch, served as a
+latest-wins table — the streaming twin of the batch
+``merge_cdc_apply`` (queries/maintenance_ops.py) and the plain-parquet
+spelling of a compacted-topic / change-data-feed consumer.
+
+Two halves:
+
+- ``run_cdc_ingest``  lands each micro-batch of change records under
+  ``batch_id=<n>`` (dynamic overwrite → same-checkpoint replays rewrite
+  their own partition exactly; fresh-checkpoint replays sweep stale
+  higher ids — the discipline shared with streaming/rollup.py and
+  streaming/sketch.py).
+- ``cdc_serve``       materializes the current table: for every key,
+  the change with the highest (batch_id, seq) wins (``max_by`` over the
+  compound version — one aggregate, no window), and a winning tombstone
+  deletes the row. Replaying the whole changelog through this view IS
+  the recovery story: state lives in the changelog, not the serving
+  layer.
+
+At 100 TB the serve-side aggregate shuffles |changelog| rows once on
+the key; periodic compaction (rewrite the served snapshot as batch 0 and
+drop older partitions) bounds that — the snapshot-plus-tail layout every
+log-structured store converges on. Ordering within one micro-batch is
+the ``seq`` column (the CDC feed's own sequence number): (batch_id, seq)
+must be unique per key, which the ingest asserts nothing about — it is
+the feed's contract, documented here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DELETE_OP = "delete"
+
+
+def run_cdc_ingest(
+    spark: SparkSession,
+    changes_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Land the change stream, one ``batch_id=<n>`` partition per
+    micro-batch (idempotent dynamic overwrite + fresh-checkpoint stale
+    sweep). The frame must carry ``doc_id``, ``op`` and ``seq`` plus the
+    payload columns."""
+    from doc2dataset_spark import fsio
+
+    ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
+    fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
+    fired: list[int] = []
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fired.append(batch_id)
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        changes_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    if fresh_checkpoint and fired:
+        from doc2dataset_spark.streaming.util import sweep_stale_batches
+
+        sweep_stale_batches(out_dir, max(fired))
+
+
+def cdc_serve(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The current table: latest (batch_id, seq) change per key wins;
+    tombstones drop the row. One ``max_by`` aggregate — no window, no
+    self-join; deterministic because (batch_id, seq) is unique per key
+    (the feed contract)."""
+    changes = spark.read.parquet(out_dir)
+    payload = [
+        c for c in changes.columns if c not in ("doc_id", "batch_id", "seq")
+    ]
+    winner = changes.groupBy("doc_id").agg(
+        F.expr(
+            f"max_by(struct({', '.join(payload)}), struct(batch_id, seq))"
+        ).alias("w")
+    )
+    return (
+        winner.filter(F.col("w.op") != DELETE_OP)
+        .select("doc_id", *[F.col(f"w.{c}").alias(c) for c in payload])
+        .drop("op")
+    )
