@@ -94,3 +94,47 @@ def cdc_serve(spark: SparkSession, out_dir: str) -> DataFrame:
         .select("doc_id", *[F.col(f"w.{c}").alias(c) for c in payload])
         .drop("op")
     )
+
+
+def cdc_compact(spark: SparkSession, out_dir: str) -> dict:
+    """Snapshot-plus-tail compaction: collapse every landed batch into
+    one snapshot partition holding the served state as plain upserts,
+    so the serve-side aggregate shuffles |current table| rows instead of
+    |changelog|. ``cdc_serve`` over the compacted log returns exactly
+    what it returned before (the equivalence the test pins): winners are
+    preserved verbatim, losers and tombstoned keys are dropped — a
+    tombstone's work is DONE once compaction lands, so it need not be
+    retained (no late reader merges across the compaction boundary; the
+    snapshot IS batch 0).
+
+    Transactional shape: the snapshot is written to a tmp sibling first,
+    then swapped in with the same rename discipline as
+    sinks/maintenance.compact_parquet — readers see the old log or the
+    new one, never a mix. The stream's NEXT batch id keeps growing from
+    the checkpoint (ids are never reused), so the snapshot partition
+    (batch_id=0) stays strictly oldest."""
+    import os
+    import shutil
+    import uuid
+
+    served = cdc_serve(spark, out_dir)
+    payload = [c for c in served.columns if c != "doc_id"]
+    snapshot = served.select(
+        "doc_id",
+        F.lit("upsert").alias("op"),
+        F.lit(0).alias("seq"),
+        *payload,
+        F.lit(0).alias("batch_id"),
+    )
+    n = snapshot.count()
+    tmp = f"{out_dir.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    snapshot.write.partitionBy("batch_id").parquet(tmp)
+    old = f"{out_dir.rstrip('/')}__old_compact"
+    os.rename(out_dir, old)
+    try:
+        os.rename(tmp, out_dir)
+    except BaseException:
+        os.rename(old, out_dir)  # rollback: the old log returns
+        raise
+    shutil.rmtree(old)
+    return {"rows": n}

@@ -213,6 +213,12 @@ TPCH_HEAVY = [
     "q58_tpch_q13",
 ]
 
+# round-7 session-2 ops: dataset maintenance + storage layout
+ROUND7B_SET = [
+    "merge_cdc_apply", "rollup_incremental_merge",
+    "join_bucketed_colocated", "join_dpp_partitioned",
+]
+
 
 def run_heavy6(spark, sf_dir: str, names: list[str] | None = None) -> None:
     """Heavy-set wall time + per-query shuffle/spill deltas."""
@@ -453,6 +459,9 @@ def main() -> None:
         # five with readable shuffle metrics
         for sf_dir in SHIPPED:
             run_set(spark, TPCH_SET, sf_dir, with_duck=True)
+    elif mode == "round7b":
+        for sf_dir in SHIPPED:
+            run_set(spark, ROUND7B_SET, sf_dir, with_duck=True)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 

@@ -131,3 +131,39 @@ def test_cdc_replay_is_idempotent(spark, tmp_path):
     first = _rows(cdc_serve(spark, out))
     go()  # same checkpoint: committed batches must not re-land
     assert _rows(cdc_serve(spark, out)) == first
+
+
+def test_cdc_compact_preserves_served_state(spark, tmp_path):
+    """Compaction collapses the changelog into a batch_id=0 snapshot;
+    the served table must be unchanged, the partition count must drop
+    to 1, and further changes (a higher batch id) must still win over
+    the snapshot."""
+    from doc2dataset_spark.streaming.cdc import cdc_compact
+
+    src = _write_stream_files(spark, tmp_path)
+    out = (tmp_path / "cdc_log").as_posix()
+    ckpt = (tmp_path / "cdc_ckpt").as_posix()
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    run_cdc_ingest(spark, stream, out, ckpt)
+    before = _rows(cdc_serve(spark, out))
+
+    info = cdc_compact(spark, out)
+    assert info["rows"] == len(before)
+    assert (
+        spark.read.parquet(out).select("batch_id").distinct().count() == 1
+    )
+    assert _rows(cdc_serve(spark, out)) == before
+
+    # post-compaction tail: a later batch still beats the snapshot
+    some_id = before[0][0]
+    tail = spark.createDataFrame(
+        [(some_id, "upsert", 0, "NEW TEXT", "en", "tail")],
+        SCHEMA,
+    ).withColumn("batch_id", F.lit(99))
+    tail.write.mode("append").partitionBy("batch_id").parquet(out)
+    after = {r[0]: r for r in _rows(cdc_serve(spark, out))}
+    assert after[some_id][1] == "NEW TEXT"
