@@ -352,3 +352,24 @@ def test_search_queries_prune_postings_and_stay_blocked(spark, sf_dir):
         plan = plan_of(spark, name, sf_dir)
         assert "TakeOrderedAndProject" in plan, name
         assert "Window" not in plan, name
+
+
+def test_q7_disjunction_derives_per_side_nation_filters(spark, sf_dir):
+    """q55_tpch_q7's nation-pair OR-of-ANDs references both join sides,
+    yet Catalyst's constraint propagation must derive the implied
+    ``n_name IN (A, B)`` filter onto EACH nation scan (the docstring's
+    claim) — at scale this prunes the broadcast build sides before the
+    fact join instead of filtering after it."""
+    from doc2dataset_spark.queries.core import REGISTRY
+    from doc2dataset_spark.queries.tpch_more import Q7_NATION_A, Q7_NATION_B
+
+    df = REGISTRY["q55_tpch_q7"].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    derived = [
+        line
+        for line in plan.split("\n")
+        if "Filter" in line
+        and Q7_NATION_A in line
+        and Q7_NATION_B in line
+    ]
+    assert len(derived) == 2, plan  # one per nation scan
