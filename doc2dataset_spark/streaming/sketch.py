@@ -114,3 +114,65 @@ def cms_merge(spark: SparkSession, out_dir: str) -> DataFrame:
         .groupBy("j", "bucket")
         .agg(F.sum("c").alias("c"))
     )
+
+
+# ---------------------------------------------------------------------------
+# bottom-k (KMV) sample partials — the third mergeable sketch family
+# ---------------------------------------------------------------------------
+
+
+def run_bottomk_partials(
+    spark: SparkSession,
+    events: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str = "event_id",
+) -> None:
+    """Land each micro-batch's bottom-k rows under batch_id=<n> (the
+    CMS replay discipline: dynamic overwrite per batch, fresh-checkpoint
+    stale sweep). Each partial is ≤ k rows regardless of batch size —
+    the property that makes the merged stream sample exact
+    (tests/test_streaming.py pins merged == batch-built)."""
+    from doc2dataset_spark import fsio
+    from doc2dataset_spark.queries.sketch_sample import bottomk_sample
+
+    ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
+    fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
+    fired: list[int] = []
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fired.append(batch_id)
+        (
+            bottomk_sample(batch_df, key)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    if fresh_checkpoint and fired:
+        from doc2dataset_spark.streaming.util import sweep_stale_batches
+
+        sweep_stale_batches(out_dir, max(fired))
+
+
+def bottomk_merge(
+    spark: SparkSession, out_dir: str, key: str = "event_id"
+) -> DataFrame:
+    """Merge landed partials: bottom-k of the union of per-batch
+    bottom-k's — exactly the global bottom-k (mergeability law,
+    tests/test_sketch_sample.py)."""
+    from doc2dataset_spark.queries.sketch_sample import bottomk_sample
+
+    return bottomk_sample(
+        spark.read.parquet(out_dir).drop("h", "hv", "batch_id"), key
+    )

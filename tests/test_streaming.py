@@ -390,3 +390,52 @@ def test_cms_fresh_checkpoint_replay_prunes_stale_batches(spark, sf_dir, tmp_pat
     got = {(r.j, r.bucket): r.c for r in cms_merge(spark, out).collect()}
     want = {(r.j, r.bucket): r.c for r in cms_partial(events).collect()}
     assert got == want
+
+
+def test_bottomk_partials_merge_to_batch_sample(spark, sf_dir, tmp_path):
+    """Streaming bottom-k: per-batch k-row partials merged by another
+    bottom-k must equal the sample built over the whole input in one
+    pass — byte-identical keys, the KMV mergeability law live."""
+    import os
+    import time as _time
+
+    from doc2dataset_spark.queries.sketch_sample import bottomk_sample
+    from doc2dataset_spark.streaming.sketch import (
+        bottomk_merge,
+        run_bottomk_partials,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "value"
+    )
+    mid = events.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = tmp_path / "bk_stream"
+    os.makedirs(src, exist_ok=True)
+    lo = src / "b0.parquet"
+    hi = src / "b1.parquet"
+    events.filter(f"event_id <= {int(mid)}").toPandas().to_parquet(
+        lo.as_posix()
+    )
+    events.filter(f"event_id > {int(mid)}").toPandas().to_parquet(
+        hi.as_posix()
+    )
+    os.utime(hi, (_time.time() + 2, _time.time() + 2))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    out = (tmp_path / "bk_partials").as_posix()
+    ckpt = (tmp_path / "bk_ckpt").as_posix()
+    run_bottomk_partials(spark, stream, out, ckpt)
+
+    partials = spark.read.parquet(out)
+    assert partials.select("batch_id").distinct().count() >= 2
+
+    got = [r["h"] for r in bottomk_merge(spark, out).orderBy("h").collect()]
+    want = [
+        r["h"]
+        for r in bottomk_sample(events, "event_id").orderBy("h").collect()
+    ]
+    assert got == want
