@@ -110,7 +110,10 @@ def cdc_compact(spark: SparkSession, out_dir: str) -> dict:
     Transactional shape: the snapshot is written to a tmp sibling first,
     then swapped in with the same rename discipline as
     sinks/maintenance.compact_parquet — readers see the old log or the
-    new one, never a mix. The stream's NEXT batch id keeps growing from
+    new one, never a mix. The swap uses POSIX directory renames, so this
+    function is for LOCAL/NFS changelogs; an object-store changelog
+    (no atomic dir rename) needs a manifest-pointer swap instead —
+    out of scope here, documented so nobody assumes S3 safety. The stream's NEXT batch id keeps growing from
     the checkpoint (ids are never reused), so the snapshot partition
     (batch_id=0) stays strictly oldest."""
     import os
