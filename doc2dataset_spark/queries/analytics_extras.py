@@ -1014,3 +1014,102 @@ def events_max_concurrency(spark, sf_dir):
             F.col("best.t").alias("at_time"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# conversion-window funnel
+# ---------------------------------------------------------------------------
+FUNNEL_CLICK_WINDOW_DAYS = 3
+FUNNEL_PURCHASE_WINDOW_DAYS = 7
+
+
+@query(
+    "events_funnel_windowed",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        AND e.ts <= v.v_ts + INTERVAL {FUNNEL_CLICK_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        AND e.ts <= c.c_ts + INTERVAL {FUNNEL_PURCHASE_WINDOW_DAYS} DAY
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v)::BIGINT AS n_viewed,
+           (SELECT count(*) FROM c)::BIGINT AS n_clicked_in_window,
+           (SELECT count(*) FROM p)::BIGINT AS n_purchased_in_window,
+           round((SELECT count(*) FROM p)::DOUBLE
+                 / (SELECT count(*) FROM v), 4) AS conversion
+    """,
+    tags=("analytics", "events", "funnel"),
+)
+def events_funnel_windowed(spark, sf_dir):
+    """Conversion-window funnel: click within FUNNEL_CLICK_WINDOW_DAYS
+    of the first view, purchase within FUNNEL_PURCHASE_WINDOW_DAYS of
+    that click — the industry-standard attribution funnel (unbounded
+    ordered funnels overcount: a purchase months later is not a
+    conversion). Summary row: stage cardinalities + end-to-end
+    conversion rate.
+
+    Scale shape: identical to events_funnel (one filtered aggregation
+    per stage, single-timestamp state per user, no raw-event window);
+    the window bound is one extra residual per join. The final counts
+    are three scalar aggregates — the counts join as 1-row broadcasts.
+    Deterministic: counts are exact integers, the rate is one double
+    division (the retention precedent)."""
+    ev = load_table(spark, sf_dir, "events")
+    cw = F.expr(f"INTERVAL {FUNNEL_CLICK_WINDOW_DAYS} DAYS")
+    pw = F.expr(f"INTERVAL {FUNNEL_PURCHASE_WINDOW_DAYS} DAYS")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + cw)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + pw)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed"))
+    nc = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicked_in_window")
+    )
+    np_ = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchased_in_window")
+    )
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_viewed",
+            "n_clicked_in_window",
+            "n_purchased_in_window",
+            F.round(
+                F.col("n_purchased_in_window").cast("double")
+                / F.col("n_viewed"),
+                4,
+            ).alias("conversion"),
+        )
+    )
