@@ -75,6 +75,7 @@ from doc2dataset_spark.queries import maintenance_ops  # noqa: F401, E402
 from doc2dataset_spark.queries import dpp_join  # noqa: F401, E402
 from doc2dataset_spark.queries import tpch_partsupp  # noqa: F401, E402
 from doc2dataset_spark.queries import sketch_sample  # noqa: F401, E402
+from doc2dataset_spark.queries import retail_analytics  # noqa: F401, E402
 
 # Round-6 deliberate gate edit: the two rows-only sketches can never
 # hash-match in the driver's CORRECTNESS file (they read as `err` to any
