@@ -213,10 +213,13 @@ TPCH_HEAVY = [
     "q58_tpch_q13",
 ]
 
-# round-7 session-2 ops: dataset maintenance + storage layout
+# round-7 session-2 ops: dataset maintenance + storage layout + the
+# late wave (KMV sketch, windowed funnel, retail analytics)
 ROUND7B_SET = [
     "merge_cdc_apply", "rollup_incremental_merge",
     "join_bucketed_colocated", "join_dpp_partitioned",
+    "agg_bottomk_sketch", "events_funnel_windowed",
+    "customer_rfm_segments", "basket_pair_lift",
 ]
 
 
