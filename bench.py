@@ -80,6 +80,8 @@ HEADLINE = [
     "q56_tpch_q8",               # 8-way snowflake, CASE-sum ratio
     "merge_cdc_apply",           # MERGE semantics: anti-join + union
     "rollup_incremental_merge",  # algebraic MV refresh (partial merge)
+    "agg_bottomk_sketch",        # KMV sample sketch (TakeOrdered k rows)
+    "basket_pair_lift",          # order-blocked pair association
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup
