@@ -63,10 +63,15 @@ from doc2dataset_spark.queries import sql_surface  # noqa: F401, E402
 from doc2dataset_spark.queries import corpus_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import search_extras  # noqa: F401, E402
 
-# round-7 modules (all post-gate): multi-table OR-amplified hyperplane
-# LSH + its recall eval; TPC-H Q10/Q18, percentile-cutoff curriculum
-# buckets, source-overlap matrix, language fertility, cluster-balanced
-# sampling, index-served IVF probe, salted replicated join, hybrid RRF
+# round-7 modules (all post-gate, registration order is append-only):
+# session 1 — multi-table OR-amplified hyperplane LSH + recall eval;
+# TPC-H Q10/Q18, percentile-cutoff curriculum buckets, source-overlap
+# matrix, language fertility, cluster-balanced sampling, index-served
+# IVF probe, salted replicated join, hybrid RRF.
+# session 2 — TPC-H completion (tpch_more Q4..Q22 adaptations,
+# tpch_partsupp Q2/Q11/Q16/Q20 over derived partsupp), bucketed
+# co-located join, CDC merge + MV refresh, dynamic partition pruning,
+# bottom-k/KMV sketch, RFM + basket-lift retail analytics.
 from doc2dataset_spark.queries import ann_multilsh  # noqa: F401, E402
 from doc2dataset_spark.queries import round7_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import tpch_more  # noqa: F401, E402

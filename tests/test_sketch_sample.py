@@ -53,3 +53,27 @@ def test_kmv_estimate_within_error_band(spark):
     true_n = 10_000  # distinct event_ids at sf0.01
     rel_err = abs(row["distinct_est"] - true_n) / true_n
     assert rel_err < 3.0 / (BOTTOMK_K ** 0.5), (row["distinct_est"], rel_err)
+
+
+def test_derived_partsupp_deterministic_across_partitionings(spark):
+    """The synthetic partsupp (queries/tpch_partsupp.py) must be a pure
+    function of the shipped tables: identical rows from any input
+    partitioning, exactly 4 suppliers per part, all suppkeys real."""
+    from doc2dataset_spark.queries.tpch_partsupp import derived_partsupp
+
+    ps = derived_partsupp(spark, SF)
+    rows = sorted(
+        (r["ps_partkey"], r["ps_suppkey"], r["ps_availqty"],
+         r["ps_supplycost"])
+        for r in ps.collect()
+    )
+    again = sorted(
+        (r["ps_partkey"], r["ps_suppkey"], r["ps_availqty"],
+         r["ps_supplycost"])
+        for r in derived_partsupp(spark, SF).repartition(13).collect()
+    )
+    assert rows == again
+    n_parts = load_table(spark, SF, "part").count()
+    assert len(rows) == 4 * n_parts
+    n_supp = load_table(spark, SF, "supplier").count()
+    assert all(0 <= r[1] < n_supp for r in rows)
