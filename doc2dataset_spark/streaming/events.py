@@ -204,3 +204,55 @@ def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
             "n",
         )
     )
+
+
+def interval_join_stream_outer(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: like
+    ``interval_join_stream`` but views with NO click inside their
+    30-minute window are ALSO emitted, null-extended — the attribution
+    join that accounts for non-converting impressions.
+
+    The outer side makes the watermark semantics visible: an unmatched
+    view row can only be emitted once the watermark guarantees no
+    matching click can still arrive (wm > v_ts + 30min) — so, unlike the
+    inner join, the tail of the stream (younger than the final
+    watermark) is HELD BACK, and a finite replay emits the unmatched
+    rows only up to max(event_ts) - watermark_delay - 30min. The test
+    pins exactly that: matched rows equal the batch join; null rows
+    sandwich between the strict and lax boundary interpretations of the
+    final watermark. On an unbounded stream this is invisible (the
+    watermark keeps moving); on a bounded one it is the honest
+    semantics, documented rather than papered over."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+    )

@@ -439,3 +439,60 @@ def test_bottomk_partials_merge_to_batch_sample(spark, sf_dir, tmp_path):
         for r in bottomk_sample(events, "event_id").orderBy("h").collect()
     ]
     assert got == want
+
+
+def test_stream_stream_outer_join_watermark_semantics(spark, sf_dir):
+    """LEFT OUTER stream-stream join: matched rows must equal the batch
+    join exactly; unmatched (null-extended) rows are emitted only for
+    views the final watermark has sealed (wm > v_ts + 30min) — asserted
+    as a sandwich between the strict and lax boundary readings, with the
+    batch outer join as the truth set."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from doc2dataset_spark.session import load_table
+    from doc2dataset_spark.streaming.events import (
+        interval_join_stream_outer,
+        run_to_memory,
+        stream_events,
+    )
+
+    got = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in run_to_memory(
+            spark,
+            interval_join_stream_outer(stream_events(spark, sf_dir)),
+            "ssjoin_outer_out",
+            output_mode="append",
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = interval_join_stream_outer(ev).collect()
+    matched_want = {
+        (r.user_id, r.view_id, r.click_id)
+        for r in batch
+        if r.click_id is not None
+    }
+    matched_got = {t for t in got if t[2] is not None}
+    assert matched_got == matched_want
+
+    wm = ev.agg(F.max("ts")).collect()[0][0] - datetime.timedelta(hours=1)
+    sealed_strict = wm - datetime.timedelta(minutes=31)
+    sealed_lax = wm - datetime.timedelta(minutes=29)
+    nulls_by_view = {
+        r.view_id: datetime.datetime.strptime(
+            r.view_ts, "%Y-%m-%d %H:%M:%S"
+        )
+        for r in batch
+        if r.click_id is None
+    }
+    null_got = {t[1] for t in got if t[2] is None}
+    must_emit = {
+        vid for vid, ts in nulls_by_view.items() if ts < sealed_strict
+    }
+    may_emit = {
+        vid for vid, ts in nulls_by_view.items() if ts < sealed_lax
+    }
+    assert must_emit <= null_got <= may_emit
+    assert must_emit, "fixture left no sealed unmatched views — vacuous"
