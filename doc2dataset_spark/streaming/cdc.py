@@ -113,9 +113,17 @@ def cdc_compact(spark: SparkSession, out_dir: str) -> dict:
     new one, never a mix. The swap uses POSIX directory renames, so this
     function is for LOCAL/NFS changelogs; an object-store changelog
     (no atomic dir rename) needs a manifest-pointer swap instead —
-    out of scope here, documented so nobody assumes S3 safety. The stream's NEXT batch id keeps growing from
-    the checkpoint (ids are never reused), so the snapshot partition
-    (batch_id=0) stays strictly oldest."""
+    out of scope here, documented so nobody assumes S3 safety.
+    The stream's NEXT batch id keeps growing from the checkpoint (ids
+    are never reused), so the snapshot partition (batch_id=0) stays
+    strictly oldest.
+
+    Run compaction only while the ingest stream is STOPPED: a batch
+    landing between the snapshot read and the directory swap would be
+    dropped by the swap (the rename replaces the whole log). A prior
+    crashed compaction leaves ``<out>__old_compact`` behind; this call
+    then fails fast on the rename (target exists) rather than guessing —
+    recover by restoring or deleting the old dir first."""
     import os
     import shutil
     import uuid
