@@ -1466,3 +1466,80 @@ def dedup_chunk_crossdoc(spark, sf_dir):
         )
         .filter(F.col("n_shared") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN null trap vs NOT EXISTS
+# ---------------------------------------------------------------------------
+@query(
+    "q70_not_in_null_trap",
+    oracle="""
+    WITH probe AS (
+      SELECT o_custkey FROM orders WHERE o_orderkey < 1000
+    ), dirty AS (
+      SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL
+             ELSE c_custkey END AS k
+      FROM customer WHERE c_custkey < 200
+    ), clean AS (
+      SELECT k FROM dirty WHERE k IS NOT NULL
+    )
+    SELECT
+      (SELECT count(*) FROM probe
+        WHERE o_custkey NOT IN (SELECT k FROM clean))::BIGINT
+        AS n_not_in_clean,
+      (SELECT count(*) FROM probe
+        WHERE o_custkey NOT IN (SELECT k FROM dirty))::BIGINT
+        AS n_not_in_poisoned,
+      (SELECT count(*) FROM probe p
+        WHERE NOT EXISTS (SELECT 1 FROM dirty d
+                          WHERE d.k = p.o_custkey))::BIGINT
+        AS n_not_exists
+    """,
+    tags=("sql", "dialect", "nulls"),
+)
+def q70_not_in_null_trap(spark, sf_dir):
+    """The NOT IN null trap, pinned as an oracle contract: with a NULL
+    in the subquery, ``x NOT IN (…)`` is never TRUE (three-valued logic:
+    x <> NULL is UNKNOWN, so the conjunction can't reach TRUE) and the
+    poisoned count is 0 — while NOT EXISTS with an equality correlate is
+    null-immune and returns the real complement. Both engines implement
+    ANSI semantics; the hash locks that the engine's NOT IN stays a
+    null-aware anti-join (Spark plans exactly that) and that the two
+    spellings diverge in the documented way. The third count equals the
+    first: NOT EXISTS over the dirty set == NOT IN over the cleaned set.
+
+    Scale shape: three bounded-probe anti-join counts joined as scalar
+    1-row frames; the null-aware anti-join (NOT IN) is the expensive
+    spelling at scale (it must broadcast-and-null-check), which is WHY
+    production code should write NOT EXISTS — this query is the
+    documented receipt."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o.filter(F.col("o_orderkey") < 1000).select("o_custkey").createOrReplaceTempView(
+        "q70_probe"
+    )
+    c.filter(F.col("c_custkey") < 200).select(
+        F.when(F.col("c_custkey") % 50 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("k")
+    ).createOrReplaceTempView("q70_dirty")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT count(*) FROM q70_probe
+            WHERE o_custkey NOT IN (SELECT k FROM q70_dirty
+                                    WHERE k IS NOT NULL))
+            AS n_not_in_clean,
+          (SELECT count(*) FROM q70_probe
+            WHERE o_custkey NOT IN (SELECT k FROM q70_dirty))
+            AS n_not_in_poisoned,
+          (SELECT count(*) FROM q70_probe p
+            WHERE NOT EXISTS (SELECT 1 FROM q70_dirty d
+                              WHERE d.k = p.o_custkey))
+            AS n_not_exists
+        """
+    ).select(
+        F.col("n_not_in_clean").cast("bigint").alias("n_not_in_clean"),
+        F.col("n_not_in_poisoned").cast("bigint").alias("n_not_in_poisoned"),
+        F.col("n_not_exists").cast("bigint").alias("n_not_exists"),
+    )
