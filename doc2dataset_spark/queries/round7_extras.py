@@ -1543,3 +1543,47 @@ def q70_not_in_null_trap(spark, sf_dir):
         F.col("n_not_in_poisoned").cast("bigint").alias("n_not_in_poisoned"),
         F.col("n_not_exists").cast("bigint").alias("n_not_exists"),
     )
+
+
+@query(
+    "q71_intdiv_mod_contract",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             (o_orderkey % 100) - 50 AS a,
+             CASE WHEN o_orderkey % 3 = 0 THEN -7 ELSE 7 END AS b
+      FROM orders WHERE o_orderkey < 500
+    )
+    SELECT a, b,
+           (a // b)::BIGINT AS int_div,
+           (a % b)::BIGINT AS mod_c,
+           (((a % b) + b) % b)::BIGINT AS mod_floored,
+           count(*)::BIGINT AS n
+    FROM t GROUP BY a, b
+    """,
+    tags=("sql", "dialect"),
+)
+def q71_intdiv_mod_contract(spark, sf_dir):
+    """Integer division/modulo sign contract over negative operands:
+    both engines truncate integer division toward zero (``DIV`` ==
+    DuckDB ``//`` for integers) and give ``%`` the DIVIDEND's sign
+    (C semantics) — and the floored ("python-style", always
+    b-signed) modulo is recoverable as ``((a % b) + b) % b`` (Spark's
+    ``pmod`` for positive b). Locked as an oracle hash because silent
+    sign disagreement here corrupts every hash-bucketing and
+    salting expression built on %.
+
+    Scale shape: scan-filter + a ≤200-group aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    t = o.select(
+        ((F.col("o_orderkey") % 100) - 50).alias("a"),
+        F.when(F.col("o_orderkey") % 3 == 0, -7).otherwise(7).alias("b"),
+    )
+    return t.groupBy("a", "b").agg(
+        F.expr("a DIV b").cast("bigint").alias("int_div"),
+        (F.col("a") % F.col("b")).cast("bigint").alias("mod_c"),
+        (((F.col("a") % F.col("b")) + F.col("b")) % F.col("b"))
+        .cast("bigint")
+        .alias("mod_floored"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
