@@ -1587,3 +1587,88 @@ def q71_intdiv_mod_contract(spark, sf_dir):
         .alias("mod_floored"),
         F.count(F.lit(1)).cast("bigint").alias("n"),
     )
+
+
+@query(
+    "q72_datetime_contract",
+    oracle="""
+    SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
+             AS week_start,
+           isodow(min(o_orderdate))::INT AS iso_dow_first,
+           quarter(min(o_orderdate))::INT AS q_first,
+           epoch(min(o_orderdate))::BIGINT AS epoch_first,
+           count(*)::BIGINT AS n
+    FROM orders
+    WHERE o_orderkey < 2000
+    GROUP BY date_trunc('week', o_orderdate)
+    """,
+    tags=("sql", "dialect", "datetime"),
+)
+def q72_datetime_contract(spark, sf_dir):
+    """Datetime cross-engine contract: the PORTABLE spellings for the
+    calendar primitives where the engines' native functions disagree —
+    Spark ``dayofweek`` is 1=Sunday while DuckDB ``dayofweek`` is
+    0=Sunday, so the ISO day (1=Mon..7=Sun) must be spelled
+    ``((dayofweek(ts)+5)%7)+1`` on Spark vs ``isodow`` on DuckDB; both
+    engines truncate ``date_trunc('week')`` to Monday and agree on
+    quarter and epoch seconds (UTC session pinned by load_table). A
+    weekly roll-up locks all four at once.
+
+    Scale shape: pruned scan, map-side-combinable weekly aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return (
+        o.groupBy(
+            F.date_format(
+                F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd"
+            ).alias("week_start")
+        )
+        .agg(
+            (((F.dayofweek(F.min("o_orderdate")) + 5) % 7) + 1)
+            .cast("int")
+            .alias("iso_dow_first"),
+            F.quarter(F.min("o_orderdate")).cast("int").alias("q_first"),
+            F.unix_timestamp(F.min("o_orderdate"))
+            .cast("bigint")
+            .alias("epoch_first"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+
+
+@query(
+    "q73_string_contract",
+    oracle="""
+    SELECT c_custkey,
+           substr(c_name, 10, 5) AS sub_1based,
+           strpos(c_name, '#')::INT AS instr_1based,
+           lpad(c_custkey::VARCHAR, 8, '0') AS key_padded,
+           split_part(c_name, '#', 2) AS after_hash,
+           length(c_name)::INT AS n_chars,
+           upper(substr(c_name, 1, 3)) AS up3
+    FROM customer WHERE c_custkey < 100
+    """,
+    tags=("sql", "dialect", "strings"),
+)
+def q73_string_contract(spark, sf_dir):
+    """String-function cross-engine contract: 1-based substring and
+    instr/strpos, lpad zero-padding, split_part field extraction,
+    character (not byte) length, ASCII case mapping — pinned as hashes
+    because every key-formatting expression in the pipeline
+    (operators/sharding.py's shard keys, the text index's terms) assumes
+    these exact conventions.
+
+    Scale shape: row-local projection, pruned scan, no shuffle."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return c.select(
+        "c_custkey",
+        F.substring("c_name", 10, 5).alias("sub_1based"),
+        F.instr(F.col("c_name"), "#").cast("int").alias("instr_1based"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias(
+            "key_padded"
+        ),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias(
+            "after_hash"
+        ),
+        F.length("c_name").cast("int").alias("n_chars"),
+        F.upper(F.substring("c_name", 1, 3)).alias("up3"),
+    )
