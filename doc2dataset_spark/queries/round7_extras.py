@@ -1672,3 +1672,83 @@ def q73_string_contract(spark, sf_dir):
         F.length("c_name").cast("int").alias("n_chars"),
         F.upper(F.substring("c_name", 1, 3)).alias("up3"),
     )
+
+
+@query(
+    "corpus_health_report",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, lang, n_chars, md5(text) AS digest
+      FROM documents
+    ), top_lang AS (
+      SELECT lang, count(*) AS n FROM d GROUP BY lang
+      ORDER BY n DESC, lang LIMIT 1
+    )
+    SELECT count(*)::BIGINT AS n_docs,
+           count(DISTINCT source)::BIGINT AS n_sources,
+           count(DISTINCT lang)::BIGINT AS n_langs,
+           round(1.0 - count(DISTINCT digest)::DOUBLE / count(*), 6)
+             AS exact_dup_rate,
+           round(SUM(CAST(n_chars AS DECIMAL(38,6)))::DOUBLE / count(*), 2)
+             AS mean_chars,
+           (SELECT lang FROM top_lang) AS top_lang,
+           round((SELECT n FROM top_lang)::DOUBLE / count(*), 4)
+             AS top_lang_share
+    FROM d
+    """,
+    tags=("curation", "documents", "reporting"),
+)
+def corpus_health_report(spark, sf_dir):
+    """The one-row corpus dashboard: volume, source/language breadth,
+    exact-digest duplicate rate, mean document length, dominant
+    language and its share — the numbers a curation run prints first,
+    composed from the registry's own primitives into a single pass plus
+    one tiny top-1 aggregate.
+
+    Scale shape: one scan feeds a global aggregate whose distinct
+    counts are exact (shuffle on each distinct key, partial-aggregated);
+    the top-language pick is a 1-row TakeOrdered over |langs| rows with
+    a name tiebreak, broadcast back. All ratios divide exact
+    counts/decimal sums in double (retention precedent)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars", F.md5("text").alias("digest")
+    )
+    top = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "lang")
+        .limit(1)
+        .select(
+            F.col("lang").alias("top_lang"), F.col("n").alias("top_n")
+        )
+    )
+    return (
+        d.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.round(
+                1.0
+                - F.countDistinct("digest").cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("exact_dup_rate"),
+            F.round(
+                F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                2,
+            ).alias("mean_chars"),
+        )
+        .crossJoin(F.broadcast(top))
+        .select(
+            "n_docs",
+            "n_sources",
+            "n_langs",
+            "exact_dup_rate",
+            "mean_chars",
+            "top_lang",
+            F.round(
+                F.col("top_n").cast("double") / F.col("n_docs"), 4
+            ).alias("top_lang_share"),
+        )
+    )
