@@ -146,3 +146,4 @@ gate_swap(
         "q32_asof_join",
     ],
 )
+from doc2dataset_spark.queries import timeseries_extras  # noqa: F401, E402
