@@ -222,6 +222,10 @@ ROUND7B_SET = [
     "customer_rfm_segments", "basket_pair_lift",
 ]
 
+ROUND7C_SET = [
+    "corpus_health_report", "events_resample_interp", "events_ewma",
+]
+
 
 def run_heavy6(spark, sf_dir: str, names: list[str] | None = None) -> None:
     """Heavy-set wall time + per-query shuffle/spill deltas."""
@@ -465,6 +469,9 @@ def main() -> None:
     elif mode == "round7b":
         for sf_dir in SHIPPED:
             run_set(spark, ROUND7B_SET, sf_dir, with_duck=True)
+    elif mode == "round7c":
+        for sf_dir in SHIPPED:
+            run_set(spark, ROUND7C_SET, sf_dir, with_duck=True)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
