@@ -147,3 +147,4 @@ gate_swap(
     ],
 )
 from doc2dataset_spark.queries import timeseries_extras  # noqa: F401, E402
+from doc2dataset_spark.queries import cbo_join  # noqa: F401, E402
