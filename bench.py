@@ -82,6 +82,9 @@ HEADLINE = [
     "rollup_incremental_merge",  # algebraic MV refresh (partial merge)
     "agg_bottomk_sketch",        # KMV sample sketch (TakeOrdered k rows)
     "basket_pair_lift",          # order-blocked pair association
+    "events_resample_interp",    # gapless grid + linear interpolation
+    "events_ewma",               # bit-exact bounded-horizon EWMA fold
+    "join_cbo_reordered",        # ANALYZE-stats CBO join reorder
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

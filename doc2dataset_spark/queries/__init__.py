@@ -148,3 +148,21 @@ gate_swap(
 )
 from doc2dataset_spark.queries import timeseries_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import cbo_join  # noqa: F401, E402
+
+# Gate rotation #3 (round-7 session 4): surface this session's flagships
+# in the driver's externally-recorded 50-row snapshot — the CBO reorder
+# lifecycle and the two bit-exact time-series regularizers — in place of
+# three dialect rows that have been gate-green since round 3 and remain
+# hash-checked by the degated-parity pytest and the mirror.
+gate_swap(
+    promote=[
+        "join_cbo_reordered",
+        "events_resample_interp",
+        "events_ewma",
+    ],
+    demote=[
+        "q28b_variant",
+        "q17b_cube",
+        "q29b_unpivot",
+    ],
+)

@@ -41,11 +41,11 @@ FROZEN_GATE = [
     "q37_recursive_cte",
     "text_tfidf_topk",
     "sample_deterministic",
-    "q28b_variant",
+    "join_cbo_reordered",
     "fuzzy_levenshtein_pairs",
-    "q17b_cube",
+    "events_resample_interp",
     "sample_stratified",
-    "q29b_unpivot",
+    "events_ewma",
     "q40_listagg",
     "q35_term_freq",
     "text_token_count",
