@@ -432,6 +432,55 @@ def main() -> None:
             print(json.dumps({"sf_dir": sf_dir, "dpp_vs_flat": out,
                               "units": "sec / MB"}))
         return
+    if mode == "cbo":
+        # CBO join-reorder off vs on: the SAME adversarial-syntax SQL
+        # against the SAME analyzed catalog tables — the only variable
+        # is spark.sql.cbo.{enabled,joinReorder.enabled}. Off preserves
+        # syntax order (fact ⋈ fact first); on rebuilds dimension-first
+        # (plan-asserted in tests/test_cbo.py). ANALYZE cost reported
+        # separately: it is the once-per-dataset price of admission.
+        from doc2dataset_spark.queries.cbo_join import (  # noqa: PLC0415
+            _cbo_sql,
+            stats_table,
+        )
+
+        spark = get_spark(
+            app_name="bench_scaling_cbo",
+            extra_conf={"spark.ui.enabled": "true"},
+        )
+        for sf_dir in ["/root/testdata/sf0.1", BIG1_DIR]:
+            if not os.path.exists(sf_dir):
+                continue
+            out = {}
+            load_table(spark, sf_dir, "lineitem").count()  # warmup
+            t0 = time.time()
+            tabs = [
+                stats_table(spark, sf_dir, t)
+                for t in ("lineitem", "orders", "customer")
+            ]
+            out["analyze_sec"] = round(time.time() - t0, 3)
+            sql = _cbo_sql(*tabs)
+            for label, flag in (("cbo_off", "false"), ("cbo_on", "true")):
+                spark.conf.set("spark.sql.cbo.enabled", flag)
+                spark.conf.set("spark.sql.cbo.joinReorder.enabled", flag)
+                secs = []
+                before = _exec_metric_totals(spark)
+                for _ in range(2):
+                    t0 = time.time()
+                    spark.sql(sql).collect()
+                    secs.append(round(time.time() - t0, 3))
+                after = _exec_metric_totals(spark)
+                out[label] = {
+                    "sec": min(secs),
+                    "runs": secs,
+                    **{
+                        k: round((after[k] - before[k]) / 2e6, 1)
+                        for k in before
+                    },
+                }
+            print(json.dumps({"sf_dir": sf_dir, "cbo_off_vs_on": out,
+                              "units": "sec / MB-per-run"}))
+        return
     if mode == "tpch-sf1":
         # UI-enabled session: the sf1 shuffle/spill deltas need the REST
         # metrics endpoint (a ui-disabled session silently reads 0)
