@@ -166,3 +166,6 @@ gate_swap(
         "q29b_unpivot",
     ],
 )
+
+# round-7 session-4 tail: drift monitoring + lambda surface (post-gate)
+from doc2dataset_spark.queries import round7d_extras  # noqa: F401, E402

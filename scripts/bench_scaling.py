@@ -481,6 +481,66 @@ def main() -> None:
             print(json.dumps({"sf_dir": sf_dir, "cbo_off_vs_on": out,
                               "units": "sec / MB-per-run"}))
         return
+    if mode == "skew":
+        # AQE skew-join off vs on: a deterministic 90%-hot-key fact
+        # (20M rows, key 0 carries 90%) merge-joined to a 998-key dim.
+        # With skewJoin off the hot key pins ONE reducer (the wall time
+        # IS that task); with it on, OptimizeSkewedJoin splits the hot
+        # partition across the executor threads — the mechanism that
+        # absorbs shard-size skew at 100 TB, here given a number.
+        # Broadcast is disabled for the measured join (a broadcast
+        # would dodge the shuffle and measure nothing); real pipelines
+        # with big-both-sides joins have no such dodge.
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        spark = get_spark(
+            app_name="bench_scaling_skew",
+            extra_conf={"spark.ui.enabled": "true"},
+        )
+        n = 20_000_000
+        fact_dir = os.path.join(BIG1_DIR, "_skew_fact")
+        if not os.path.exists(fact_dir):
+            t0 = time.time()
+            (
+                spark.range(n)
+                .select(
+                    F.col("id"),
+                    F.when(F.col("id") % 10 < 9, F.lit(0))
+                    .otherwise(1 + F.col("id") % 997)
+                    .cast("long")
+                    .alias("key"),
+                    (F.col("id") % 1000).cast("double").alias("v"),
+                )
+                .write.mode("overwrite")
+                .parquet(fact_dir)
+            )
+            print(json.dumps({"skew_fact_build_sec":
+                              round(time.time() - t0, 3)}))
+        dim = spark.range(998).select(
+            F.col("id").alias("key"),
+            (F.col("id") % 7).alias("grp"),
+        )
+        out = {}
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for label, flag in (("skew_off", "false"), ("skew_on", "true")):
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", flag)
+            secs = []
+            for _ in range(2):
+                fact = spark.read.parquet(fact_dir)
+                j = (
+                    fact.hint("merge")
+                    .join(dim, "key")
+                    .groupBy("grp")
+                    .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+                )
+                t0 = time.time()
+                j.collect()
+                secs.append(round(time.time() - t0, 3))
+            out[label] = {"sec": min(secs), "runs": secs}
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        print(json.dumps({"rows": n, "skew_off_vs_on": out, "units": "sec"}))
+        return
     if mode == "tpch-sf1":
         # UI-enabled session: the sf1 shuffle/spill deltas need the REST
         # metrics endpoint (a ui-disabled session silently reads 0)
