@@ -522,6 +522,18 @@ def main() -> None:
         )
         out = {}
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # production defaults (256MB skew threshold) are sized for real
+        # clusters; the 20M-row fixture's hot partition shuffles ~150MB,
+        # so scale the thresholds down to let the optimizer SEE the skew
+        # (the test_scale_patterns discipline). Identical for both
+        # labels — only skewJoin.enabled varies.
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "16MB",
+        )
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB"
+        )
         for label, flag in (("skew_off", "false"), ("skew_on", "true")):
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", flag)
             secs = []
@@ -540,6 +552,73 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
         print(json.dumps({"rows": n, "skew_off_vs_on": out, "units": "sec"}))
+        return
+    if mode == "rtbloom":
+        # Runtime bloom-filter join (SPARK-32268) off vs on: 20M-row
+        # uniform-key fact merge-joined to a 0.1%-selective dim. With
+        # the filter on, the dim side builds a bloom_filter_agg and the
+        # fact side drops non-candidate rows BEFORE its shuffle
+        # (might_contain pre-exchange) — shuffle-write delta metered
+        # from the UI endpoint. Broadcast disabled: the point is the
+        # big-both-sides shuffle join a broadcast would dodge.
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        spark = get_spark(
+            app_name="bench_scaling_rtbloom",
+            extra_conf={"spark.ui.enabled": "true"},
+        )
+        n = 20_000_000
+        fact_dir = os.path.join(BIG1_DIR, "_bloom_fact")
+        dim_dir = os.path.join(BIG1_DIR, "_bloom_dim")
+        if not os.path.exists(fact_dir):
+            spark.range(n).select(
+                (F.col("id") % 2_000_000).alias("k"),
+                (F.col("id") % 97).cast("double").alias("v"),
+            ).write.mode("overwrite").parquet(fact_dir)
+            spark.range(2_000_000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("dval")
+            ).write.mode("overwrite").parquet(dim_dir)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "1KB",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        out = {}
+        for label, flag in (("bloom_off", "false"), ("bloom_on", "true")):
+            spark.conf.set(
+                "spark.sql.optimizer.runtime.bloomFilter.enabled", flag
+            )
+            secs = []
+            before = _exec_metric_totals(spark)
+            for _ in range(2):
+                f = spark.read.parquet(fact_dir)
+                d = spark.read.parquet(dim_dir).filter(
+                    F.col("dval") % 2000 == 0
+                )
+                j = (
+                    f.hint("merge")
+                    .join(d, "k")
+                    .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+                )
+                t0 = time.time()
+                j.collect()
+                secs.append(round(time.time() - t0, 3))
+            after = _exec_metric_totals(spark)
+            out[label] = {
+                "sec": min(secs),
+                "runs": secs,
+                **{
+                    k: round((after[k] - before[k]) / 2e6, 1)
+                    for k in before
+                },
+            }
+        print(json.dumps({"rows": n, "rtbloom_off_vs_on": out,
+                          "units": "sec / MB-per-run"}))
         return
     if mode == "tpch-sf1":
         # UI-enabled session: the sf1 shuffle/spill deltas need the REST
