@@ -85,6 +85,8 @@ HEADLINE = [
     "events_resample_interp",    # gapless grid + linear interpolation
     "events_ewma",               # bit-exact bounded-horizon EWMA fold
     "join_cbo_reordered",        # ANALYZE-stats CBO join reorder
+    "quality_psi_drift",         # per-source PSI drift monitor
+    "q74_higher_order_fns",      # SQL lambda folds (row-local codegen)
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup
