@@ -226,6 +226,8 @@ ROUND7C_SET = [
     "corpus_health_report", "events_resample_interp", "events_ewma",
 ]
 
+ROUND7D_SET = ["quality_psi_drift", "q74_higher_order_fns"]
+
 
 def run_heavy6(spark, sf_dir: str, names: list[str] | None = None) -> None:
     """Heavy-set wall time + per-query shuffle/spill deltas."""
@@ -660,6 +662,11 @@ def main() -> None:
     elif mode == "round7c":
         for sf_dir in SHIPPED:
             run_set(spark, ROUND7C_SET, sf_dir, with_duck=True)
+    elif mode == "round7d":
+        for sf_dir in SHIPPED:
+            run_set(spark, ROUND7D_SET, sf_dir, with_duck=True)
+        if os.path.exists(BIG1_DIR):
+            run_set(spark, ROUND7D_SET, BIG1_DIR, with_duck=False)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
