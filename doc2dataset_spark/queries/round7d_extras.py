@@ -44,6 +44,49 @@ PSI_THRESHOLD = 0.2
 _SM = 0.5 * PSI_N_BINS  # total smoothing mass added per distribution
 
 
+def binned_docs(docs):
+    """(source, bin) projection: the shared binning expression — ONE
+    place, so batch query and streaming monitor can never disagree."""
+    return docs.select(
+        "source",
+        F.expr(
+            f"CAST(LEAST(n_chars DIV {PSI_BIN_W}, {PSI_N_BINS - 1}) AS INT)"
+        ).alias("bin"),
+    )
+
+
+def psi_from_counts(sb, binc, tot):
+    """PSI verdict frame from pre-aggregated counts.
+
+    ``sb``  (source, bin, c)  per-source observed bin counts;
+    ``binc``(bin, cb)         REFERENCE histogram;
+    ``tot`` 1-row (n,)        reference total.
+    Returns (source, n_docs, psi, drifted). Shared verbatim by the
+    batch query (reference = the corpus itself) and the streaming
+    monitor (reference = a frozen snapshot), so stream ≡ batch is an
+    identity of expressions, not a tolerance."""
+    spark = sb.sparkSession
+    src = sb.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_src"))
+    bins = spark.range(PSI_N_BINS).select(F.col("id").cast("int").alias("bin"))
+    grid = src.crossJoin(F.broadcast(bins))
+    terms = (
+        grid.join(sb, ["source", "bin"], "left")
+        .join(F.broadcast(binc), "bin", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 0.5) / (F.col("n_src") + _SM)
+    q = (F.coalesce(F.col("cb"), F.lit(0)) + 0.5) / (F.col("n") + _SM)
+    term = F.round((p - q) * F.log(p / q), 8).cast("decimal(38,10)")
+    psi = (
+        terms.groupBy("source", F.col("n_src").alias("n_docs"))
+        .agg(F.round(F.sum(term), 4).cast("double").alias("psi"))
+    )
+    return psi.select(
+        "source", "n_docs", "psi",
+        (F.col("psi") > PSI_THRESHOLD).alias("drifted"),
+    )
+
+
 @query(
     "quality_psi_drift",
     oracle=f"""
@@ -81,7 +124,8 @@ def quality_psi_drift(spark, sf_dir):
     corpus: PSI = Σ_bins (p_i - q_i)·ln(p_i/q_i) over 8 fixed-width
     length bins with Laplace-0.5 smoothing, flagged at the standard
     0.2 threshold. The drift monitor a curation pipeline runs per
-    source/ingest batch before mixing.
+    source/ingest batch before mixing (streaming/drift.py is the
+    per-micro-batch twin against a frozen reference).
 
     Scale shape: ONE scan of documents feeding a (source, bin) count —
     a uniformly-keyed partial-agg groupBy; everything downstream
@@ -89,34 +133,11 @@ def quality_psi_drift(spark, sf_dir):
     fold) re-aggregates those ≤ |sources|×8 rows, with the bin totals
     and the 1-row corpus total broadcast. No second corpus scan, no
     window, no skew (bin keys are near-uniform by construction)."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "source",
-        F.expr(
-            f"CAST(LEAST(n_chars DIV {PSI_BIN_W}, {PSI_N_BINS - 1}) AS INT)"
-        ).alias("bin"),
-    )
+    docs = binned_docs(load_table(spark, sf_dir, "documents"))
     sb = docs.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
-    src = sb.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_src"))
     binc = sb.groupBy("bin").agg(F.sum("c").cast("bigint").alias("cb"))
     tot = sb.agg(F.sum("c").cast("bigint").alias("n"))
-    bins = spark.range(PSI_N_BINS).select(F.col("id").cast("int").alias("bin"))
-    grid = src.crossJoin(F.broadcast(bins))
-    terms = (
-        grid.join(sb, ["source", "bin"], "left")
-        .join(F.broadcast(binc), "bin", "left")
-        .crossJoin(F.broadcast(tot))
-    )
-    p = (F.coalesce(F.col("c"), F.lit(0)) + 0.5) / (F.col("n_src") + _SM)
-    q = (F.coalesce(F.col("cb"), F.lit(0)) + 0.5) / (F.col("n") + _SM)
-    term = F.round((p - q) * F.log(p / q), 8).cast("decimal(38,10)")
-    psi = (
-        terms.groupBy("source", F.col("n_src").alias("n_docs"))
-        .agg(F.round(F.sum(term), 4).cast("double").alias("psi"))
-    )
-    return psi.select(
-        "source", "n_docs", "psi",
-        (F.col("psi") > PSI_THRESHOLD).alias("drifted"),
-    )
+    return psi_from_counts(sb, binc, tot)
 
 
 HOF_BIG = 0.25  # exactly representable in binary — safe float/double cmp
