@@ -169,3 +169,12 @@ gate_swap(
 
 # round-7 session-4 tail: drift monitoring + lambda surface (post-gate)
 from doc2dataset_spark.queries import round7d_extras  # noqa: F401, E402
+
+# Gate rotation #4 (round-7 session 4): surface the PSI drift monitor
+# and the lambda-fold battery in the driver's 50-row snapshot, in place
+# of two relational rows stable since round 2 (both remain hash-checked
+# by the degated-parity pytest and the mirror).
+gate_swap(
+    promote=["quality_psi_drift", "q74_higher_order_fns"],
+    demote=["fuzzy_levenshtein_pairs", "sample_stratified"],
+)

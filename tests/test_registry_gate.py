@@ -42,9 +42,9 @@ FROZEN_GATE = [
     "text_tfidf_topk",
     "sample_deterministic",
     "join_cbo_reordered",
-    "fuzzy_levenshtein_pairs",
+    "quality_psi_drift",
     "events_resample_interp",
-    "sample_stratified",
+    "q74_higher_order_fns",
     "events_ewma",
     "q40_listagg",
     "q35_term_freq",
