@@ -36,6 +36,7 @@ HEADLINE = [
     # north-star ops
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_jaccard_prefix",      # same oracle, PPJoin prefix+positional blocking
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",   # exact O(n^2), tile-partitioned

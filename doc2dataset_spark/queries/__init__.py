@@ -178,3 +178,7 @@ gate_swap(
     promote=["quality_psi_drift", "q74_higher_order_fns"],
     demote=["fuzzy_levenshtein_pairs", "sample_stratified"],
 )
+
+# round-7 session-5 tail: prefix-filtered similarity join (post-gate)
+from doc2dataset_spark.queries import prefix_join  # noqa: F401, E402
+from doc2dataset_spark.queries import graph_extras  # noqa: F401, E402

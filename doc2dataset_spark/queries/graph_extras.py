@@ -1,0 +1,151 @@
+"""Triangle counting + local clustering coefficient over the SimHash
+near-dup graph — the classic demonstration of the
+degree-ordered-orientation scale trick. Complements ``graph_triangles``
+(analytics_extras.py), which ENUMERATES triangles with the id-ordered
+two-join: id order bounds fan-out only by out-degree, which a hub node
+can make arbitrarily large, while the (deg, node) orientation used here
+charges every wedge to its lowest-degree corner — the hub-safe variant
+— and reduces the result to the per-node density signal.
+
+``graph_clustering_coef`` returns (doc_id, deg, tri, lcc) per node of the
+near-dup pair graph (the same SimHash band pairs that feed
+dedup_cluster_cc and graph_pagerank): degree, number of triangles the
+node participates in, and the local clustering coefficient
+2·tri / (deg·(deg−1)) — the standard "is this doc inside a dense
+template cluster or on its fringe" signal used to pick canonicals and
+spot boilerplate hubs.
+
+Scale design (Schank–Wagner / Cohen's MR triangle counting, public
+literature): orient every undirected edge from its lower-(deg, node)
+endpoint to the higher one. Every node's ORIENTED out-degree is
+O(√m) regardless of the degree distribution (a node with out-degree k
+points only at neighbors of degree ≥ its own, and there are at most
+2m/k nodes of degree ≥ k), so the wedge self-join's intermediate is
+bounded by Σ outdeg² = O(m^1.5) — on a power-law near-dup graph the
+naive wedge join around hub nodes is quadratic in the hub degree,
+while the oriented join charges every wedge to its LOWEST-degree
+corner. Each triangle is enumerated exactly once (its corners appear
+in (deg, node) order), then exploded to its three corners for the
+per-node counts. Every step is an equi-join or aggregate — no
+cartesian, no window, nothing driver-side.
+
+Exactness: degrees and triangle counts are integers; lcc follows the
+shared round-4 double-division recipe (identical IEEE operands and
+operation order in both engines, same proof as the jaccard family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import query
+from doc2dataset_spark.queries.dedup import _SIMHASH_CTE, dedup_simhash_pairs
+
+_TRI_ORACLE = _SIMHASH_CTE + """
+, bands AS (
+  SELECT doc_id, simhash, k, (simhash >> (k * 8)) & 255 AS bandval
+  FROM fp, (SELECT unnest(range(4)) AS k)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS da, a.simhash AS ha,
+                  b.doc_id AS db, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.k = b.k AND a.bandval = b.bandval AND a.doc_id < b.doc_id
+), p AS (
+  SELECT da, db FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+), edges AS (
+  SELECT da AS node FROM p UNION ALL SELECT db FROM p
+), deg AS (
+  SELECT node, count(*) AS deg FROM edges GROUP BY node
+), tris AS (
+  -- p is already id-ordered (da < db): the a<b<c triple join
+  -- enumerates each triangle exactly once
+  SELECT p1.da AS a, p1.db AS b, p2.db AS c
+  FROM p p1
+  JOIN p p2 ON p2.da = p1.db
+  JOIN p p3 ON p3.da = p1.da AND p3.db = p2.db
+), corners AS (
+  SELECT a AS node FROM tris
+  UNION ALL SELECT b FROM tris
+  UNION ALL SELECT c FROM tris
+), tc AS (
+  SELECT node, count(*) AS tri FROM corners GROUP BY node
+)
+SELECT d.node AS doc_id, d.deg, coalesce(tc.tri, 0) AS tri,
+       CASE WHEN d.deg >= 2
+            THEN round(2.0 * coalesce(tc.tri, 0) / (d.deg * (d.deg - 1)), 4)
+            ELSE 0.0 END AS lcc
+FROM deg d LEFT JOIN tc USING (node)
+"""
+
+
+def triangles_of(pairs):
+    """(doc_id, deg, tri, lcc) for an undirected edge frame (da, db)
+    with da < db and no duplicate edges — frame-parameterized so tests
+    can drive hand-built graphs through the identical plan."""
+    ends = pairs.select(F.col("da").alias("node")).union(
+        pairs.select(F.col("db").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count("*").alias("deg"))
+    e = pairs.join(
+        deg.select(F.col("node").alias("da"), F.col("deg").alias("dega")),
+        "da",
+    ).join(
+        deg.select(F.col("node").alias("db"), F.col("deg").alias("degb")),
+        "db",
+    )
+    # orient low-(deg, node) → high-(deg, node); carry the head's rank
+    # key so the wedge join can order its two endpoints
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("da") < F.col("db"))
+    )
+    oe = e.select(
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("src"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dst"),
+        F.when(a_first, F.col("degb")).otherwise(F.col("dega")).alias("ddst"),
+    )
+    x, y = oe.alias("x"), oe.alias("y")
+    wedges = (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(
+            (F.col("x.ddst") < F.col("y.ddst"))
+            | (
+                (F.col("x.ddst") == F.col("y.ddst"))
+                & (F.col("x.dst") < F.col("y.dst"))
+            )
+        )
+        .select(
+            F.col("x.src").alias("u"),
+            F.col("x.dst").alias("v"),
+            F.col("y.dst").alias("w"),
+        )
+    )
+    # the closing edge v—w is oriented v→w (the wedge filter already put
+    # (v, w) in rank order), so one equi-join confirms the triangle
+    tri = wedges.join(
+        oe.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    corners = tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+    tc = corners.groupBy("node").agg(F.count("*").alias("tri"))
+    lcc = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            2.0 * F.col("tri") / (F.col("deg") * (F.col("deg") - 1)), 4
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tc, "node", "left")
+        .withColumn("tri", F.coalesce(F.col("tri"), F.lit(0).cast("long")))
+        .select(
+            F.col("node").alias("doc_id"), "deg", "tri", lcc.alias("lcc")
+        )
+    )
+
+
+@query("graph_clustering_coef", oracle=_TRI_ORACLE, tags=("graph", "documents", "scale"))
+def graph_clustering_coef(spark, sf_dir):
+    """per-node triangle count + local clustering coefficient over the
+    SimHash near-dup graph via degree-ordered edge orientation (each
+    wedge is charged to its lowest-degree corner; intermediate bounded
+    by O(m^1.5) on ANY degree distribution)."""
+    return triangles_of(dedup_simhash_pairs(spark, sf_dir).select("da", "db"))

@@ -622,6 +622,55 @@ def main() -> None:
         print(json.dumps({"rows": n, "rtbloom_off_vs_on": out,
                           "units": "sec / MB-per-run"}))
         return
+    if mode == "prefixskew":
+        # Prefix-filtered similarity join vs shared-shingle blocking as
+        # the shingle-frequency head grows (the boilerplate failure mode
+        # of real web corpora): derive boilerplate-skewed twins of the
+        # sf1 documents table (share% of docs get one appended sentence,
+        # selected by crc32(doc_id) — deterministic), then min-of-3 both
+        # joins plus the oracle-gated candidate-count row. The blocked
+        # join's candidate set grows ~(share·N)²/2 per boilerplate
+        # shingle; the prefix index never touches max-df shingles, so
+        # its candidate set stays flat — BASELINE.md round-7 table.
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        if not os.path.exists(BIG1_DIR):
+            raise SystemExit("needs .bench_scale/sf1 (make-big1 first)")
+        spark = get_spark(app_name="bench_scaling_prefixskew")
+        boiler = (
+            "this site uses cookies to improve your browsing experience "
+            "please accept our terms and conditions to continue"
+        )
+        d = load_table(spark, BIG1_DIR, "documents")
+        spark_time(spark, "dedup_ngram_jaccard", BIG1_DIR, runs=1)  # warm
+        out = {}
+        for share in (0, 10, 20):
+            if share == 0:
+                twin = BIG1_DIR
+            else:
+                twin = os.path.join(_SCALE_ROOT, f"_prefix_skew_{share}")
+                docs_pq = os.path.join(twin, "documents.parquet")
+                if not os.path.exists(docs_pq):
+                    d.withColumn(
+                        "text",
+                        F.when(
+                            F.crc32(F.col("doc_id").cast("string")) % 100
+                            < share,
+                            F.concat_ws(" ", "text", F.lit(boiler)),
+                        ).otherwise(F.col("text")),
+                    ).repartition(32).write.parquet(docs_pq)
+            row = REGISTRY["dedup_prefix_stats"].builder(spark, twin).collect()[0]
+            entry = {
+                "cand_block": row.cand_block,
+                "cand_prefix": row.cand_prefix,
+                "cand_pos": row.cand_pos,
+                "true_pairs": row.true_pairs,
+            }
+            for name in ("dedup_ngram_jaccard", "dedup_jaccard_prefix"):
+                entry[name] = spark_time(spark, name, twin, runs=2)
+            out[f"share_{share}pct"] = entry
+        print(json.dumps({"prefixskew_sf1": out, "units": "sec (min-of-2)"}))
+        return
     if mode == "tpch-sf1":
         # UI-enabled session: the sf1 shuffle/spill deltas need the REST
         # metrics endpoint (a ui-disabled session silently reads 0)

@@ -1,0 +1,47 @@
+"""Triangle counting: hand-built-graph exactness and the handshake
+identities that hold for ANY graph (the oracle hash pins the corpus
+values; these pin the math)."""
+
+from __future__ import annotations
+
+from doc2dataset_spark.queries import REGISTRY
+from doc2dataset_spark.queries.graph_extras import triangles_of
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, ["da", "db"])
+    return {r.doc_id: (r.deg, r.tri, r.lcc) for r in triangles_of(df).collect()}
+
+
+def test_k4_every_node_fully_clustered(spark):
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    got = _run(spark, k4)
+    assert got == {n: (3, 3, 1.0) for n in (1, 2, 3, 4)}
+
+
+def test_path_graph_has_no_triangles(spark):
+    got = _run(spark, [(1, 2), (2, 3), (3, 4)])
+    assert {n: t for n, (_, t, _) in got.items()} == {1: 0, 2: 0, 3: 0, 4: 0}
+    assert all(l == 0.0 for (_, _, l) in got.values())
+
+
+def test_bowtie_counts_each_corner(spark):
+    # two triangles sharing node 3: corners 1,2,4,5 → 1 triangle each,
+    # node 3 → 2 triangles, deg 4, lcc = 2*2/(4*3) = 0.3333
+    bow = [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)]
+    got = _run(spark, bow)
+    assert got[3] == (4, 2, 0.3333)
+    for n in (1, 2, 4, 5):
+        assert got[n] == (2, 1, 1.0)
+
+
+def test_handshake_identities_on_corpus(spark, sf_dir):
+    rows = REGISTRY["graph_clustering_coef"].builder(spark, sf_dir).collect()
+    assert rows
+    # Σ per-node triangle counts = 3 × (number of distinct triangles)
+    assert sum(r.tri for r in rows) % 3 == 0
+    for r in rows:
+        assert 0 <= r.tri <= r.deg * (r.deg - 1) // 2  # tri ≤ C(deg, 2)
+        assert 0.0 <= r.lcc <= 1.0
+        if r.deg < 2:
+            assert r.tri == 0 and r.lcc == 0.0
