@@ -182,3 +182,4 @@ gate_swap(
 # round-7 session-5 tail: prefix-filtered similarity join (post-gate)
 from doc2dataset_spark.queries import prefix_join  # noqa: F401, E402
 from doc2dataset_spark.queries import graph_extras  # noqa: F401, E402
+from doc2dataset_spark.queries import round7e_extras  # noqa: F401, E402

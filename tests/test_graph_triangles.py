@@ -45,3 +45,40 @@ def test_handshake_identities_on_corpus(spark, sf_dir):
         assert 0.0 <= r.lcc <= 1.0
         if r.deg < 2:
             assert r.tri == 0 and r.lcc == 0.0
+
+
+def test_kcore_toy_graphs(spark):
+    from doc2dataset_spark.queries.graph_extras import kcore_of
+
+    # K4 with a pendant node: the K4 is a 3-core, the pendant is peeled
+    # (and its removal must not drag any K4 node out)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, ["da", "db"])
+    got = {r.doc_id: r.in_core for r in kcore_of(df).collect()}
+    assert got == {1: True, 2: True, 3: True, 4: True, 5: False}
+    # bowtie: every node's within-subgraph degree collapses below 3 —
+    # cascade must empty the core entirely (corners first, center next)
+    bow = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)], ["da", "db"]
+    )
+    got = {r.doc_id: r.in_core for r in kcore_of(bow).collect()}
+    assert got == {n: False for n in (1, 2, 3, 4, 5)}
+
+
+def test_kcore_fixture_reached_fixpoint(spark, sf_dir):
+    """the declared 6 rounds are a fixpoint at the fixture: a 7th round
+    changes nothing, so the query output IS the true 3-core here."""
+    from doc2dataset_spark.queries.dedup import dedup_simhash_pairs
+    from doc2dataset_spark.queries.graph_extras import (
+        KCORE_ROUNDS,
+        kcore_of,
+    )
+
+    p = dedup_simhash_pairs(spark, sf_dir).select("da", "db").localCheckpoint(eager=True)
+    a = {(r.doc_id, r.in_core) for r in kcore_of(p).collect()}
+    b = {
+        (r.doc_id, r.in_core)
+        for r in kcore_of(p, rounds=KCORE_ROUNDS + 1).collect()
+    }
+    assert a == b
+    assert any(c for _, c in a) and not all(c for _, c in a)
