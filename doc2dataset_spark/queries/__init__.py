@@ -183,3 +183,4 @@ gate_swap(
 from doc2dataset_spark.queries import prefix_join  # noqa: F401, E402
 from doc2dataset_spark.queries import graph_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import round7e_extras  # noqa: F401, E402
+from doc2dataset_spark.queries import round7f_extras  # noqa: F401, E402

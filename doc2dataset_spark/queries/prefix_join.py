@@ -47,6 +47,15 @@ shuffle key is the *rare-prefix* shingle, cutting the frequency head out
 of the quadratic blow-up; verification touches candidate pairs only and
 is row-local over per-document (hence bounded) arrays.
 
+Relation to ``dedup_prefix_filter`` (round7_extras.py): that op applies
+the bare prefix filter to distinct TOKENS at τ = 0.9 against the naive
+all-pairs oracle (completeness test). This module applies the full
+PPJoin stack — prefix + length + POSITIONAL filters — to the word-3-gram
+SHINGLE domain at τ = 1/2, shares the blocked join's oracle (physical-
+rewrite equality), oracle-gates the candidate-count contract itself
+(dedup_prefix_stats), and carries the boilerplate-skew crossover
+measurement (BASELINE.md): same family, the production-tuned member.
+
 Reference basis: the reference has no similarity join at all (its only
 dedup is ``dropDuplicates``, examples/get_pdf_links_from_cc.py:126);
 this is a public-literature scale pattern.

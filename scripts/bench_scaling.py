@@ -228,6 +228,13 @@ ROUND7C_SET = [
 
 ROUND7D_SET = ["quality_psi_drift", "q74_higher_order_fns"]
 
+# round-7 session-5 ops: PPJoin prefix join + stats, clustering
+# coefficient, k-core, temperature mixture
+ROUND7E_SET = [
+    "dedup_jaccard_prefix", "dedup_prefix_stats", "graph_clustering_coef",
+    "graph_kcore", "sample_temperature_mix",
+]
+
 
 def run_heavy6(spark, sf_dir: str, names: list[str] | None = None) -> None:
     """Heavy-set wall time + per-query shuffle/spill deltas."""
@@ -716,6 +723,11 @@ def main() -> None:
             run_set(spark, ROUND7D_SET, sf_dir, with_duck=True)
         if os.path.exists(BIG1_DIR):
             run_set(spark, ROUND7D_SET, BIG1_DIR, with_duck=False)
+    elif mode == "round7e":
+        for sf_dir in SHIPPED:
+            run_set(spark, ROUND7E_SET, sf_dir, with_duck=True)
+        if os.path.exists(BIG1_DIR):
+            run_set(spark, ROUND7E_SET, BIG1_DIR, with_duck=False)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
