@@ -184,3 +184,4 @@ from doc2dataset_spark.queries import prefix_join  # noqa: F401, E402
 from doc2dataset_spark.queries import graph_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import round7e_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import round7f_extras  # noqa: F401, E402
+from doc2dataset_spark.queries import round7g_extras  # noqa: F401, E402

@@ -235,6 +235,9 @@ ROUND7E_SET = [
     "graph_kcore", "sample_temperature_mix",
 ]
 
+# round-7 session-6 ops: bigram-LM perplexity, BPE pair stats, DSIR
+ROUND7F_SET = ["text_lm_perplexity", "text_bpe_pairs", "quality_dsir_weights"]
+
 
 def run_heavy6(spark, sf_dir: str, names: list[str] | None = None) -> None:
     """Heavy-set wall time + per-query shuffle/spill deltas."""
@@ -728,6 +731,11 @@ def main() -> None:
             run_set(spark, ROUND7E_SET, sf_dir, with_duck=True)
         if os.path.exists(BIG1_DIR):
             run_set(spark, ROUND7E_SET, BIG1_DIR, with_duck=False)
+    elif mode == "round7f":
+        for sf_dir in SHIPPED:
+            run_set(spark, ROUND7F_SET, sf_dir, with_duck=True)
+        if os.path.exists(BIG1_DIR):
+            run_set(spark, ROUND7F_SET, BIG1_DIR, with_duck=False)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
