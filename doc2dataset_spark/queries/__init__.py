@@ -185,3 +185,36 @@ from doc2dataset_spark.queries import graph_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import round7e_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import round7f_extras  # noqa: F401, E402
 from doc2dataset_spark.queries import round7g_extras  # noqa: F401, E402
+
+# Gate rotation #5 (round-7 sessions 5-7): surface the newest flagship
+# families in the driver's 50-row snapshot — the PPJoin prefix join, the
+# two near-dup-graph analytics (clustering coefficient, k-core), the
+# temperature mixture sampler, and the model-driven curation quartet
+# (bigram-LM perplexity, DSIR weights, in-engine LR classifier training,
+# BPE merge training). Demoted: four textops rows gate-green since round
+# 1 (the promoted set keeps text analysis over-represented in the gate)
+# and four of the six q36 UDF-surface rows (pandas_udf +
+# apply_in_pandas stay as the UDF representatives). All demoted rows
+# remain hash-checked by the degated-parity pytest and the mirror.
+gate_swap(
+    promote=[
+        "dedup_jaccard_prefix",
+        "graph_clustering_coef",
+        "graph_kcore",
+        "sample_temperature_mix",
+        "text_lm_perplexity",
+        "quality_dsir_weights",
+        "quality_classifier_lr",
+        "text_bpe_merges",
+    ],
+    demote=[
+        "q35_term_freq",
+        "text_token_count",
+        "text_langid",
+        "text_fingerprint",
+        "q36_map_in_pandas",
+        "q36_explode_udtf",
+        "q36_python_udtf",
+        "q36_map_in_arrow",
+    ],
+)

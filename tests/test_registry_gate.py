@@ -47,19 +47,19 @@ FROZEN_GATE = [
     "q74_higher_order_fns",
     "events_ewma",
     "q40_listagg",
-    "q35_term_freq",
-    "text_token_count",
+    "dedup_jaccard_prefix",
+    "graph_clustering_coef",
     "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
+    "graph_kcore",
+    "sample_temperature_mix",
     "text_boilerplate",
     "ml_kmeans_lite",
     "q36_pandas_udf",
     "q36_apply_in_pandas",
-    "q36_map_in_pandas",
-    "q36_explode_udtf",
-    "q36_python_udtf",
-    "q36_map_in_arrow",
+    "text_lm_perplexity",
+    "quality_dsir_weights",
+    "quality_classifier_lr",
+    "text_bpe_merges",
     # round-7 rotations (verdict Next round #2, applied twice): 13
     # round-1-stable windows rows demoted to the tail (mirror+pytest keep
     # covering them); the round-5/6 flagships and the round-7 session's
