@@ -88,6 +88,14 @@ HEADLINE = [
     "join_cbo_reordered",        # ANALYZE-stats CBO join reorder
     "quality_psi_drift",         # per-source PSI drift monitor
     "q74_higher_order_fns",      # SQL lambda folds (row-local codegen)
+    # round-7 session-5/6 ops
+    "graph_clustering_coef",     # per-node triangle/degree ratio
+    "graph_kcore",               # iterative k-core peeling
+    "sample_temperature_mix",    # temperature-scaled source resampling
+    "text_lm_perplexity",        # bigram-LM perplexity scoring
+    "quality_dsir_weights",      # DSIR importance weights (hashed n-grams)
+    "quality_classifier_lr",     # in-engine LR training (GD epochs)
+    "text_bpe_merges",           # BPE merge training (closed-form rewrite)
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup
