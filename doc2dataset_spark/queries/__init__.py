@@ -218,3 +218,42 @@ gate_swap(
         "q36_map_in_arrow",
     ],
 )
+
+# Gate rotation #6 (round 9): surface the two join-heaviest TPC-H shapes
+# (Q21 4-way + double-correlated exists/not-exists, Q2 correlated-min
+# over derived partsupp), the PPJoin blocking-contract stats row, the
+# OR-amplified multi-table LSH, and the corpus profiler — none of which
+# has ever had a driver-recorded hash row — over five rows gate-green
+# since round 1 (all remain hash-checked by the degated-parity pytest
+# and the mirror). The full rotation rationale and the resulting frozen
+# list live in queries/gate.py (single source; import-time asserted).
+gate_swap(
+    promote=[
+        "q69_tpch_q21",
+        "q64_tpch_q2",
+        "dedup_prefix_stats",
+        "sim_ann_hyperplane_multi",
+        "profile_documents",
+    ],
+    demote=[
+        "agg_percentiles",
+        "sample_deterministic",
+        "q40_listagg",
+        "text_quality_score",
+        "text_boilerplate",
+    ],
+)
+
+# Post-rotation invariant: the registry's first-50 must equal the frozen
+# contract in gate.py. Asserted here (import time) in addition to the
+# pytest pin so any drift crashes every entry point, not just the suite.
+from doc2dataset_spark.queries.gate import (  # noqa: E402
+    DRIVER_GATE_SIZE,
+    FROZEN_GATE,
+    MUST_BE_GATED,
+)
+
+assert list(REGISTRY)[:DRIVER_GATE_SIZE] == FROZEN_GATE, (
+    "registry first-50 drifted from queries/gate.py FROZEN_GATE — "
+    "update the gate_swap calls and gate.py together in the same commit"
+)

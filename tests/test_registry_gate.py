@@ -16,69 +16,7 @@ import pytest
 
 from doc2dataset_spark.oracle import run_compare
 from doc2dataset_spark.queries import REGISTRY
-
-DRIVER_GATE_SIZE = 50
-
-# the 50 names the driver gates on, in registration order — oracle-backed,
-# scale-critical first (dedup/similarity/scale/extras/textops/ml/udfs,
-# then the windows surface)
-FROZEN_GATE = [
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cell",
-    "dedup_cluster_cc",
-    "dedup_ngram_containment",
-    "sim_cosine_topk",
-    "sim_ann_hyperplane",
-    "sim_ann_ivf",
-    "agg_salted_two_phase",
-    "q12b_bucketed_range_join",
-    "agg_percentiles",
-    "q37_recursive_cte",
-    "text_tfidf_topk",
-    "sample_deterministic",
-    "join_cbo_reordered",
-    "quality_psi_drift",
-    "events_resample_interp",
-    "q74_higher_order_fns",
-    "events_ewma",
-    "q40_listagg",
-    "dedup_jaccard_prefix",
-    "graph_clustering_coef",
-    "text_quality_score",
-    "graph_kcore",
-    "sample_temperature_mix",
-    "text_boilerplate",
-    "ml_kmeans_lite",
-    "q36_pandas_udf",
-    "q36_apply_in_pandas",
-    "text_lm_perplexity",
-    "quality_dsir_weights",
-    "quality_classifier_lr",
-    "text_bpe_merges",
-    # round-7 rotations (verdict Next round #2, applied twice): 13
-    # round-1-stable windows rows demoted to the tail (mirror+pytest keep
-    # covering them); the round-5/6 flagships and the round-7 session's
-    # new flagships (TPC-H Q7/Q8, bucketed join, CDC merge, MV refresh)
-    # take their slots for driver-recorded hash rows
-    "q45_tpch_q3",
-    "q46_tpch_q5",
-    "q55_tpch_q7",
-    "q38_lateral_topk",
-    "search_bm25_topk",
-    "dedup_substring_rewrite",
-    "sim_ann_pq",
-    "curate_corpus",
-    "text_heavy_hitters",
-    "q56_tpch_q8",
-    "join_bucketed_colocated",
-    "merge_cdc_apply",
-    "rollup_incremental_merge",
-]
+from doc2dataset_spark.queries.gate import DRIVER_GATE_SIZE, FROZEN_GATE
 
 
 def test_driver_gate_set_is_frozen():

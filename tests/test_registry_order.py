@@ -6,9 +6,11 @@ silently displace `sim_ann_hyperplane` out of that window; this test makes
 any such displacement a loud failure instead.
 """
 
-from scripts.registry_order import DRIVER_SNAPSHOT_ROWS, MUST_BE_GATED
-
 from doc2dataset_spark.queries import REGISTRY, all_oracles, all_queries
+from doc2dataset_spark.queries.gate import (
+    DRIVER_GATE_SIZE as DRIVER_SNAPSHOT_ROWS,
+    MUST_BE_GATED,
+)
 
 
 def test_scale_critical_queries_inside_driver_gate():
@@ -19,6 +21,17 @@ def test_scale_critical_queries_inside_driver_gate():
         f"{DRIVER_SNAPSHOT_ROWS}-row gate: {sorted(missing)} — fix the import "
         f"order in doc2dataset_spark/queries/__init__.py"
     )
+
+
+def test_scripts_checker_reads_the_same_single_source():
+    """scripts/registry_order.py must expose the gate.py constants, not a
+    private copy — the r7-r8 red suite came from exactly that drift."""
+    import scripts.registry_order as ro
+    from doc2dataset_spark.queries import gate
+
+    assert ro.FROZEN_GATE is gate.FROZEN_GATE
+    assert ro.MUST_BE_GATED is gate.MUST_BE_GATED
+    assert ro.DRIVER_SNAPSHOT_ROWS == gate.DRIVER_GATE_SIZE
 
 
 def test_gated_slots_are_oracle_backed():
