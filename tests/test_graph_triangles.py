@@ -65,9 +65,13 @@ def test_kcore_toy_graphs(spark):
     assert got == {n: False for n in (1, 2, 3, 4, 5)}
 
 
-def test_kcore_fixture_reached_fixpoint(spark, sf_dir):
-    """the declared 6 rounds are a fixpoint at the fixture: a 7th round
-    changes nothing, so the query output IS the true 3-core here."""
+def test_kcore_fixture_matches_unrolled_oracle_depth(spark, sf_dir):
+    """oracle-parity pin: the Spark side peels to the survivor-count
+    fixpoint, the SQL oracle is a static KCORE_ROUNDS-unrolled CTE chain
+    — they agree iff the fixture converges within KCORE_ROUNDS (rounds
+    past convergence are no-ops). Assert fixpoint == unrolled at the
+    oracle's exact depth, so an oracle-depth shortfall fails HERE before
+    it fails as a driver hash mismatch."""
     from doc2dataset_spark.queries.dedup import dedup_simhash_pairs
     from doc2dataset_spark.queries.graph_extras import (
         KCORE_ROUNDS,
@@ -78,7 +82,32 @@ def test_kcore_fixture_reached_fixpoint(spark, sf_dir):
     a = {(r.doc_id, r.in_core) for r in kcore_of(p).collect()}
     b = {
         (r.doc_id, r.in_core)
-        for r in kcore_of(p, rounds=KCORE_ROUNDS + 1).collect()
+        for r in kcore_of(p, rounds=KCORE_ROUNDS).collect()
     }
     assert a == b
     assert any(c for _, c in a) and not all(c for _, c in a)
+
+
+def test_kcore_deep_cascade_needs_more_than_six_rounds(spark):
+    """the round-7/8 hazard, reproduced and fixed: a K5 core with an
+    8-link removal cascade (c1 deg-2, c2..c8 each deg-3 hanging on the
+    previous link) peels one chain node per round — 8 rounds to the true
+    3-core. The old fixed-6 unroll returns a SUPERSET (c7, c8 kept); the
+    convergence-probed default gets exactly the K5."""
+    from doc2dataset_spark.queries.graph_extras import kcore_of
+
+    k5 = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    # c_i = i (1..8); c1: {c2, K5}; c_i: {c_{i-1}, c_{i+1}, K5};
+    # c8: {c7, K5, K5} — every chain node deg-3 except c1 (deg-2)
+    chain = [(1, 2), (1, 100)]
+    for i in range(2, 8):
+        chain += [(i, i + 1), (i, 100 + (i % 5))]
+    chain += [(8, 101), (8, 102)]
+    df = spark.createDataFrame(k5 + chain, ["da", "db"])
+
+    fixed6 = {r.doc_id: r.in_core for r in kcore_of(df, rounds=6).collect()}
+    assert fixed6[7] and fixed6[8], "cascade too shallow to exercise the hazard"
+
+    got = {r.doc_id: r.in_core for r in kcore_of(df).collect()}
+    assert got == {**{100 + i: True for i in range(5)},
+                   **{i: False for i in range(1, 9)}}
