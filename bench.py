@@ -143,6 +143,25 @@ def _calibrate_cpu() -> float:
     return round(time.time() - t0, 3)
 
 
+# Clean-floor value of _calibrate_cpu() on an idle container (measured
+# 0.33-0.37 s across quiet rounds; BENCH_r08 stamped 0.369 on the run the
+# round-8 verdict adjudicated as clean). The per-query calibration samples
+# below are divided by this floor to normalize away HOST-phase slowdowns —
+# the r07 bench ran +44% slow on identical code and needed a manual
+# verdict-time adjudication; with per-query calib stamps the correction is
+# mechanical: normalized_total = sum(t_q * CLEAN_CALIB_SEC / calib_q),
+# clamped so a calm host (calib <= floor) never deflates a timing.
+CLEAN_CALIB_SEC = 0.33
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    if n == 0:
+        return 0.0
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def _steal_sample(window_sec: float = 5.0) -> float:
     """steal%% over a short sampling window."""
     s0, t0 = _cpu_ticks()
@@ -203,17 +222,25 @@ def main() -> None:
     load_table(spark, SF_DIR, "lineitem").count()
 
     timings: dict[str, float] = {}
+    calibs: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
+        # interleaved single-core probe: a host-phase slowdown that hits
+        # only part of the run is visible per-query, not just as one
+        # whole-run scalar (the r07-vs-r08 adjudication gap)
+        calibs[name] = _calibrate_cpu()
         best, n = float("inf"), 0
         for _ in range(RUNS_PER_QUERY):
             t0 = time.time()
             n = spec.builder(spark, SF_DIR).count()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        print(
+            f"# {name}: {timings[name]}s ({n} rows, calib {calibs[name]}s)",
+            file=sys.stderr,
+        )
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     load_end = _loadavg1()
@@ -232,6 +259,17 @@ def main() -> None:
             f"{contention_threshold:.1f}); timings are inflated",
             file=sys.stderr,
         )
+    # Normalization: scale each query by its own calibration sample vs the
+    # clean floor (ratio clamped at 1.0 from below — a fast probe must not
+    # deflate a timing), so a host phase that slowed only part of the run
+    # is corrected per-query. The session median is stamped too: if
+    # median_calib ≈ CLEAN_CALIB_SEC the normalized and raw totals agree
+    # and the run needs no adjudication.
+    median_calib = _median(list(calibs.values()))
+    normalized = {
+        q: round(t * CLEAN_CALIB_SEC / max(calibs[q], CLEAN_CALIB_SEC), 3)
+        for q, t in timings.items()
+    }
     print(
         json.dumps(
             {
@@ -239,6 +277,14 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                # host-phase-corrected view (see CLEAN_CALIB_SEC comment):
+                # compare normalized_total across rounds, raw value within
+                # a round
+                "normalized_total": round(sum(normalized.values()), 3),
+                "queries_normalized": normalized,
+                "query_calib_sec": calibs,
+                "median_calib_sec": round(median_calib, 3),
+                "clean_calib_sec": CLEAN_CALIB_SEC,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs_per_query": RUNS_PER_QUERY,
                 "loadavg_start": round(load_start, 2),
