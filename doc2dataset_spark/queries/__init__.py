@@ -244,6 +244,10 @@ gate_swap(
     ],
 )
 
+# round-9 tail: BPE encode (train-then-apply lifecycle) + model-scored
+# curation (post-gate, oracle-backed)
+from doc2dataset_spark.queries import round9_extras  # noqa: E402
+
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the
 # pytest pin so any drift crashes every entry point, not just the suite.

@@ -316,8 +316,11 @@ def quality_classifier_lr(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # BPE tokenizer training: unrolled greedy merge rounds
 # ---------------------------------------------------------------------------
-def _bpe_oracle() -> str:
-    """Unrolled-round DuckDB twin of the greedy merge loop."""
+def _bpe_training_rounds_sql() -> list[str]:
+    """The unrolled-round CTE chain (pr{r}/pc{r}/m{r}/s{r}) shared by the
+    training oracle here and the encode oracle in round9_extras: both
+    must derive the SAME merge table or the encode side silently trains
+    a different tokenizer than the one it claims to apply."""
     rounds = []
     for r in range(1, BPE_MERGES + 1):
         p = r - 1
@@ -349,6 +352,12 @@ def _bpe_oracle() -> str:
         FROM s{p} CROSS JOIN m{r} m
       )
     )""")
+    return rounds
+
+
+def _bpe_oracle() -> str:
+    """Unrolled-round DuckDB twin of the greedy merge loop."""
+    rounds = _bpe_training_rounds_sql()
     sel = "\n    UNION ALL ".join(
         f"SELECT {r} AS merge_round, p1, p2, CAST(cnt AS BIGINT) AS cnt "
         f"FROM m{r}"
@@ -439,6 +448,19 @@ def text_bpe_merges(spark, sf_dir):
         .groupBy("tok")
         .agg(F.count("*").alias("f"))
     )
+    merges = bpe_train_merges(tf)
+    out = merges[0]
+    for mdf in merges[1:]:
+        out = out.unionAll(mdf)
+    return out.orderBy("merge_round")
+
+
+def bpe_train_merges(tf):
+    """Run the BPE_MERGES greedy training rounds over a (tok, f)
+    word-type frame; returns one checkpointed 1-row frame
+    (merge_round, p1, p2, cnt) per round, in merge order — the trained
+    merge table, consumed both by text_bpe_merges (training output) and
+    round9_extras.text_bpe_encode (application to the corpus)."""
     syms = (
         tf.filter(F.length("tok").between(2, BPE_MAX_WORD))
         .select(
@@ -484,7 +506,4 @@ def text_bpe_merges(spark, sf_dir):
                 .select(F.expr(_SP_REWRITE).alias("s"), "f")
                 .localCheckpoint()
             )
-    out = merges[0]
-    for mdf in merges[1:]:
-        out = out.unionAll(mdf)
-    return out.orderBy("merge_round")
+    return merges
