@@ -72,32 +72,48 @@ BPE_MAX_WORD = 16  # declared cap: longer word types are tokenizer noise
 # ---------------------------------------------------------------------------
 # logistic-regression quality classifier (full-batch GD, unrolled)
 # ---------------------------------------------------------------------------
-def _lr_oracle() -> str:
-    """Unrolled-iteration DuckDB twin; same CTE per round, w0 = 0."""
+def _lr_scored_ctes() -> str:
+    """The full training-and-scoring CTE chain (everything after WITH,
+    ending in a ``scored`` CTE with one row per featured document:
+    doc_id, source, label, score).
+
+    Exactness note (round 9): full-corpus per-document score equality
+    across engines is NOT achievable with this float/exp formulation —
+    Java Math.exp vs libm differ by 1 ulp on some inputs, the divergence
+    feeds back through the GD rounds, and double-space round(x, 8)
+    additionally breaks exact 8-dp boundary products (x = c/n with a
+    power-of-2 n makes w*x land exactly on 8-dp decimals whose double
+    sits a hair to one side; the two engines' round() implementations
+    then disagree — measured 13-19/500 logits off by 1e-8). The top-k
+    cut quality_classifier_lr takes is robust to that; consumers that
+    need full-corpus equality use the FIXED-POINT trainer in
+    round9_extras (integer 1e-8 units, rational link, no floats in the
+    loop) instead."""
+    p_expr = "round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)), 8)"
     rounds = []
     for r in range(1, LR_ITERS + 1):
         p = r - 1
         rounds.append(f"""
-    z{r} AS (
+    z{r} AS MATERIALIZED (
       SELECT d.doc_id, d.source, d.y,
-             round(b.b + COALESCE(s.t, 0), 8) AS z
+             round(CAST(b.b AS DECIMAL(38,10))
+                   + COALESCE(s.t, CAST(0 AS DECIMAL(38,10))), 8)::DOUBLE
+               AS z
       FROM docn d
       CROSS JOIN b{p} b
       LEFT JOIN (
         SELECT x.doc_id,
-               CAST(SUM(CAST(round(w.w * x.x, 8) AS DECIMAL(38,10)))
-                    AS DOUBLE) AS t
+               SUM(CAST(round(w.w * x.x, 8) AS DECIMAL(38,10))) AS t
         FROM dfcx x JOIN w{p} w USING (bucket)
         GROUP BY x.doc_id
       ) s ON s.doc_id = d.doc_id
     ),
-    p{r} AS (
+    p{r} AS MATERIALIZED (
       SELECT doc_id, source, y,
-             round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)), 8)
-               AS p
+             {p_expr} AS p
       FROM z{r}
     ),
-    g{r} AS (
+    g{r} AS MATERIALIZED (
       SELECT x.bucket,
              round(CAST(SUM(CAST(round((p.p - p.y) * x.x, 8)
                                  AS DECIMAL(38,10))) AS DOUBLE)
@@ -105,12 +121,12 @@ def _lr_oracle() -> str:
       FROM dfcx x JOIN p{r} p USING (doc_id)
       GROUP BY x.bucket
     ),
-    w{r} AS (
+    w{r} AS MATERIALIZED (
       SELECT w.bucket,
              round(w.w - CAST({LR_ETA} AS DOUBLE) * g.grad, 8) AS w
       FROM w{p} w JOIN g{r} g USING (bucket)
     ),
-    b{r} AS (
+    b{r} AS MATERIALIZED (
       SELECT round(b.b - CAST({LR_ETA} AS DOUBLE) * gb.grad, 8) AS b
       FROM b{p} b CROSS JOIN (
         SELECT round(CAST(SUM(CAST(round(p - y, 8) AS DECIMAL(38,10)))
@@ -120,25 +136,24 @@ def _lr_oracle() -> str:
       ) gb
     )""")
     n = LR_ITERS
-    return f"""
-    WITH {_DUCK_BG},
+    return f"""{_DUCK_BG},
     feat AS (
       SELECT doc_id, source,
              ('0x' || substr(md5(w1 || ' ' || w2), 1, 12))::BIGINT
                % {LR_BUCKETS} AS bucket
       FROM bg
     ),
-    dfc AS (
+    dfc AS MATERIALIZED (
       SELECT doc_id, source, bucket, count(*) AS c
       FROM feat GROUP BY doc_id, source, bucket
     ),
-    docn AS (
+    docn AS MATERIALIZED (
       SELECT doc_id, source, SUM(c) AS n,
              CASE WHEN source IN {_LR_TGT_SQL}
                   THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y
       FROM dfc GROUP BY doc_id, source
     ),
-    dfcx AS (
+    dfcx AS MATERIALIZED (
       SELECT f.doc_id, f.bucket,
              CAST(f.c AS DOUBLE) / d.n AS x
       FROM dfc f JOIN docn d USING (doc_id)
@@ -147,23 +162,33 @@ def _lr_oracle() -> str:
     w0 AS (SELECT DISTINCT bucket, CAST(0 AS DOUBLE) AS w FROM dfc),
     b0 AS (SELECT CAST(0 AS DOUBLE) AS b),
     {",".join(rounds)},
-    zf AS (
+    zf AS MATERIALIZED (
       SELECT d.doc_id, d.source, d.y,
-             round(b.b + COALESCE(s.t, 0), 8) AS z
+             round(CAST(b.b AS DECIMAL(38,10))
+                   + COALESCE(s.t, CAST(0 AS DECIMAL(38,10))), 8)::DOUBLE
+               AS z
       FROM docn d
       CROSS JOIN b{n} b
       LEFT JOIN (
         SELECT x.doc_id,
-               CAST(SUM(CAST(round(w.w * x.x, 8) AS DECIMAL(38,10)))
-                    AS DOUBLE) AS t
+               SUM(CAST(round(w.w * x.x, 8) AS DECIMAL(38,10))) AS t
         FROM dfcx x JOIN w{n} w USING (bucket)
         GROUP BY x.doc_id
       ) s ON s.doc_id = d.doc_id
-    )
-    SELECT doc_id, source, CAST(y AS BIGINT) AS label,
-           round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)), 8)
-             AS score
-    FROM zf
+    ),
+    scored AS MATERIALIZED (
+      SELECT doc_id, source, CAST(y AS BIGINT) AS label,
+             {p_expr} AS score
+      FROM zf
+    )"""
+
+
+def _lr_oracle() -> str:
+    """Unrolled-iteration DuckDB twin; same CTE per round, w0 = 0."""
+    return f"""
+    WITH {_lr_scored_ctes()}
+    SELECT doc_id, source, label, score
+    FROM scored
     ORDER BY score DESC, doc_id
     LIMIT {LR_TOPK}
     """
@@ -173,11 +198,19 @@ def _lr_score(docn, dfcx, w, b):
     """z/p per doc under weight frame ``w`` (bucket, w) + 1-row bias
     ``b`` (b): the decimal-exact dot product + round-8 sigmoid."""
     term = F.round(F.col("w") * F.col("x"), 8).cast("decimal(38,10)")
+    # z stays in DECIMAL space through the rounding: b (an 8-dp value
+    # stored as double) + the 10-dp decimal dot-product sum has exact
+    # 10-dp ties at the 8-dp rounding boundary (~1% of docs per scoring
+    # pass), and double-space round() breaks those ties by binary noise
+    # — measured 13-19/500 cross-engine 1e-8 logit flips. Decimal round
+    # is exact and half-away-from-zero in BOTH engines (tie rule
+    # verified), then one cast back to double.
     s = (
         dfcx.join(F.broadcast(w), "bucket")
         .groupBy("doc_id")
-        .agg(F.sum(term).cast("double").alias("t"))
+        .agg(F.sum(term).alias("t"))
     )
+    zero_dec = F.lit(0).cast("decimal(38,10)")
     z = (
         docn.crossJoin(F.broadcast(b))
         .join(s, "doc_id", "left")
@@ -185,7 +218,12 @@ def _lr_score(docn, dfcx, w, b):
             "doc_id",
             "source",
             "y",
-            F.round(F.col("b") + F.coalesce(F.col("t"), F.lit(0.0)), 8)
+            F.round(
+                F.col("b").cast("decimal(38,10)")
+                + F.coalesce(F.col("t"), zero_dec),
+                8,
+            )
+            .cast("double")
             .alias("z"),
         )
     )
@@ -193,6 +231,7 @@ def _lr_score(docn, dfcx, w, b):
         "doc_id",
         "source",
         "y",
+        "z",
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 8)
         .alias("p"),
     )
@@ -225,6 +264,21 @@ def quality_classifier_lr(spark, sf_dir):
     TakeOrderedAndProject. Exactness: round-8 terms, DECIMAL(38,10)
     sums, round-8 sigmoid (absorbing the measured 1-ulp Math.exp vs
     libm divergence), IEEE-exact float mul/div elsewhere."""
+    out = lr_train_score(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        F.col("y").cast("bigint").alias("label"),
+        F.col("p").alias("score"),
+    )
+    return out.orderBy(F.desc("score"), "doc_id").limit(LR_TOPK)
+
+
+def lr_train_score(spark, sf_dir):
+    """Train the LR quality model (LR_ITERS full-batch GD rounds, w0=0)
+    and score EVERY featured document: returns (doc_id, source, y, z, p).
+    Float/sigmoid formulation — exact for quality_classifier_lr's top-k
+    cut; see _lr_scored_ctes for why full-corpus score equality needs
+    round9_extras' fixed-point trainer instead."""
     d = load_table(spark, sf_dir, "documents")
     feat = _bigram_frame(d).select(
         "doc_id",
@@ -304,13 +358,7 @@ def quality_classifier_lr(spark, sf_dir):
             )
             .localCheckpoint()
         )
-    out = _lr_score(docn, dfcx, w, b).select(
-        "doc_id",
-        "source",
-        F.col("y").cast("bigint").alias("label"),
-        F.col("p").alias("score"),
-    )
-    return out.orderBy(F.desc("score"), "doc_id").limit(LR_TOPK)
+    return _lr_score(docn, dfcx, w, b)
 
 
 # ---------------------------------------------------------------------------
@@ -325,18 +373,18 @@ def _bpe_training_rounds_sql() -> list[str]:
     for r in range(1, BPE_MERGES + 1):
         p = r - 1
         rounds.append(f"""
-    pr{r} AS (
+    pr{r} AS MATERIALIZED (
       SELECT f, unnest(list_transform(range(1, len(s)),
                        i -> struct_pack(p1 := s[i], p2 := s[i+1]))) AS u
       FROM s{p}
     ),
-    pc{r} AS (
+    pc{r} AS MATERIALIZED (
       SELECT u.p1 AS p1, u.p2 AS p2, SUM(f) AS cnt
       FROM pr{r} GROUP BY 1, 2
     ),
-    m{r} AS (SELECT p1, p2, cnt FROM pc{r}
+    m{r} AS MATERIALIZED (SELECT p1, p2, cnt FROM pc{r}
              ORDER BY cnt DESC, p1, p2 LIMIT 1),
-    s{r} AS (
+    s{r} AS MATERIALIZED (
       SELECT flatten(list_transform(range(1, len(s) + 1), i ->
                CASE WHEN i < len(s) AND g[i] THEN [s[i] || s[i + 1]]
                     WHEN i >= 2 AND g[i - 1] THEN []
@@ -365,8 +413,8 @@ def _bpe_oracle() -> str:
     )
     return f"""
     WITH tok AS (SELECT unnest({_DTOKS}) AS tok FROM documents),
-    tf AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
-    s0 AS (
+    tf AS MATERIALIZED (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
+    s0 AS MATERIALIZED (
       SELECT list_transform(range(1, length(tok) + 1), i -> tok[i:i]) AS s,
              f
       FROM tf WHERE length(tok) BETWEEN 2 AND {BPE_MAX_WORD}

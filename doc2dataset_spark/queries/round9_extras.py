@@ -10,9 +10,13 @@ trained quality models into curation (round-8 verdict, Next round #6/#7).
                         applies the learned operations to new text).
 - ``curate_corpus_scored``  the train-the-filter-then-filter lifecycle
                         real pipelines run (CCNet / LLaMA-style): gate
-                        the curation chain on the in-engine LR quality
-                        classifier's scores, with a stage-audit flag per
-                        document like the Gopher stage emits.
+                        the curation chain on an in-engine-trained
+                        quality classifier's scores, with a stage-audit
+                        flag per document like the Gopher stage emits.
+                        The trainer is FIXED-POINT (integer 1e-8 units,
+                        rational Elliott link) so per-document scores
+                        are bit-identical across engines by
+                        construction — see the fixed-point note below.
 
 Both are oracle-exact DuckDB twins (the encode oracle REUSES the
 training oracle's unrolled CTE chain, so the applied merge table is
@@ -24,14 +28,32 @@ training-data-pipeline surface the same way the round-7e/7f/7g waves do.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from doc2dataset_spark.queries.core import query
-from doc2dataset_spark.queries.dedup import _DTOKS, _TOKS
+from doc2dataset_spark.queries.dedup import (
+    _DTOKS,
+    _IVF_ASSIGN_DUCK,
+    _TOKS,
+    CELL_THRESHOLD,
+    cell_assignments,
+    spark_dot,
+)
+from doc2dataset_spark.queries.pipeline_extras import (
+    _BIGRAMS,
+    HEAD_WORDS,
+    REP_FLAG,
+)
+from doc2dataset_spark.queries.round7f_extras import _DUCK_BG, _bigram_frame
 from doc2dataset_spark.queries.round7g_extras import (
-    BPE_MERGES,
+    _LR_TGT_SQL,
     _SP_G,
     _SP_REWRITE,
+    BPE_MERGES,
+    LR_BUCKETS,
+    LR_ITERS,
+    LR_TARGET,
     _bpe_training_rounds_sql,
     bpe_train_merges,
 )
@@ -50,7 +72,7 @@ def _bpe_encode_rounds_sql() -> list[str]:
     for r in range(1, BPE_MERGES + 1):
         p = r - 1
         rounds.append(f"""
-    e{r} AS (
+    e{r} AS MATERIALIZED (
       SELECT tok, flatten(list_transform(range(1, len(s) + 1), i ->
                CASE WHEN i < len(s) AND g[i] THEN [s[i] || s[i + 1]]
                     WHEN i >= 2 AND g[i - 1] THEN []
@@ -75,14 +97,14 @@ def _bpe_encode_oracle() -> str:
     enc = ",".join(_bpe_encode_rounds_sql())
     return f"""
     WITH tok AS (SELECT unnest({_DTOKS}) AS tok FROM documents),
-    tf AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
+    tf AS MATERIALIZED (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
     s0 AS (
       SELECT list_transform(range(1, length(tok) + 1), i -> tok[i:i]) AS s,
              f
       FROM tf WHERE length(tok) BETWEEN 2 AND {BPE_MAX_WORD}
     ),
     {train},
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT tok,
              list_transform(range(1, length(tok) + 1), i -> tok[i:i]) AS s
       FROM tf
@@ -170,4 +192,452 @@ def text_bpe_encode(spark, sf_dir):
         F.round(
             F.sum("n_sym").cast("double") / F.count("*"), 4
         ).alias("fertility"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# model-scored curation: train the filter, then filter (fixed-point GD)
+# ---------------------------------------------------------------------------
+# Why fixed point: the float LR trainer (round7g_extras) cannot give
+# full-corpus per-document score equality across engines — Math.exp vs
+# libm is 1-ulp divergent, and double-space round(x, 8) disagrees between
+# Spark (exact BigDecimal) and DuckDB (scaled multiply) precisely on the
+# exact-8-dp boundary products that x = c/n features with power-of-2 n
+# produce constantly (measured: 13-19/500 logits off by 1e-8, stable
+# across reformulations). This trainer removes floats from the loop
+# entirely: every quantity is an integer count of 1e-8 units (bigint /
+# DECIMAL(38,0) on Spark, BIGINT / HUGEINT on DuckDB), every division is
+# an explicit round-half-away-from-zero integer formula
+#   rha(a, b) = sign(a) * ((2*|a| + b) DIV (2*b))
+# (floor-div == truncating-div on the positive operands it is applied
+# to), and the link is the rational fast sigmoid p = (N*U) / D with
+# N = (U+|z|)+z, D = 2*(U+|z|) (Elliott 1993 — same monotone S-shape,
+# range (0,1), p(0)=0.5, no transcendental). Identical integers in, the
+# same integers out, on ANY engine at ANY scale — determinism by
+# construction, not by fixture luck. The float sigmoid twin remains
+# quality_classifier_lr (its top-k output is robust to ulp noise).
+
+FX_U = 100_000_000  # 1.0 in fixed-point units (8 decimal places)
+
+
+def _rha_spark(a: str, b: str) -> str:
+    """Spark SQL round-half-away-from-zero of a/b (b > 0), integer-exact.
+    DIV truncates toward zero == floor on the positive operands used."""
+    return (
+        f"(CASE WHEN ({a}) >= 0 THEN (2*({a}) + ({b})) DIV (2*({b})) "
+        f"ELSE -((-2*({a}) + ({b})) DIV (2*({b}))) END)"
+    )
+
+
+def _rha_duck(a: str, b: str) -> str:
+    """DuckDB twin of _rha_spark; operands must already be HUGEINT
+    (DuckDB's // on DECIMAL degrades to float division — HUGEINT // is
+    the exact integer path)."""
+    return (
+        f"(CASE WHEN ({a}) >= 0 THEN (2*({a}) + ({b})) // (2*({b})) "
+        f"ELSE -((-2*({a}) + ({b})) // (2*({b}))) END)"
+    )
+
+
+def _fx_p8_duck(z8: str) -> str:
+    """p8 = rha(N*U / D) with N=(U+|z|)+z >= 0, D=2*(U+|z|) — positive
+    operands, so the plain (2*N*U + D) // (2*D) floor formula IS rha."""
+    return (
+        f"(2*(({FX_U} + abs({z8})) + {z8})*{FX_U} + 2*({FX_U} + abs({z8})))"
+        f" // (2*(2*({FX_U} + abs({z8}))))"
+    )
+
+
+def _fx_oracle_ctes() -> str:
+    """The fixed-point train-and-score chain for DuckDB, ending in a
+    ``scored`` CTE: (doc_id, source, y, p8, score). Structure mirrors
+    the float chain in round7g_extras._lr_scored_ctes; arithmetic is
+    HUGEINT throughout."""
+    rounds = []
+    for r in range(1, LR_ITERS + 1):
+        p = r - 1
+        z16 = f"CAST(b.b8 AS HUGEINT)*{FX_U} + COALESCE(s.t16, CAST(0 AS HUGEINT))"
+        rounds.append(f"""
+    zr{r} AS MATERIALIZED (
+      SELECT d.doc_id, d.y, {_rha_duck(z16, f'CAST({FX_U} AS HUGEINT)')} AS z8
+      FROM docn d
+      CROSS JOIN b{p} b
+      LEFT JOIN (
+        SELECT x.doc_id, SUM(CAST(w.w8 AS HUGEINT) * x.x8) AS t16
+        FROM dfx x JOIN w{p} w USING (bucket)
+        GROUP BY x.doc_id
+      ) s ON s.doc_id = d.doc_id
+    ),
+    pr{r} AS MATERIALIZED (
+      SELECT doc_id, y, {_fx_p8_duck('z8')} AS p8 FROM zr{r}
+    ),
+    g{r} AS MATERIALIZED (
+      SELECT x.bucket, SUM((p.p8 - p.y*{FX_U}) * x.x8) AS S
+      FROM dfx x JOIN pr{r} p USING (doc_id)
+      GROUP BY x.bucket
+    ),
+    w{r} AS MATERIALIZED (
+      SELECT w.bucket,
+             w.w8 - {_rha_duck('g.S', f'CAST(nd AS HUGEINT)*{FX_U}')} AS w8
+      FROM w{p} w JOIN g{r} g USING (bucket) CROSS JOIN ndocs
+    ),
+    b{r} AS MATERIALIZED (
+      SELECT b.b8 - {_rha_duck('gb.S', 'CAST(nd AS HUGEINT)')} AS b8
+      FROM b{p} b
+      CROSS JOIN (SELECT SUM(p8 - y*{FX_U}) AS S FROM pr{r}) gb
+      CROSS JOIN ndocs
+    )""")
+    n = LR_ITERS
+    zf16 = f"CAST(b.b8 AS HUGEINT)*{FX_U} + COALESCE(s.t16, CAST(0 AS HUGEINT))"
+    return f"""{_DUCK_BG},
+    feat AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(w1 || ' ' || w2), 1, 12))::BIGINT
+               % {LR_BUCKETS} AS bucket
+      FROM bg
+    ),
+    dfc AS MATERIALIZED (
+      SELECT doc_id, source, bucket, count(*) AS c
+      FROM feat GROUP BY doc_id, source, bucket
+    ),
+    docn AS MATERIALIZED (
+      SELECT doc_id, source, SUM(c) AS n,
+             CASE WHEN source IN {_LR_TGT_SQL}
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS y
+      FROM dfc GROUP BY doc_id, source
+    ),
+    dfx AS MATERIALIZED (
+      SELECT f.doc_id, f.bucket,
+             CAST((2*f.c*{FX_U} + d.n) // (2*d.n) AS HUGEINT) AS x8
+      FROM dfc f JOIN docn d USING (doc_id)
+    ),
+    ndocs AS (SELECT COUNT(*) AS nd FROM docn),
+    w0 AS (SELECT DISTINCT bucket, CAST(0 AS HUGEINT) AS w8 FROM dfc),
+    b0 AS (SELECT CAST(0 AS HUGEINT) AS b8),
+    {",".join(rounds)},
+    zf AS MATERIALIZED (
+      SELECT d.doc_id, d.source, d.y,
+             {_rha_duck(zf16, f'CAST({FX_U} AS HUGEINT)')} AS z8
+      FROM docn d
+      CROSS JOIN b{n} b
+      LEFT JOIN (
+        SELECT x.doc_id, SUM(CAST(w.w8 AS HUGEINT) * x.x8) AS t16
+        FROM dfx x JOIN w{n} w USING (bucket)
+        GROUP BY x.doc_id
+      ) s ON s.doc_id = d.doc_id
+    ),
+    scored AS MATERIALIZED (
+      SELECT doc_id, source, y, {_fx_p8_duck('z8')} AS p8,
+             CAST({_fx_p8_duck('z8')} AS DOUBLE) / {FX_U} AS score
+      FROM zf
+    )"""
+
+
+def fx_train_score(spark, sf_dir):
+    """Spark twin of _fx_oracle_ctes: fixed-point LR training over
+    hashed-bigram features, returns (doc_id, source, y, p8, score) for
+    every featured document. Same feature hashing, target labels, and
+    round/iteration structure as quality_classifier_lr — only the
+    number system differs (see the fixed-point note above). State per
+    round: the <= LR_BUCKETS-row weight table + a 1-row bias, both
+    broadcast; the feature frame is computed once and checkpointed; the
+    only scalar pulled to the driver is the document count."""
+    d = load_table(spark, sf_dir, "documents")
+    feat = _bigram_frame(d).select(
+        "doc_id",
+        "source",
+        F.pmod(
+            F.expr(
+                "cast(conv(substring(md5(concat(w1, ' ', w2)), 1, 12), "
+                "16, 10) AS bigint)"
+            ),
+            F.lit(LR_BUCKETS),
+        ).alias("bucket"),
+    )
+    dfc = (
+        feat.groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    docn = (
+        dfc.groupBy("doc_id", "source")
+        .agg(F.sum("c").alias("n"))
+        .select(
+            "doc_id",
+            "source",
+            "n",
+            F.when(F.col("source").isin(*LR_TARGET), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+        .localCheckpoint()
+    )
+    dfx = (
+        dfc.join(docn.select("doc_id", "n"), "doc_id")
+        .selectExpr(
+            "doc_id",
+            "bucket",
+            f"CAST((2*c*{FX_U} + n) DIV (2*n) AS DECIMAL(38,0)) AS x8",
+        )
+        .localCheckpoint()
+    )
+    nd = docn.count()
+    w = dfc.select("bucket").distinct().selectExpr(
+        "bucket", "CAST(0 AS DECIMAL(38,0)) AS w8"
+    )
+    b = spark.range(1).selectExpr("CAST(0 AS DECIMAL(38,0)) AS b8")
+
+    def score_under(w, b):
+        t = (
+            dfx.join(F.broadcast(w), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("w8") * F.col("x8")).alias("t16"))
+        )
+        z = (
+            docn.crossJoin(F.broadcast(b))
+            .join(t, "doc_id", "left")
+            .selectExpr(
+                "doc_id",
+                "source",
+                "y",
+                f"b8*{FX_U} + COALESCE(t16, CAST(0 AS DECIMAL(38,0))) AS z16",
+            )
+            .selectExpr(
+                "doc_id",
+                "source",
+                "y",
+                _rha_spark("z16", str(FX_U)) + " AS z8",
+            )
+        )
+        p8 = (
+            f"(2*CAST(({FX_U} + abs(z8)) + z8 AS DECIMAL(38,0))*{FX_U}"
+            f" + 2*({FX_U} + abs(z8)))"
+            f" DIV (2*CAST(2*({FX_U} + abs(z8)) AS DECIMAL(38,0)))"
+        )
+        return z.selectExpr(
+            "doc_id",
+            "source",
+            "y",
+            p8 + " AS p8",
+        ).selectExpr(
+            "doc_id",
+            "source",
+            "y",
+            "p8",
+            f"CAST(p8 AS DOUBLE) / {FX_U} AS score",
+        )
+
+    for _ in range(LR_ITERS):
+        p = score_under(w, b)
+        g = (
+            dfx.join(p.select("doc_id", "p8", "y"), "doc_id")
+            .groupBy("bucket")
+            .agg(
+                F.sum(
+                    F.expr(f"CAST(p8 - y*{FX_U} AS DECIMAL(38,0)) * x8")
+                ).alias("S")
+            )
+        )
+        w = (
+            w.join(g, "bucket")
+            .selectExpr(
+                "bucket",
+                "CAST(w8 - "
+                + _rha_spark("S", f"CAST({nd} AS DECIMAL(38,0))*{FX_U}")
+                + " AS DECIMAL(38,0)) AS w8",
+            )
+            .localCheckpoint()
+        )
+        sb = p.agg(
+            F.sum(F.expr(f"CAST(p8 - y*{FX_U} AS DECIMAL(38,0))")).alias("S")
+        )
+        b = (
+            b.crossJoin(sb)
+            .selectExpr(
+                "CAST(b8 - "
+                + _rha_spark("S", str(nd))
+                + " AS DECIMAL(38,0)) AS b8"
+            )
+            .localCheckpoint()
+        )
+    return score_under(w, b)
+
+
+def _scored_curation_oracle() -> str:
+    # CTE namespace note: _fx_oracle_ctes defines ws (doc_id, source, w)
+    # and bg (aligned bigram pairs) via _DUCK_BG — the curation stages
+    # below reuse both, so the model's features and the repetition rule
+    # provably read the same tokens. _IVF_ASSIGN_DUCK's CTE names
+    # (n, cents, assign) are disjoint from the training chain's.
+    return f"""
+    WITH {_fx_oracle_ctes()},
+    med AS (SELECT quantile_cont(p8, 0.5) AS m FROM scored),
+    bgc AS (
+      SELECT doc_id, w1 || ' ' || w2 AS b2, count(*) AS c
+      FROM bg GROUP BY doc_id, b2
+    ),
+    repf AS (
+      SELECT doc_id, max(c)::DOUBLE / sum(c) > {REP_FLAG} AS is_rep
+      FROM bgc GROUP BY doc_id
+    ),
+    base AS (
+      SELECT s.doc_id, s.source, s.score,
+             CAST(s.p8 AS DOUBLE) >= m.m AS pass_model,
+             COALESCE(r.is_rep, FALSE) AS flag_rep
+      FROM scored s CROSS JOIN med m
+      LEFT JOIN repf r ON r.doc_id = s.doc_id
+    ),
+    fpin AS (
+      SELECT b.doc_id,
+             md5(array_to_string(w.w[1:{HEAD_WORDS}], ' ')) AS fingerprint,
+             CAST(substr(b.source, 4) AS INT) AS prio
+      FROM base b JOIN ws w USING (doc_id)
+      WHERE b.pass_model AND NOT b.flag_rep
+    ),
+    fpk AS (
+      SELECT doc_id,
+             row_number() OVER (
+               PARTITION BY fingerprint ORDER BY prio, doc_id
+             ) = 1 AS kept_fp
+      FROM fpin
+    ),
+    {_IVF_ASSIGN_DUCK},
+    svec AS (
+      SELECT f.doc_id, a.ne, a.cent_id
+      FROM fpk f JOIN assign a ON a.vec_id = f.doc_id
+      WHERE f.kept_fp
+    ),
+    semdrop AS (
+      SELECT DISTINCT y.doc_id
+      FROM svec x JOIN svec y
+        ON x.cent_id = y.cent_id AND x.doc_id < y.doc_id
+      WHERE list_dot_product(x.ne, y.ne) >= {CELL_THRESHOLD}
+    )
+    SELECT b.doc_id, b.source, b.score, b.pass_model, b.flag_rep,
+           COALESCE(f.kept_fp, FALSE) AS kept_fp,
+           COALESCE(f.kept_fp, FALSE)
+             AND b.doc_id NOT IN (SELECT doc_id FROM semdrop) AS kept
+    FROM base b LEFT JOIN fpk f USING (doc_id)
+    """
+
+
+@query(
+    "curate_corpus_scored",
+    oracle=_scored_curation_oracle(),
+    tags=("pipeline", "quality", "ml", "composition"),
+)
+def curate_corpus_scored(spark, sf_dir):
+    """The train-the-filter-then-filter lifecycle (CCNet/LLaMA-style):
+    train the in-engine quality classifier, gate the curation chain on
+    its scores, and emit a per-document STAGE AUDIT — one row per
+    scoreable document with every stage's verdict, the shape the Gopher
+    stage (text_gopher_rules) uses for explainable filtering:
+
+      pass_model  model score >= the corpus median score ("keep the
+                  more target-like half" — rank semantics without a
+                  global window: Spark percentile == DuckDB
+                  quantile_cont, the agg_percentiles-proven pair, on
+                  INTEGER fixed-point scores so the interpolated median
+                  is exact in both engines; broadcast as a 1-row scalar)
+      flag_rep    top-bigram fraction > REP_FLAG (the curate_corpus
+                  repetition rule, over the SAME bigram frame the model
+                  features come from)
+      kept_fp     survived cross-source head-fingerprint dedup among
+                  model+repetition survivors (priority: lowest source
+                  number, doc_id tiebreak)
+      kept        kept_fp AND survived cell-blocked SemDeDup (docs
+                  without an embedding row pass through, as in
+                  curate_corpus)
+
+    The model is the FIXED-POINT GD trainer (fx_train_score): integer
+    1e-8 units end to end, rational Elliott link, explicit
+    round-half-away divisions — per-document scores are bit-identical
+    across engines by construction (the float/sigmoid twin,
+    quality_classifier_lr, is 1e-8-divergent on ~4% of docs and only
+    safe for top-k cuts; see the fixed-point note above).
+
+    Scale shape: identical stage plans to curate_corpus plus the
+    trainer (parameter-bounded state: <= LR_BUCKETS-row weights + 1-row
+    bias per round, broadcast; feature frame checkpointed once); the
+    median is one scalar aggregate broadcast back (the blessed bounded
+    crossJoin), never a global sort/window; every stage join is keyed
+    (doc_id, fingerprint, cent_id) with bounded skew. Universe note:
+    rows = documents with >= 1 bigram (unscoreable docs cannot pass a
+    model gate; every fixture doc qualifies)."""
+    scored = fx_train_score(spark, sf_dir).localCheckpoint()
+    med = scored.agg(F.expr("percentile(p8, 0.5)").alias("m"))
+    d = load_table(spark, sf_dir, "documents")
+    bgc = (
+        d.select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("b2"))
+        .groupBy("doc_id", "b2")
+        .agg(F.count("*").alias("c"))
+    )
+    repf = bgc.groupBy("doc_id").agg(
+        ((F.max("c") / F.sum("c")) > REP_FLAG).alias("is_rep")
+    )
+    base = (
+        scored.crossJoin(F.broadcast(med))
+        .join(repf, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            (F.col("p8").cast("double") >= F.col("m")).alias("pass_model"),
+            F.coalesce("is_rep", F.lit(False)).alias("flag_rep"),
+        )
+        .localCheckpoint()
+    )
+    meta = d.select(
+        "doc_id",
+        F.md5(
+            F.expr(f"array_join(slice({_TOKS}, 1, {HEAD_WORDS}), ' ')")
+        ).alias("fingerprint"),
+    )
+    fpin = (
+        base.filter(F.col("pass_model") & ~F.col("flag_rep"))
+        .select(
+            "doc_id",
+            F.expr("CAST(substring(source, 4, 10) AS int)").alias("prio"),
+        )
+        .join(meta, "doc_id")
+    )
+    wdup = W.partitionBy("fingerprint").orderBy("prio", "doc_id")
+    fpk = fpin.select(
+        "doc_id", (F.row_number().over(wdup) == 1).alias("kept_fp")
+    )
+    assign = cell_assignments(spark, sf_dir)
+    svec = (
+        fpk.filter("kept_fp")
+        .select(F.col("doc_id").alias("vec_id"))
+        .join(assign, "vec_id")
+    )
+    x, y = svec.alias("x"), svec.alias("y")
+    semdrop = (
+        x.hint("SHUFFLE_HASH")
+        .join(
+            y,
+            (F.col("x.cent_id") == F.col("y.cent_id"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .filter(spark_dot(F.col("x.ne"), F.col("y.ne")) >= CELL_THRESHOLD)
+        .select(F.col("y.vec_id").alias("doc_id"))
+        .distinct()
+        .withColumn("semdropped", F.lit(True))
+    )
+    return (
+        base.join(fpk, "doc_id", "left")
+        .join(semdrop, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "score",
+            "pass_model",
+            "flag_rep",
+            F.coalesce("kept_fp", F.lit(False)).alias("kept_fp"),
+            (
+                F.coalesce("kept_fp", F.lit(False))
+                & F.col("semdropped").isNull()
+            ).alias("kept"),
+        )
     )
