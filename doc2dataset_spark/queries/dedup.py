@@ -562,19 +562,28 @@ def dedup_embedding_cosine(spark, sf_dir):
 CELL_THRESHOLD = 0.3
 
 
-def cell_assignments(spark, sf_dir):
-    """(vec_id, ne, cent_id): every vector coarse-quantized to its nearest
-    of 16 seed centroids (the first 16 vec_ids, normalized). Shared by
-    dedup_embedding_cell and the curate_corpus semantic-dedup stage so the
-    cell rule has exactly one definition (DuckDB twin: _IVF_ASSIGN_DUCK).
+CELLS_FIXTURE = 16  # oracle-pinned (_IVF_ASSIGN_DUCK bakes the same 16)
 
-    Scale shape: the centroid table is a 16-row broadcast; the argmax is
-    a hash aggregate over a max(struct) — no window sort — so assignment
-    is one map-side-combinable pass over the vectors."""
+
+def cell_assignments(spark, sf_dir, cells: int = CELLS_FIXTURE):
+    """(vec_id, ne, cent_id): every vector coarse-quantized to its nearest
+    of ``cells`` seed centroids (the first ``cells`` vec_ids, normalized).
+    Shared by dedup_embedding_cell and the curate_corpus semantic-dedup
+    stage so the cell rule has exactly one definition (DuckDB twin:
+    _IVF_ASSIGN_DUCK).
+
+    The default stays the fixture-pinned 16 because the oracle SQL bakes
+    the same constant; a deployment at another corpus size passes
+    ``cells=operators.autoparams.ivf_cells(n)`` (the √n rule — scaling
+    behavior pytest-locked at two shipped SFs in tests/test_autoparams.py).
+
+    Scale shape: the centroid table is a ``cells``-row broadcast; the
+    argmax is a hash aggregate over a max(struct) — no window sort — so
+    assignment is one map-side-combinable pass over the vectors."""
     n = normalized_embeddings(spark, sf_dir)
     scored_cells = n.crossJoin(
         F.broadcast(
-            n.filter(F.col("vec_id") < 16).select(
+            n.filter(F.col("vec_id") < cells).select(
                 F.col("vec_id").alias("cent_id"), F.col("ne").alias("ce")
             )
         )

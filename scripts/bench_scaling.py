@@ -238,6 +238,15 @@ ROUND7E_SET = [
 # round-7 session-6 ops: bigram-LM perplexity, BPE pair stats, DSIR
 ROUND7F_SET = ["text_lm_perplexity", "text_bpe_pairs", "quality_dsir_weights"]
 
+# round-7 session-7 trainers + their round-9 apply-side closures
+# (graph_kcore / graph_clustering_coef slopes live in the round7e table)
+ROUND7G_SET = [
+    "quality_classifier_lr",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "curate_corpus_scored",
+]
+
 
 def run_heavy6(spark, sf_dir: str, names: list[str] | None = None) -> None:
     """Heavy-set wall time + per-query shuffle/spill deltas."""
@@ -736,6 +745,11 @@ def main() -> None:
             run_set(spark, ROUND7F_SET, sf_dir, with_duck=True)
         if os.path.exists(BIG1_DIR):
             run_set(spark, ROUND7F_SET, BIG1_DIR, with_duck=False)
+    elif mode == "round7g":
+        for sf_dir in SHIPPED:
+            run_set(spark, ROUND7G_SET, sf_dir, with_duck=True)
+        if os.path.exists(BIG1_DIR):
+            run_set(spark, ROUND7G_SET, BIG1_DIR, with_duck=False)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
