@@ -96,6 +96,9 @@ HEADLINE = [
     "quality_dsir_weights",      # DSIR importance weights (hashed n-grams)
     "quality_classifier_lr",     # in-engine LR training (GD epochs)
     "text_bpe_merges",           # BPE merge training (closed-form rewrite)
+    # round-9 ops
+    "text_bpe_encode",           # trained-merge apply + per-doc fertility
+    "curate_corpus_scored",      # fixed-point model gate + stage audit
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup
