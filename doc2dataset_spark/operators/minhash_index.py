@@ -1,0 +1,83 @@
+"""MinHash LSH band-index lifecycle: build once, persist, dedup many.
+
+dedup_minhash_lsh recomputes the full signature pipeline (corpus scan →
+shingles → 16 min-hashes → band hashes) inside every invocation — right
+for an oracle-gated operator, wrong for a serving path where new-batch
+dedup runs daily against a mostly-static corpus. This module persists
+the band postings as plain parquet, the third persisted-index lifecycle
+next to the IVF vector index (operators/vector_index.py) and the
+inverted text index (operators/text_index.py):
+
+    index_dir/bands/  batch_id=<b>/band=<k>/*.parquet  — (doc_id, bh)
+
+Candidate generation against the index is a (band, bh) self-join over
+the postings ONLY — the corpus is touched just to verify the surviving
+candidate pairs (semi-joined to the candidate doc set, exactly the
+dedup_minhash_lsh verify stage via the shared ``minhash_verify``).
+batch_id partitioning is the incremental-ingest seam: appending
+tomorrow's documents is one write of a new batch_id partition, and
+new-vs-corpus dedup is the cross-batch band join, never a rebuild.
+
+Band hashes are the exact expressions of the query surface
+(``dedup.bands_of``), so index-served candidates — and therefore the
+verified output — are hash-identical to the in-query path (locked by
+the shared oracle in round9_extras.dedup_minhash_indexed and
+tests/test_minhash_index.py).
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.dedup import bands_of
+from doc2dataset_spark.session import load_table
+
+
+def _bands_path(index_dir: str) -> str:
+    return posixpath.join(index_dir, "bands")
+
+
+def build_minhash_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """One signature pass over the documents table → band postings,
+    hive-partitioned by (batch_id, band). The signature build is the
+    one-time cost (one shuffle: groupBy doc_id with 16 map-side-
+    combinable min aggregates); the persisted postings are 4 small
+    columnar files per batch."""
+    bands = bands_of(load_table(spark, sf_dir, "documents"))
+    (
+        bands.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "band")
+        .parquet(_bands_path(index_dir))
+    )
+
+
+def read_bands(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(_bands_path(index_dir)).select(
+        "doc_id", "band", "bh"
+    )
+
+
+def candidates_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Distinct LSH candidate pairs (da < db) from the persisted band
+    postings — the corpus is never scanned here; the join touches only
+    the index files, shuffle-keyed by (band, bh) collision buckets."""
+    bands = read_bands(spark, index_dir)
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    return (
+        ba.join(
+            bb,
+            (F.col("ba.band") == F.col("bb.band"))
+            & (F.col("ba.bh") == F.col("bb.bh"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(
+            F.col("ba.doc_id").alias("da"), F.col("bb.doc_id").alias("db")
+        )
+        .distinct()
+    )

@@ -305,9 +305,18 @@ def dedup_minhash_lsh(spark, sf_dir):
         # from re-executing per consumer (identical plans share the entry)
         .cache()
     )
-    # verify only candidate docs: at scale candidates << corpus, so the
-    # shingle frame is semi-joined down to the collision set before the
-    # pairwise join (broadcast — the candidate list is small by design)
+    return minhash_verify(spark, sf_dir, cand)
+
+
+def minhash_verify(spark, sf_dir, cand):
+    """Exact-Jaccard verification of an LSH candidate-pair frame
+    (da, db): the verify stage of dedup_minhash_lsh, shared with the
+    persisted-band-index serve path (round9_extras
+    dedup_minhash_indexed) so both produce hash-identical output.
+
+    Verifies only candidate docs: at scale candidates << corpus, so the
+    shingle frame is semi-joined down to the collision set before the
+    pairwise join (broadcast — the candidate list is small by design)."""
     from pyspark.sql import Window as W
 
     cand_docs = cand.select(

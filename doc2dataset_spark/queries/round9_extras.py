@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from doc2dataset_spark.queries.core import query
+from doc2dataset_spark.queries.core import REGISTRY, query
 from doc2dataset_spark.queries.dedup import (
     _DTOKS,
     _IVF_ASSIGN_DUCK,
@@ -333,15 +333,10 @@ def _fx_oracle_ctes() -> str:
     )"""
 
 
-def fx_train_score(spark, sf_dir):
-    """Spark twin of _fx_oracle_ctes: fixed-point LR training over
-    hashed-bigram features, returns (doc_id, source, y, p8, score) for
-    every featured document. Same feature hashing, target labels, and
-    round/iteration structure as quality_classifier_lr — only the
-    number system differs (see the fixed-point note above). State per
-    round: the <= LR_BUCKETS-row weight table + a 1-row bias, both
-    broadcast; the feature frame is computed once and checkpointed; the
-    only scalar pulled to the driver is the document count."""
+def _fx_features(spark, sf_dir):
+    """(docn, dfx, nd): the fixed-point feature frames — per-doc labels
+    and the integer x8 = rha(c*U/n) relative-frequency features, both
+    checkpointed once (at 100 TB: a persisted feature table)."""
     d = load_table(spark, sf_dir, "documents")
     feat = _bigram_frame(d).select(
         "doc_id",
@@ -383,53 +378,66 @@ def fx_train_score(spark, sf_dir):
         .localCheckpoint()
     )
     nd = docn.count()
-    w = dfc.select("bucket").distinct().selectExpr(
-        "bucket", "CAST(0 AS DECIMAL(38,0)) AS w8"
+    buckets = dfc.select("bucket").distinct().localCheckpoint()
+    return docn, dfx, buckets, nd
+
+
+def _fx_score(docn, dfx, w, b):
+    """(doc_id, source, y, p8, score) under weight frame ``w``
+    (bucket, w8 DECIMAL(38,0)) + 1-row bias ``b`` (b8): the integer
+    dot-product sum, rha logit, and rational-link probability."""
+    t = (
+        dfx.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w8") * F.col("x8")).alias("t16"))
     )
-    b = spark.range(1).selectExpr("CAST(0 AS DECIMAL(38,0)) AS b8")
-
-    def score_under(w, b):
-        t = (
-            dfx.join(F.broadcast(w), "bucket")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("w8") * F.col("x8")).alias("t16"))
-        )
-        z = (
-            docn.crossJoin(F.broadcast(b))
-            .join(t, "doc_id", "left")
-            .selectExpr(
-                "doc_id",
-                "source",
-                "y",
-                f"b8*{FX_U} + COALESCE(t16, CAST(0 AS DECIMAL(38,0))) AS z16",
-            )
-            .selectExpr(
-                "doc_id",
-                "source",
-                "y",
-                _rha_spark("z16", str(FX_U)) + " AS z8",
-            )
-        )
-        p8 = (
-            f"(2*CAST(({FX_U} + abs(z8)) + z8 AS DECIMAL(38,0))*{FX_U}"
-            f" + 2*({FX_U} + abs(z8)))"
-            f" DIV (2*CAST(2*({FX_U} + abs(z8)) AS DECIMAL(38,0)))"
-        )
-        return z.selectExpr(
+    z = (
+        docn.crossJoin(F.broadcast(b))
+        .join(t, "doc_id", "left")
+        .selectExpr(
             "doc_id",
             "source",
             "y",
-            p8 + " AS p8",
-        ).selectExpr(
+            f"b8*{FX_U} + COALESCE(t16, CAST(0 AS DECIMAL(38,0))) AS z16",
+        )
+        .selectExpr(
             "doc_id",
             "source",
             "y",
-            "p8",
-            f"CAST(p8 AS DOUBLE) / {FX_U} AS score",
+            _rha_spark("z16", str(FX_U)) + " AS z8",
         )
+    )
+    p8 = (
+        f"(2*CAST(({FX_U} + abs(z8)) + z8 AS DECIMAL(38,0))*{FX_U}"
+        f" + 2*({FX_U} + abs(z8)))"
+        f" DIV (2*CAST(2*({FX_U} + abs(z8)) AS DECIMAL(38,0)))"
+    )
+    return z.selectExpr(
+        "doc_id",
+        "source",
+        "y",
+        p8 + " AS p8",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "y",
+        "p8",
+        f"CAST(p8 AS DOUBLE) / {FX_U} AS score",
+    )
 
+
+def fx_train(spark, sf_dir):
+    """Run the LR_ITERS fixed-point GD rounds; returns the trained
+    (w, b) frames plus the feature frames they were trained on. The
+    train-once seam: save_fx_model persists (w, b); fx_score_from
+    reloads them and scores without re-training."""
+    docn, dfx, buckets, nd = _fx_features(spark, sf_dir)
+    w = buckets.selectExpr("bucket", "CAST(0 AS DECIMAL(38,0)) AS w8")
+    b = docn.sparkSession.range(1).selectExpr(
+        "CAST(0 AS DECIMAL(38,0)) AS b8"
+    )
     for _ in range(LR_ITERS):
-        p = score_under(w, b)
+        p = _fx_score(docn, dfx, w, b)
         g = (
             dfx.join(p.select("doc_id", "p8", "y"), "doc_id")
             .groupBy("bucket")
@@ -461,7 +469,20 @@ def fx_train_score(spark, sf_dir):
             )
             .localCheckpoint()
         )
-    return score_under(w, b)
+    return w, b, docn, dfx
+
+
+def fx_train_score(spark, sf_dir):
+    """Fixed-point LR training over hashed-bigram features, returning
+    (doc_id, source, y, p8, score) for every featured document. Same
+    feature hashing, target labels, and round/iteration structure as
+    quality_classifier_lr — only the number system differs (see the
+    fixed-point note above). State per round: the <= LR_BUCKETS-row
+    weight table + a 1-row bias, both broadcast; the feature frame is
+    computed once and checkpointed; the only scalar pulled to the
+    driver is the document count."""
+    w, b, docn, dfx = fx_train(spark, sf_dir)
+    return _fx_score(docn, dfx, w, b)
 
 
 def _scored_curation_oracle() -> str:
@@ -566,6 +587,18 @@ def curate_corpus_scored(spark, sf_dir):
     rows = documents with >= 1 bigram (unscoreable docs cannot pass a
     model gate; every fixture doc qualifies)."""
     scored = fx_train_score(spark, sf_dir).localCheckpoint()
+    return _scored_curation_plan(
+        spark, sf_dir, scored, cell_assignments(spark, sf_dir)
+    )
+
+
+def _scored_curation_plan(spark, sf_dir, scored, assign):
+    """The scored-curation stage chain, parameterized by the scored
+    frame (cold: fx_train_score; warm: fx_score_from a persisted model)
+    and the embedding cell assignment (cold: cell_assignments; warm:
+    the persisted IVF index postings) — both serve hash-identical
+    results by construction, so curate_corpus_scored and
+    curate_corpus_scored_indexed share one oracle."""
     med = scored.agg(F.expr("percentile(p8, 0.5)").alias("m"))
     d = load_table(spark, sf_dir, "documents")
     bgc = (
@@ -606,7 +639,6 @@ def curate_corpus_scored(spark, sf_dir):
     fpk = fpin.select(
         "doc_id", (F.row_number().over(wdup) == 1).alias("kept_fp")
     )
-    assign = cell_assignments(spark, sf_dir)
     svec = (
         fpk.filter("kept_fp")
         .select(F.col("doc_id").alias("vec_id"))
@@ -641,3 +673,122 @@ def curate_corpus_scored(spark, sf_dir):
             ).alias("kept"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# warm serving paths: persisted model + persisted indexes
+# ---------------------------------------------------------------------------
+def save_fx_model(spark, sf_dir, model_dir: str) -> None:
+    """Train once, persist the model: the <= LR_BUCKETS-row fixed-point
+    weight table and the 1-row bias, as plain parquet. DECIMAL(38,0)
+    round-trips parquet exactly, and the trainer is deterministic, so a
+    reloaded model scores bit-identically to a fresh training run."""
+    import posixpath
+
+    w, b, _, _ = fx_train(spark, sf_dir)
+    w.write.mode("overwrite").parquet(posixpath.join(model_dir, "weights"))
+    b.write.mode("overwrite").parquet(posixpath.join(model_dir, "bias"))
+
+
+def fx_score_from(spark, sf_dir, model_dir: str):
+    """Score the corpus under a persisted fixed-point model — the
+    train-once-score-many production path (training is the expensive
+    corpus-wide iteration; scoring is one broadcast join + one
+    aggregate pass)."""
+    import posixpath
+
+    w = spark.read.parquet(posixpath.join(model_dir, "weights"))
+    b = spark.read.parquet(posixpath.join(model_dir, "bias"))
+    docn, dfx, _, _ = _fx_features(spark, sf_dir)
+    return _fx_score(docn, dfx, w, b)
+
+
+def _artifact_cache_dir(sf_dir: str, kind: str, table: str) -> str:
+    """Deterministic per-corpus cache location, keyed by the absolute
+    sf_dir AND the source table's mtime so a regenerated corpus never
+    serves a stale artifact (the pipeline_extras._cached_index_dir
+    convention)."""
+    import hashlib
+    import os
+    import posixpath
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{mtime}".encode()
+    ).hexdigest()[:12]
+    return posixpath.join(tempfile.gettempdir(), f"d2d_{kind}_cache_{key}")
+
+
+@query(
+    "dedup_minhash_indexed",
+    oracle=REGISTRY["dedup_minhash_lsh"].oracle,
+    tags=("dedup", "documents", "index"),
+)
+def dedup_minhash_indexed(spark, sf_dir):
+    """dedup_minhash_lsh served from the PERSISTED band-postings index
+    (operators/minhash_index.py — the third persisted-index lifecycle,
+    next to the IVF vector index and the inverted text index): candidate
+    pairs come from a (band, bh) self-join over the index files alone;
+    the corpus is touched only to verify the surviving candidates (the
+    shared minhash_verify stage, semi-joined to the candidate doc set).
+    First call per corpus builds the index into an mtime-keyed temp
+    cache (what a deployment does at ingest); subsequent calls never
+    recompute a signature. batch_id partitioning is the incremental
+    seam: new-batch dedup appends one partition and joins across
+    batches instead of rebuilding. Identical oracle — band hashes are
+    the exact bands_of expressions, so index-served output is
+    hash-identical to the in-query path."""
+    from doc2dataset_spark.fsio import ensure_local_cache_dir
+    from doc2dataset_spark.operators.minhash_index import (
+        build_minhash_index,
+        candidates_from_index,
+    )
+    from doc2dataset_spark.queries.dedup import minhash_verify
+
+    idx = ensure_local_cache_dir(
+        _artifact_cache_dir(sf_dir, "mh", "documents"),
+        "bands",
+        lambda tmp: build_minhash_index(spark, sf_dir, tmp),
+    )
+    cand = candidates_from_index(spark, idx).cache()
+    return minhash_verify(spark, sf_dir, cand)
+
+
+@query(
+    "curate_corpus_scored_indexed",
+    oracle=REGISTRY["curate_corpus_scored"].oracle,
+    tags=("pipeline", "quality", "ml", "composition", "index"),
+)
+def curate_corpus_scored_indexed(spark, sf_dir):
+    """curate_corpus_scored on the WARM path: the quality model is
+    trained once and persisted (save_fx_model — deterministic
+    fixed-point weights, exact parquet round-trip), and the SemDeDup
+    stage reads the persisted IVF index postings instead of
+    re-quantizing the corpus (the curate_corpus_indexed discipline).
+    Identical oracle: both artifacts serve bit-identical frames by
+    construction, locked by the shared _scored_curation_plan. This is
+    the lifecycle a production pipeline actually runs — train the
+    filter at corpus build time, apply it to every batch thereafter."""
+    from doc2dataset_spark.fsio import ensure_local_cache_dir
+    from doc2dataset_spark.operators.vector_index import (
+        _postings_path,
+        build_ivf_index,
+    )
+    from doc2dataset_spark.queries.pipeline_extras import _cached_index_dir
+
+    ividx = ensure_local_cache_dir(
+        _cached_index_dir(sf_dir),
+        "centroids",
+        lambda tmp: build_ivf_index(spark, sf_dir, tmp),
+    )
+    midx = ensure_local_cache_dir(
+        _artifact_cache_dir(sf_dir, "fxlr", "documents"),
+        "weights",
+        lambda tmp: save_fx_model(spark, sf_dir, tmp),
+    )
+    scored = fx_score_from(spark, sf_dir, midx).localCheckpoint()
+    assign = spark.read.parquet(_postings_path(ividx)).select(
+        "vec_id", "ne", "cent_id"
+    )
+    return _scored_curation_plan(spark, sf_dir, scored, assign)
