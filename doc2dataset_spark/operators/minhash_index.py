@@ -57,10 +57,57 @@ def build_minhash_index(
     )
 
 
+def append_minhash_batch(
+    spark: SparkSession, docs: DataFrame, index_dir: str, batch_id: int
+) -> None:
+    """Incremental ingest: signature pass over ONE new batch of
+    (doc_id, text) documents, appended as its own batch_id partition —
+    the existing postings are never read or rewritten. Dynamic partition
+    overwrite scopes the write to this batch's partitions, so a retried
+    ingest job is idempotent (exactly-once per batch_id) while other
+    batches stay untouched."""
+    (
+        bands_of(docs)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "band")
+        .parquet(_bands_path(index_dir))
+    )
+
+
 def read_bands(spark: SparkSession, index_dir: str) -> DataFrame:
     return spark.read.parquet(_bands_path(index_dir)).select(
         "doc_id", "band", "bh"
     )
+
+
+def new_batch_candidates(
+    spark: SparkSession, index_dir: str, batch_id: int
+) -> DataFrame:
+    """Candidate pairs involving ONE new batch — against the prior
+    batches AND within itself — without rebuilding anything: the new
+    batch's postings (a partition-pruned read) join the full posting
+    set on (band, bh), then each colliding pair is oriented
+    (least, greatest) and deduped. Old-vs-old pairs never appear (the
+    new side is always one endpoint), which is exactly the daily-batch
+    contract: yesterday's corpus was already deduped; only pairs
+    touching today's documents are new work."""
+    allb = spark.read.parquet(_bands_path(index_dir))
+    newb = allb.filter(F.col("batch_id") == batch_id).select(
+        "doc_id", "band", "bh"
+    )
+    nb, ab = newb.alias("nb"), allb.alias("ab")
+    pairs = nb.join(
+        ab,
+        (F.col("nb.band") == F.col("ab.band"))
+        & (F.col("nb.bh") == F.col("ab.bh"))
+        & (F.col("nb.doc_id") != F.col("ab.doc_id")),
+    ).select(
+        F.least("nb.doc_id", "ab.doc_id").alias("da"),
+        F.greatest("nb.doc_id", "ab.doc_id").alias("db"),
+    )
+    return pairs.distinct()
 
 
 def candidates_from_index(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -328,7 +328,10 @@ def lr_train_score(spark, sf_dir):
     )
     bterm = F.round(F.col("p") - F.col("y"), 8).cast("decimal(38,10)")
     for _ in range(LR_ITERS):
-        p = _lr_score(docn, dfcx, w, b)
+        # one materialization per round: p feeds BOTH the per-bucket
+        # gradient join and the bias aggregate — left lazy, the whole
+        # dot-product scoring subtree re-executes once per consumer
+        p = _lr_score(docn, dfcx, w, b).localCheckpoint()
         g = (
             dfcx.join(p.select("doc_id", "p", "y"), "doc_id")
             .groupBy("bucket")

@@ -437,7 +437,10 @@ def fx_train(spark, sf_dir):
         "CAST(0 AS DECIMAL(38,0)) AS b8"
     )
     for _ in range(LR_ITERS):
-        p = _fx_score(docn, dfx, w, b)
+        # one materialization per round: p feeds BOTH the per-bucket
+        # gradient join and the bias aggregate — left lazy, the whole
+        # dot-product scoring subtree re-executes once per consumer
+        p = _fx_score(docn, dfx, w, b).localCheckpoint()
         g = (
             dfx.join(p.select("doc_id", "p8", "y"), "doc_id")
             .groupBy("bucket")

@@ -31,6 +31,55 @@ def test_band_index_serves_identical_pairs(spark, sf_dir, tmp_path):
     assert warm == cold
 
 
+def test_incremental_batch_append(spark, sf_dir, tmp_path):
+    """The batch_id seam end-to-end: split the corpus, index batch 0,
+    append batch 1 WITHOUT touching batch 0's files, and check (a) the
+    union of postings equals the single-shot index, (b) new-vs-corpus
+    candidates are exactly the full candidate set minus the
+    within-batch-0 pairs — i.e. daily-batch dedup needs no rebuild."""
+    from pyspark.sql import functions as F
+
+    from doc2dataset_spark.operators.minhash_index import (
+        append_minhash_batch,
+        new_batch_candidates,
+        read_bands,
+    )
+    from doc2dataset_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc = str(tmp_path / "mh_inc")
+    append_minhash_batch(spark, old, inc, batch_id=0)
+    before = _rows(read_bands(spark, inc))
+    append_minhash_batch(spark, new, inc, batch_id=1)
+
+    full = str(tmp_path / "mh_full")
+    build_minhash_index(spark, sf_dir, full)
+    assert _rows(read_bands(spark, inc)) == _rows(read_bands(spark, full))
+    # batch-0 postings unchanged by the append
+    assert (
+        _rows(
+            spark.read.parquet(f"{inc}/bands")
+            .filter("batch_id = 0")
+            .select("doc_id", "band", "bh")
+        )
+        == before
+    )
+
+    got = set(_rows(new_batch_candidates(spark, inc, batch_id=1)))
+    allc = set(_rows(candidates_from_index(spark, full)))
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    want = {
+        (da, db)
+        for (da, db) in allc
+        if not (da in old_ids and db in old_ids)
+    }
+    assert got == want
+    assert got  # the fixture's near-dup twins straddle the split
+
+
 def test_fx_model_roundtrip_scores_identical(spark, sf_dir, tmp_path):
     mdir = str(tmp_path / "fx_model")
     save_fx_model(spark, sf_dir, mdir)
