@@ -334,10 +334,19 @@ def _fx_oracle_ctes() -> str:
 
 
 def _fx_features(spark, sf_dir):
-    """(docn, dfx, nd): the fixed-point feature frames — per-doc labels
-    and the integer x8 = rha(c*U/n) relative-frequency features, both
-    checkpointed once (at 100 TB: a persisted feature table)."""
-    d = load_table(spark, sf_dir, "documents")
+    """(docn, dfx, buckets, nd) over the documents table — see
+    fx_features_of."""
+    docn, dfx, buckets = fx_features_of(load_table(spark, sf_dir, "documents"))
+    return docn, dfx, buckets, docn.count()
+
+
+def fx_features_of(d):
+    """(docn, dfx, buckets): the fixed-point feature frames for ANY
+    (doc_id, source, text) frame — per-doc labels and the integer
+    x8 = rha(c*U/n) relative-frequency features, checkpointed once
+    (at 100 TB: a persisted feature table). Every feature is a pure
+    per-document function, so scores computed batch-by-batch (the
+    streaming scored gate) are bit-identical to corpus-wide scoring."""
     feat = _bigram_frame(d).select(
         "doc_id",
         "source",
@@ -377,9 +386,8 @@ def _fx_features(spark, sf_dir):
         )
         .localCheckpoint()
     )
-    nd = docn.count()
     buckets = dfc.select("bucket").distinct().localCheckpoint()
-    return docn, dfx, buckets, nd
+    return docn, dfx, buckets
 
 
 def _fx_score(docn, dfx, w, b):
@@ -687,9 +695,20 @@ def save_fx_model(spark, sf_dir, model_dir: str) -> None:
     reloaded model scores bit-identically to a fresh training run."""
     import posixpath
 
-    w, b, _, _ = fx_train(spark, sf_dir)
+    w, b, docn, dfx = fx_train(spark, sf_dir)
+    # calibrate the serving threshold ON THE TRAINING CORPUS (the
+    # median-score gate curate_corpus_scored applies) and freeze it with
+    # the model: at ingest time there is no "corpus median" — the
+    # threshold is a model parameter, chosen at training time, exactly
+    # like a production quality filter ships its cutoff
+    thr = _fx_score(docn, dfx, w, b).agg(
+        F.expr("percentile(p8, 0.5)").alias("thr")
+    )
     w.write.mode("overwrite").parquet(posixpath.join(model_dir, "weights"))
     b.write.mode("overwrite").parquet(posixpath.join(model_dir, "bias"))
+    thr.write.mode("overwrite").parquet(
+        posixpath.join(model_dir, "threshold")
+    )
 
 
 def fx_score_from(spark, sf_dir, model_dir: str):
