@@ -99,6 +99,8 @@ HEADLINE = [
     # round-9 ops
     "text_bpe_encode",           # trained-merge apply + per-doc fertility
     "curate_corpus_scored",      # fixed-point model gate + stage audit
+    "dedup_minhash_indexed",     # LSH served from persisted band postings
+    "curate_corpus_scored_indexed",  # persisted model + IVF warm path
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

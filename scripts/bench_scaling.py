@@ -247,6 +247,17 @@ ROUND7G_SET = [
     "curate_corpus_scored",
 ]
 
+# round-9 warm serving paths, each beside its cold twin: the measured
+# claim is the warm/cold ratio per SF, not the absolute walls. First run
+# at an SF pays the artifact build (mtime-keyed /tmp cache); min-of-2
+# reports the warm steady state.
+ROUND9_SET = [
+    "dedup_minhash_lsh",
+    "dedup_minhash_indexed",
+    "curate_corpus_scored",
+    "curate_corpus_scored_indexed",
+]
+
 
 def run_heavy6(spark, sf_dir: str, names: list[str] | None = None) -> None:
     """Heavy-set wall time + per-query shuffle/spill deltas."""
@@ -750,6 +761,11 @@ def main() -> None:
             run_set(spark, ROUND7G_SET, sf_dir, with_duck=True)
         if os.path.exists(BIG1_DIR):
             run_set(spark, ROUND7G_SET, BIG1_DIR, with_duck=False)
+    elif mode == "round9":
+        for sf_dir in SHIPPED:
+            run_set(spark, ROUND9_SET, sf_dir, with_duck=True)
+        if os.path.exists(BIG1_DIR):
+            run_set(spark, ROUND9_SET, BIG1_DIR, with_duck=False)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 

@@ -80,6 +80,36 @@ def test_incremental_batch_append(spark, sf_dir, tmp_path):
     assert got  # the fixture's near-dup twins straddle the split
 
 
+def test_new_batch_read_is_partition_pruned(spark, sf_dir, tmp_path):
+    """the incremental join's new-batch side must read ONLY its own
+    batch_id partition — the plan, not the semantics: an unpruned scan
+    would re-read the whole index per ingest batch."""
+    from pyspark.sql import functions as F
+
+    from doc2dataset_spark.operators.minhash_index import (
+        append_minhash_batch,
+        new_batch_candidates,
+    )
+    from doc2dataset_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "mh_pp")
+    append_minhash_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), idx, batch_id=0
+    )
+    append_minhash_batch(
+        spark, docs.filter(F.col("doc_id") % 2 == 1), idx, batch_id=1
+    )
+    plan = new_batch_candidates(spark, idx, batch_id=1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "batch_id" in plan
+    # at least one scan carries the batch_id partition filter
+    assert any(
+        "PartitionFilters" in ln and "batch_id" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
 def test_fx_model_roundtrip_scores_identical(spark, sf_dir, tmp_path):
     mdir = str(tmp_path / "fx_model")
     save_fx_model(spark, sf_dir, mdir)
