@@ -814,3 +814,191 @@ def curate_corpus_scored_indexed(spark, sf_dir):
         "vec_id", "ne", "cent_id"
     )
     return _scored_curation_plan(spark, sf_dir, scored, assign)
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — MOSS)
+# ---------------------------------------------------------------------------
+# The guaranteed-detection, reduced-density alternative to indexing every
+# shingle: hash the ORDERED 3-token shingles, slide a window of W hashes,
+# keep each window's minimum — any shared token run spanning >= W + 2
+# shingle positions shares a fingerprint (the winnowing guarantee), while
+# the expected fingerprint density is 2/(W+1) of the shingle count, so
+# the posting index is ~(W+1)/2 x smaller than the full shingle index at
+# the same detection floor. Used by MOSS and code-clone detection at
+# scale; here over word shingles for document near-dup candidates.
+WINNOW_W = 4
+WINNOW_THRESHOLD = 0.5
+
+_WINNOW_FPS_SPARK = f"""
+CASE WHEN size(h) >= {WINNOW_W} THEN
+  array_distinct(transform(sequence(1, size(h) - {WINNOW_W} + 1),
+    i -> array_min(slice(h, i, {WINNOW_W}))))
+WHEN size(h) >= 1 THEN array(array_min(h))
+ELSE cast(array() AS array<bigint>) END
+"""
+
+_WINNOW_CTE_DUCK = f"""
+WITH ws AS (SELECT doc_id, {_DTOKS} AS w FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+              ELSE [] END AS shl
+  FROM ws
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(shl,
+           s -> ('0x' || substr(md5(s), 1, 12))::BIGINT) AS h
+  FROM shl
+),
+fps AS (
+  SELECT doc_id,
+         CASE WHEN len(h) >= {WINNOW_W} THEN
+                list_distinct(list_transform(
+                  range(1, len(h) - {WINNOW_W} + 2),
+                  i -> list_min(h[i:i+{WINNOW_W}-1])))
+              WHEN len(h) >= 1 THEN [list_min(h)]
+              ELSE [] END AS fps
+  FROM hs
+),
+fpx AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+fpc AS (SELECT doc_id, count(*) AS n FROM fpx GROUP BY doc_id)
+"""
+
+_WINNOW_ORACLE = _WINNOW_CTE_DUCK + f""",
+shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+  FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da, db, shared,
+       round(shared::DOUBLE / (ca.n + cb.n - shared), 4) AS jacc
+FROM shared
+JOIN fpc ca ON ca.doc_id = da
+JOIN fpc cb ON cb.doc_id = db
+WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= {WINNOW_THRESHOLD}
+"""
+
+
+def winnow_fingerprints(docs):
+    """(doc_id, fp) exploded winnowed fingerprints of a (doc_id, text)
+    frame — ordered shingles, hash, window-min, distinct. Row-local
+    array lambdas end to end; docs shorter than 3 tokens have no
+    shingles and drop out (same universe rule as the shingle family)."""
+    toks = docs.select("doc_id", F.expr(_TOKS).alias("toks"))
+    shl = toks.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(toks) >= 3 THEN "
+            "transform(sequence(1, size(toks) - 2), "
+            "i -> concat(element_at(toks, i), ' ', "
+            "element_at(toks, i + 1), ' ', element_at(toks, i + 2))) "
+            "ELSE cast(array() AS array<string>) END"
+        ).alias("shl"),
+    )
+    hs = shl.select(
+        "doc_id",
+        F.expr(
+            "transform(shl, s -> "
+            "cast(conv(substring(md5(s), 1, 12), 16, 10) AS bigint))"
+        ).alias("h"),
+    )
+    return hs.select(
+        "doc_id", F.explode(F.expr(_WINNOW_FPS_SPARK)).alias("fp")
+    )
+
+
+@query(
+    "dedup_winnow",
+    oracle=_WINNOW_ORACLE,
+    tags=("dedup", "documents", "scale"),
+)
+def dedup_winnow(spark, sf_dir):
+    """Near-dup pairs by winnowing fingerprints: docs sharing winnowed
+    window-min shingle hashes, scored by fingerprint-set Jaccard >=
+    WINNOW_THRESHOLD. The blocking key is the fingerprint value — the
+    same equi-join shape as the shingle-blocked family but over a
+    2/(W+1)-density fingerprint set (the winnowing guarantee keeps every
+    shared run of >= W+2 shingle positions detectable), so at 100 TB the
+    posting index and the candidate join input are ~2.5x smaller than
+    dedup_ngram_jaccard's at the same floor. Pure row-local lambdas +
+    one blocked equi-join + map-side-combined counts; the Jaccard is the
+    shared round-4 double-division recipe."""
+    d = load_table(spark, sf_dir, "documents")
+    fpx = winnow_fingerprints(d)
+    fpc = fpx.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = fpx.alias("a"), fpx.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        shared.join(fpc.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
+        .join(fpc.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
+        .filter(jac >= WINNOW_THRESHOLD)
+        .select("da", "db", "shared", F.round(jac, 4).alias("jacc"))
+    )
+
+
+_WINNOW_STATS_ORACLE = _WINNOW_CTE_DUCK + """
+SELECT count(*) AS n_docs,
+       CAST(SUM(len(shl.shl)) AS BIGINT) AS n_shingles,
+       CAST(SUM(len(f.fps)) AS BIGINT) AS n_fps,
+       round(SUM(len(f.fps))::DOUBLE / SUM(len(shl.shl)), 4) AS density
+FROM shl JOIN fps f USING (doc_id)
+WHERE len(shl.shl) > 0
+"""
+
+
+@query(
+    "dedup_winnow_stats",
+    oracle=_WINNOW_STATS_ORACLE,
+    tags=("dedup", "documents", "contract"),
+)
+def dedup_winnow_stats(spark, sf_dir):
+    """One-row contract of the winnowing density claim: distinct
+    fingerprints per shingle position must sit near the theoretical
+    2/(W+1) expectation (0.4 at W=4) — the measured index-size reduction
+    dedup_winnow's 100 TB story rests on, oracle-exact so the driver
+    hash-checks the actual density every round."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_TOKS).alias("toks"))
+    frame = toks.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(toks) >= 3 THEN "
+            "transform(sequence(1, size(toks) - 2), "
+            "i -> concat(element_at(toks, i), ' ', "
+            "element_at(toks, i + 1), ' ', element_at(toks, i + 2))) "
+            "ELSE cast(array() AS array<string>) END"
+        ).alias("shl"),
+    ).select(
+        "doc_id",
+        F.size("shl").alias("n_sh"),
+        F.expr(
+            "transform(shl, s -> "
+            "cast(conv(substring(md5(s), 1, 12), 16, 10) AS bigint))"
+        ).alias("h"),
+    ).select(
+        "doc_id", "n_sh", F.size(F.expr(_WINNOW_FPS_SPARK)).alias("n_fp")
+    ).filter(F.col("n_sh") > 0)
+    return frame.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_sh").cast("bigint").alias("n_shingles"),
+        F.sum("n_fp").cast("bigint").alias("n_fps"),
+        F.round(
+            F.sum("n_fp").cast("double") / F.sum("n_sh"), 4
+        ).alias("density"),
+    )
