@@ -100,6 +100,7 @@ HEADLINE = [
     "text_bpe_encode",           # trained-merge apply + per-doc fertility
     "curate_corpus_scored",      # fixed-point model gate + stage audit
     "dedup_minhash_indexed",     # LSH served from persisted band postings
+    "dedup_winnow",              # MOSS winnowing fingerprints (2/(W+1) density)
     "curate_corpus_scored_indexed",  # persisted model + IVF warm path
 ]
 

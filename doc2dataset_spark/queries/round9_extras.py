@@ -828,6 +828,17 @@ def curate_corpus_scored_indexed(spark, sf_dir):
 # scale; here over word shingles for document near-dup candidates.
 WINNOW_W = 4
 WINNOW_THRESHOLD = 0.5
+# Hub-fingerprint cap: window-MIN selection is biased toward globally
+# LOW hash values, so a common shingle that happens to hash low is
+# selected by every document containing it — on the sf1 stress corpus
+# the unpruned fingerprint self-join produced 34M candidate groups
+# (vs 250k true pairs) with one hub fp fanning out quadratically in one
+# shuffle partition. Natural-language winnowing therefore prunes
+# high-document-frequency fingerprints from the match sets — the MOSS
+# analog of excluding template/baseline code shared by many
+# submissions. df <= 64 keeps every twin-cluster fingerprint (df ~ the
+# duplication factor) and drops only the non-discriminative head.
+WINNOW_MAXDF = 64
 
 _WINNOW_FPS_SPARK = f"""
 CASE WHEN size(h) >= {WINNOW_W} THEN
@@ -868,16 +879,22 @@ fpc AS (SELECT doc_id, count(*) AS n FROM fpx GROUP BY doc_id)
 """
 
 _WINNOW_ORACLE = _WINNOW_CTE_DUCK + f""",
+fpdf AS (SELECT fp, count(*) AS df FROM fpx GROUP BY fp),
+fpk AS MATERIALIZED (
+  SELECT x.doc_id, x.fp
+  FROM fpx x JOIN fpdf USING (fp) WHERE df <= {WINNOW_MAXDF}
+),
+fkc AS (SELECT doc_id, count(*) AS n FROM fpk GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
-  FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  FROM fpk a JOIN fpk b ON a.fp = b.fp AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT da, db, shared,
        round(shared::DOUBLE / (ca.n + cb.n - shared), 4) AS jacc
 FROM shared
-JOIN fpc ca ON ca.doc_id = da
-JOIN fpc cb ON cb.doc_id = db
+JOIN fkc ca ON ca.doc_id = da
+JOIN fkc cb ON cb.doc_id = db
 WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= {WINNOW_THRESHOLD}
 """
 
@@ -927,7 +944,17 @@ def dedup_winnow(spark, sf_dir):
     one blocked equi-join + map-side-combined counts; the Jaccard is the
     shared round-4 double-division recipe."""
     d = load_table(spark, sf_dir, "documents")
-    fpx = winnow_fingerprints(d)
+    # cache: the per-shingle md5 + window-min lambda pipeline has three
+    # consumers (df prune, count frame, self-join) and would otherwise
+    # re-execute per consumer (measured 61 s -> join-bound at sf1)
+    raw = winnow_fingerprints(d).cache()
+    keep = (
+        raw.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= WINNOW_MAXDF)
+        .select("fp")
+    )
+    fpx = raw.join(keep, "fp", "left_semi").cache()
     fpc = fpx.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = fpx.alias("a"), fpx.alias("b")
     shared = (
