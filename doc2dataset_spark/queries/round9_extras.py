@@ -1029,3 +1029,81 @@ def dedup_winnow_stats(spark, sf_dir):
             F.sum("n_fp").cast("double") / F.sum("n_sh"), 4
         ).alias("density"),
     )
+
+_WINNOW_RECALL_ORACLE = f"""
+WITH wq AS MATERIALIZED (
+  SELECT da, db FROM ({_WINNOW_ORACLE})
+),
+eq AS MATERIALIZED (
+  SELECT da, db FROM ({{exact_oracle}})
+),
+j AS (
+  SELECT COALESCE(w.da, e.da) AS da, COALESCE(w.db, e.db) AS db,
+         w.da IS NOT NULL AS in_w, e.da IS NOT NULL AS in_e
+  FROM wq w FULL JOIN eq e ON w.da = e.da AND w.db = e.db
+)
+SELECT CAST(SUM(CASE WHEN in_w THEN 1 ELSE 0 END) AS BIGINT) AS n_winnow,
+       CAST(SUM(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN in_w AND in_e THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       round(SUM(CASE WHEN in_w AND in_e THEN 1 ELSE 0 END)::DOUBLE
+             / SUM(CASE WHEN in_w THEN 1 ELSE 0 END), 4) AS precision,
+       round(SUM(CASE WHEN in_w AND in_e THEN 1 ELSE 0 END)::DOUBLE
+             / SUM(CASE WHEN in_e THEN 1 ELSE 0 END), 4) AS recall
+FROM j
+"""
+
+
+@query(
+    "dedup_winnow_recall",
+    oracle=None,  # assigned below: composes dedup_ngram_jaccard's oracle
+    tags=("dedup", "documents", "eval"),
+)
+def dedup_winnow_recall(spark, sf_dir):
+    """One-row detector evaluation: winnowing's pair set judged against
+    the exact shingle-Jaccard >= 0.5 ground truth (dedup_ngram_jaccard)
+    — precision (reported pairs that are true near-dups) and recall
+    (true near-dups the 2/(W+1)-density fingerprint index still catches).
+    The ann_recall_eval discipline applied to the dedup family: every
+    approximate detector ships with an oracle-gated quality row, so a
+    parameter change that silently costs recall fails the driver hash,
+    not a human review. Composition-only plan: both detectors' full
+    plans + one (da, db) full outer join + one aggregate row."""
+    from doc2dataset_spark.queries.dedup import dedup_ngram_jaccard
+
+    wq = dedup_winnow(spark, sf_dir).select("da", "db")
+    eq = dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
+    j = wq.withColumn("in_w", F.lit(True)).join(
+        eq.withColumn("in_e", F.lit(True)),
+        ["da", "db"],
+        "full",
+    ).select(
+        F.coalesce("in_w", F.lit(False)).alias("in_w"),
+        F.coalesce("in_e", F.lit(False)).alias("in_e"),
+    )
+    return j.agg(
+        F.sum(F.col("in_w").cast("int")).cast("bigint").alias("n_winnow"),
+        F.sum(F.col("in_e").cast("int")).cast("bigint").alias("n_exact"),
+        F.sum((F.col("in_w") & F.col("in_e")).cast("int"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.round(
+            F.sum((F.col("in_w") & F.col("in_e")).cast("int")).cast("double")
+            / F.sum(F.col("in_w").cast("int")),
+            4,
+        ).alias("precision"),
+        F.round(
+            F.sum((F.col("in_w") & F.col("in_e")).cast("int")).cast("double")
+            / F.sum(F.col("in_e").cast("int")),
+            4,
+        ).alias("recall"),
+    )
+
+
+# late oracle assignment: dedup_ngram_jaccard's oracle text is composed
+# as a derived-table subquery (its WITH nests legally inside FROM (...));
+# assigned post-registration because the exact oracle is a registry
+# attribute, not a module constant
+REGISTRY["dedup_winnow_recall"].oracle = _WINNOW_RECALL_ORACLE.format(
+    exact_oracle=REGISTRY["dedup_ngram_jaccard"].oracle
+)

@@ -54,6 +54,16 @@ def test_density_near_theoretical(spark, sf_dir):
     assert row.n_fps < row.n_shingles
 
 
+def test_winnow_recall_row_laws(spark, sf_dir):
+    row = REGISTRY["dedup_winnow_recall"].builder(spark, sf_dir).collect()[0]
+    assert row.n_both <= min(row.n_winnow, row.n_exact)
+    assert 0.0 <= row.precision <= 1.0 and 0.0 <= row.recall <= 1.0
+    # the fixture's twins are long near-exact copies: the winnowing
+    # guarantee must keep recall high there (df-pruning only removes
+    # hub-fingerprint evidence, which twins never depend on alone)
+    assert row.recall >= 0.9
+
+
 def test_winnow_pairs_subset_of_jaccard_family(spark, sf_dir):
     """sanity: winnow pairs at the fixture overlap the exact-Jaccard
     near-dup pairs (same twins), and every reported pair is ordered."""
