@@ -1107,3 +1107,87 @@ def dedup_winnow_recall(spark, sf_dir):
 REGISTRY["dedup_winnow_recall"].oracle = _WINNOW_RECALL_ORACLE.format(
     exact_oracle=REGISTRY["dedup_ngram_jaccard"].oracle
 )
+
+
+@query(
+    "dedup_minhash_recall",
+    oracle=None,  # assigned below: composes both detectors' own oracles
+    tags=("dedup", "documents", "eval"),
+)
+def dedup_minhash_recall(spark, sf_dir):
+    """The dedup_winnow_recall discipline for the MinHash-LSH detector:
+    its verified pair set judged against the exact shingle-Jaccard
+    ground truth. LSH can MISS pairs (band collisions are probabilistic
+    — the s-curve's false-negative side, curve-level-evaluated by
+    dedup_lsh_scurve); this row pins the realized set-level precision
+    and recall at the shipped 4x4 banding so a banding change that
+    silently costs recall fails the driver hash. Precision is 1.0 by
+    construction (candidates are exact-verified before output)."""
+    from doc2dataset_spark.queries.dedup import (
+        dedup_minhash_lsh,
+        dedup_ngram_jaccard,
+    )
+
+    wq = dedup_minhash_lsh(spark, sf_dir).select("da", "db")
+    eq = dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
+    j = wq.withColumn("in_w", F.lit(True)).join(
+        eq.withColumn("in_e", F.lit(True)),
+        ["da", "db"],
+        "full",
+    ).select(
+        F.coalesce("in_w", F.lit(False)).alias("in_w"),
+        F.coalesce("in_e", F.lit(False)).alias("in_e"),
+    )
+    return j.agg(
+        F.sum(F.col("in_w").cast("int")).cast("bigint").alias("n_detector"),
+        F.sum(F.col("in_e").cast("int")).cast("bigint").alias("n_exact"),
+        F.sum((F.col("in_w") & F.col("in_e")).cast("int"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.round(
+            F.sum((F.col("in_w") & F.col("in_e")).cast("int")).cast("double")
+            / F.sum(F.col("in_w").cast("int")),
+            4,
+        ).alias("precision"),
+        F.round(
+            F.sum((F.col("in_w") & F.col("in_e")).cast("int")).cast("double")
+            / F.sum(F.col("in_e").cast("int")),
+            4,
+        ).alias("recall"),
+    )
+
+
+def _detector_recall_oracle(detector_oracle: str, exact_oracle: str) -> str:
+    """The winnow-recall oracle shape parameterized by the detector's
+    own oracle in the wq slot — the subquery projects (da, db) only, so
+    detectors with extra output columns (jaccard etc.) compose
+    unchanged."""
+    return f"""
+WITH wq AS MATERIALIZED (
+  SELECT da, db FROM ({detector_oracle})
+),
+eq AS MATERIALIZED (
+  SELECT da, db FROM ({exact_oracle})
+),
+j AS (
+  SELECT COALESCE(w.da, e.da) AS da, COALESCE(w.db, e.db) AS db,
+         w.da IS NOT NULL AS in_w, e.da IS NOT NULL AS in_e
+  FROM wq w FULL JOIN eq e ON w.da = e.da AND w.db = e.db
+)
+SELECT CAST(SUM(CASE WHEN in_w THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_detector,
+       CAST(SUM(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN in_w AND in_e THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       round(SUM(CASE WHEN in_w AND in_e THEN 1 ELSE 0 END)::DOUBLE
+             / SUM(CASE WHEN in_w THEN 1 ELSE 0 END), 4) AS precision,
+       round(SUM(CASE WHEN in_w AND in_e THEN 1 ELSE 0 END)::DOUBLE
+             / SUM(CASE WHEN in_e THEN 1 ELSE 0 END), 4) AS recall
+FROM j
+"""
+
+
+REGISTRY["dedup_minhash_recall"].oracle = _detector_recall_oracle(
+    REGISTRY["dedup_minhash_lsh"].oracle,
+    REGISTRY["dedup_ngram_jaccard"].oracle,
+)
