@@ -1,8 +1,12 @@
 #!/usr/bin/env python
 """Per-round benchmark: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full JSON record {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, ...} followed by a FINAL compact (<1 KB) summary
+line, so a bounded tail capture of stdout always ends with parseable
+JSON (the round-9 BENCH record was lost when the full line outgrew the
+driver's tail window). The full payload is also written to
+BENCH_detail.json beside this script.
 
 Each query is executed with a cheap terminal action (count) so the full plan
 runs but driver-side materialization cost is excluded. A warmup query runs
@@ -276,35 +280,68 @@ def main() -> None:
         q: round(t * CLEAN_CALIB_SEC / max(calibs[q], CLEAN_CALIB_SEC), 3)
         for q, t in timings.items()
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                # host-phase-corrected view (see CLEAN_CALIB_SEC comment):
-                # compare normalized_total across rounds, raw value within
-                # a round
-                "normalized_total": round(sum(normalized.values()), 3),
-                "queries_normalized": normalized,
-                "query_calib_sec": calibs,
-                "median_calib_sec": round(median_calib, 3),
-                "clean_calib_sec": CLEAN_CALIB_SEC,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": RUNS_PER_QUERY,
-                "loadavg_start": round(load_start, 2),
-                "loadavg_end": round(load_end, 2),
-                "cores": cores,
-                "contended": contended,
-                # host-side interference markers (loadavg-invisible):
-                # steal% during the run + a fixed single-core calibration
-                # loop time measured just before Spark starts
-                "steal_pct": steal_pct,
-                "cpu_calibration_sec": cpu_cal,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        # host-phase-corrected view (see CLEAN_CALIB_SEC comment):
+        # compare normalized_total across rounds, raw value within
+        # a round
+        "normalized_total": round(sum(normalized.values()), 3),
+        "queries_normalized": normalized,
+        "query_calib_sec": calibs,
+        "median_calib_sec": round(median_calib, 3),
+        "clean_calib_sec": CLEAN_CALIB_SEC,
+        "sf": sf_val,
+        "runs_per_query": RUNS_PER_QUERY,
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(load_end, 2),
+        "cores": cores,
+        "contended": contended,
+        # host-side interference markers (loadavg-invisible):
+        # steal% during the run + a fixed single-core calibration
+        # loop time measured just before Spark starts
+        "steal_pct": steal_pct,
+        "cpu_calibration_sec": cpu_cal,
+    }
+    # Output contract (round-9 verdict, What's wrong #1): the full payload
+    # grew past the driver's stdout tail-capture window once per-query
+    # calibration landed (68 queries x 3 maps), so BENCH_r09.json recorded
+    # parsed:null. The full record goes to BENCH_detail.json + one human
+    # line; the LAST stdout line is a compact (<1 KB) summary so any tail
+    # window ends with parseable JSON.
+    try:
+        detail_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
         )
-    )
+        with open(detail_path, "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout: keep benching
+        print(f"# BENCH_detail.json not written: {exc}", file=sys.stderr)
+    print(json.dumps(full))
+    compact = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "normalized_total": full["normalized_total"],
+        "median_calib_sec": full["median_calib_sec"],
+        "clean_calib_sec": CLEAN_CALIB_SEC,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "loadavg_start": full["loadavg_start"],
+        "steal_pct": steal_pct,
+        "contended": contended,
+        "detail": "BENCH_detail.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1000:  # pragma: no cover - contract guard
+        line = json.dumps({k: compact[k] for k in
+                           ("metric", "value", "normalized_total",
+                            "median_calib_sec", "sf", "n_queries")})
+    print(line)
 
 
 if __name__ == "__main__":

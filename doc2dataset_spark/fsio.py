@@ -254,6 +254,32 @@ def read_parquet_dir(dir_path: str):
     return pa.concat_tables(tables, promote_options="default")
 
 
+def artifact_cache_dir(sf_dir: str, kind: str, table: str) -> str:
+    """Deterministic per-corpus cache location for persisted artifacts
+    (IVF postings, band index, fixed-point model): keyed by the absolute
+    sf_dir AND the source table's (size, mtime_ns) so a regenerated
+    corpus never serves a stale artifact. mtime_ns + size — not
+    whole-second mtime — because a corpus regenerated within the same
+    second (or with preserved mtimes but different bytes) must miss the
+    cache; nanosecond stamps plus the byte count make a silent collision
+    require an identical-length rewrite inside one filesystem timestamp
+    quantum. One helper for every artifact kind (it previously lived as
+    two near-identical copies in pipeline_extras and round9_extras)."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_size}|{st.st_mtime_ns}"
+    except OSError:
+        stamp = "absent"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{table}|{stamp}".encode()
+    ).hexdigest()[:12]
+    return posixpath.join(tempfile.gettempdir(), f"d2d_{kind}_cache_{key}")
+
+
 def ensure_local_cache_dir(target: str, marker: str, build) -> str:
     """Build-once local cache with atomic publication.
 

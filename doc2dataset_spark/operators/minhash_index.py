@@ -92,8 +92,17 @@ def new_batch_candidates(
     (least, greatest) and deduped. Old-vs-old pairs never appear (the
     new side is always one endpoint), which is exactly the daily-batch
     contract: yesterday's corpus was already deduped; only pairs
-    touching today's documents are new work."""
-    allb = spark.read.parquet(_bands_path(index_dir))
+    touching today's documents are new work.
+
+    The corpus side is pruned to batches <= the requested one (both
+    filters are partition-pruned reads), so REPLAYING an older batch
+    after later appends returns exactly the candidate set the original
+    run produced — pairs against batches that did not exist at that
+    batch's ingest time never leak in (they are the later batch's own
+    new-vs-corpus work)."""
+    allb = spark.read.parquet(_bands_path(index_dir)).filter(
+        F.col("batch_id") <= batch_id
+    )
     newb = allb.filter(F.col("batch_id") == batch_id).select(
         "doc_id", "band", "bh"
     )

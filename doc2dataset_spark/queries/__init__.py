@@ -257,7 +257,10 @@ from doc2dataset_spark.queries.gate import (  # noqa: E402
     MUST_BE_GATED,
 )
 
-assert list(REGISTRY)[:DRIVER_GATE_SIZE] == FROZEN_GATE, (
-    "registry first-50 drifted from queries/gate.py FROZEN_GATE — "
-    "update the gate_swap calls and gate.py together in the same commit"
-)
+# Explicit raise, not assert: `python -O` strips asserts, which would
+# silently disable the one invariant this block exists to enforce.
+if list(REGISTRY)[:DRIVER_GATE_SIZE] != FROZEN_GATE:
+    raise RuntimeError(
+        "registry first-50 drifted from queries/gate.py FROZEN_GATE — "
+        "update the gate_swap calls and gate.py together in the same commit"
+    )

@@ -122,14 +122,19 @@ MUST_BE_GATED = frozenset(
 )
 
 # Drift is a committed-code bug, not a runtime condition: fail at import.
-assert len(FROZEN_GATE) == DRIVER_GATE_SIZE, (
-    f"FROZEN_GATE has {len(FROZEN_GATE)} rows, driver gates "
-    f"{DRIVER_GATE_SIZE}"
-)
-assert len(set(FROZEN_GATE)) == DRIVER_GATE_SIZE, "duplicate gate rows"
+# Explicit raises, not assert — `python -O` strips asserts, which would
+# silently disable exactly the enforcement this module exists to provide.
+if len(FROZEN_GATE) != DRIVER_GATE_SIZE:
+    raise RuntimeError(
+        f"FROZEN_GATE has {len(FROZEN_GATE)} rows, driver gates "
+        f"{DRIVER_GATE_SIZE}"
+    )
+if len(set(FROZEN_GATE)) != DRIVER_GATE_SIZE:
+    raise RuntimeError("duplicate gate rows in FROZEN_GATE")
 _missing = MUST_BE_GATED - set(FROZEN_GATE)
-assert not _missing, (
-    f"MUST_BE_GATED members outside FROZEN_GATE: {sorted(_missing)} — "
-    "amend both in the same commit (this is the r7-r8 drift this module "
-    "exists to prevent)"
-)
+if _missing:
+    raise RuntimeError(
+        f"MUST_BE_GATED members outside FROZEN_GATE: {sorted(_missing)} — "
+        "amend both in the same commit (this is the r7-r8 drift this "
+        "module exists to prevent)"
+    )

@@ -251,34 +251,13 @@ def kcore_of(pairs, k: int = KCORE_K, rounds: int | None = None):
     least one node. An explicit ``rounds`` runs the fixed unroll instead
     — used by tests to reproduce the oracle's static CTE chain and to
     demonstrate the old fixed-depth hazard on deep-cascade graphs."""
-    e = pairs.select(F.col("da").alias("s"), F.col("db").alias("d")).union(
-        pairs.select(F.col("db").alias("s"), F.col("da").alias("d"))
-    )
-    nodes = e.select(F.col("s").alias("node")).distinct()
-
-    def peel(cur):
-        return (
-            e.join(cur.withColumnRenamed("node", "s"), "s")
-            .join(cur.withColumnRenamed("node", "d"), "d")
-            .groupBy("s")
-            .agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select(F.col("s").alias("node"))
-            .localCheckpoint(eager=True)
-        )
-
+    e, nodes = _kcore_edges_nodes(pairs)
     cur = nodes
     if rounds is not None:
         for _ in range(rounds):
-            cur = peel(cur)
+            cur = _kcore_peel(e, cur, k)
     else:
-        prev_n = None
-        while True:
-            cur = peel(cur)
-            n = cur.count()  # bounded scalar probe, one per round
-            if n == prev_n or n == 0:
-                break
-            prev_n = n
+        cur, _ = _kcore_fixpoint(e, nodes, k)
     core = cur.withColumnRenamed("node", "cnode")
     return nodes.join(
         core, nodes["node"] == core["cnode"], "left"
@@ -286,3 +265,50 @@ def kcore_of(pairs, k: int = KCORE_K, rounds: int | None = None):
         F.col("node").alias("doc_id"),
         F.col("cnode").isNotNull().alias("in_core"),
     )
+
+
+def _kcore_edges_nodes(pairs):
+    e = pairs.select(F.col("da").alias("s"), F.col("db").alias("d")).union(
+        pairs.select(F.col("db").alias("s"), F.col("da").alias("d"))
+    )
+    return e, e.select(F.col("s").alias("node")).distinct()
+
+
+def _kcore_peel(e, cur, k):
+    return (
+        e.join(cur.withColumnRenamed("node", "s"), "s")
+        .join(cur.withColumnRenamed("node", "d"), "d")
+        .groupBy("s")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= k)
+        .select(F.col("s").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _kcore_fixpoint(e, nodes, k):
+    """(survivors, rounds_run): peel until the survivor count stops
+    shrinking. rounds_run counts every peel executed INCLUDING the
+    final no-op confirmation round, so a static unroll of rounds_run
+    rounds provably reproduces the fixpoint result."""
+    cur, prev_n, rounds_run = nodes, None, 0
+    while True:
+        cur = _kcore_peel(e, cur, k)
+        rounds_run += 1
+        n = cur.count()  # bounded scalar probe, one per round
+        if n == prev_n or n == 0:
+            return cur, rounds_run
+        prev_n = n
+
+
+def kcore_convergence_depth(pairs, k: int = KCORE_K) -> int:
+    """Measured peel depth of a concrete edge frame: rounds until the
+    survivor count is stable (inclusive of the confirming round). The
+    static KCORE_ROUNDS-unrolled SQL oracle equals the Spark fixpoint
+    iff this depth <= KCORE_ROUNDS for the fixture under test — the
+    parity pytest measures it and fails with a raise-the-constant
+    message BEFORE a deeper-cascading fixture could surface as a raw
+    driver hash mismatch (round-9 advice)."""
+    e, nodes = _kcore_edges_nodes(pairs)
+    _, depth = _kcore_fixpoint(e, nodes, k)
+    return depth

@@ -502,21 +502,12 @@ def _curate_corpus_plan(spark, sf_dir, index_dir: str | None = None):
 
 def _cached_index_dir(sf_dir: str) -> str:
     """Deterministic per-corpus cache location for the curation-serving
-    IVF index: keyed by the absolute sf_dir AND the embeddings table's
-    mtime, so a regenerated corpus never serves a stale index."""
-    import hashlib
-    import os
-    import posixpath
-    import tempfile
+    IVF index — fsio.artifact_cache_dir keyed on the embeddings table
+    (size + mtime_ns, so a regenerated corpus never serves stale
+    postings even when rewritten within one second)."""
+    from doc2dataset_spark.fsio import artifact_cache_dir
 
-    emb = os.path.join(sf_dir, "embeddings.parquet")
-    mtime = int(os.path.getmtime(emb)) if os.path.exists(emb) else 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{mtime}".encode()
-    ).hexdigest()[:12]
-    return posixpath.join(
-        tempfile.gettempdir(), f"d2d_ivf_cache_{key}"
-    )
+    return artifact_cache_dir(sf_dir, "ivf", "embeddings")
 
 
 @query(

@@ -725,21 +725,12 @@ def fx_score_from(spark, sf_dir, model_dir: str):
 
 
 def _artifact_cache_dir(sf_dir: str, kind: str, table: str) -> str:
-    """Deterministic per-corpus cache location, keyed by the absolute
-    sf_dir AND the source table's mtime so a regenerated corpus never
-    serves a stale artifact (the pipeline_extras._cached_index_dir
-    convention)."""
-    import hashlib
-    import os
-    import posixpath
-    import tempfile
+    """Deterministic per-corpus cache location — the shared
+    fsio.artifact_cache_dir (size + mtime_ns key, one helper for every
+    persisted artifact kind)."""
+    from doc2dataset_spark.fsio import artifact_cache_dir
 
-    src = os.path.join(sf_dir, f"{table}.parquet")
-    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
-    key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{mtime}".encode()
-    ).hexdigest()[:12]
-    return posixpath.join(tempfile.gettempdir(), f"d2d_{kind}_cache_{key}")
+    return artifact_cache_dir(sf_dir, kind, table)
 
 
 @query(

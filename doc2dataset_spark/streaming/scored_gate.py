@@ -51,19 +51,34 @@ def load_fx_model(spark, model_dir: str):
 
 
 def score_batch(batch_docs: DataFrame, w, b, thr: float) -> DataFrame:
-    """(doc_id, source, p8, score, keep) for one batch under the frozen
-    model — the same comparison curate_corpus_scored's pass_model stage
-    makes, against the training-time threshold instead of a per-batch
-    median (a per-batch median would let a batch of uniformly bad
-    documents pass half of itself)."""
+    """(doc_id, source, p8, score, scoreable, keep) — ONE verdict row
+    per arriving document. Scoreable docs get the same comparison
+    curate_corpus_scored's pass_model stage makes, against the
+    training-time threshold instead of a per-batch median (a per-batch
+    median would let a batch of uniformly bad documents pass half of
+    itself). Documents with < 2 tokens produce no bigram features and
+    CANNOT be scored; they are emitted explicitly with scoreable=false,
+    keep=false (null p8/score) rather than silently dropped — an ingest
+    gate's audit trail must account for every arriving document."""
     docn, dfx, _ = fx_features_of(batch_docs)
     scored = _fx_score(docn, dfx, w, b)
-    return scored.select(
+    verdict = scored.select(
         "doc_id",
-        "source",
         "p8",
         "score",
         (F.col("p8").cast("double") >= F.lit(thr)).alias("keep"),
+    )
+    return (
+        batch_docs.select("doc_id", "source")
+        .join(verdict, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "p8",
+            "score",
+            F.col("p8").isNotNull().alias("scoreable"),
+            F.coalesce("keep", F.lit(False)).alias("keep"),
+        )
     )
 
 

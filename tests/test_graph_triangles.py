@@ -75,10 +75,23 @@ def test_kcore_fixture_matches_unrolled_oracle_depth(spark, sf_dir):
     from doc2dataset_spark.queries.dedup import dedup_simhash_pairs
     from doc2dataset_spark.queries.graph_extras import (
         KCORE_ROUNDS,
+        kcore_convergence_depth,
         kcore_of,
     )
 
     p = dedup_simhash_pairs(spark, sf_dir).select("da", "db").localCheckpoint(eager=True)
+    # measure the fixture's actual cascade depth FIRST: a fixture that
+    # peels deeper than the oracle's static unroll must fail with an
+    # instruction, not as an opaque set mismatch (or worse, a driver
+    # hash mismatch at the next round)
+    depth = kcore_convergence_depth(p)
+    assert depth <= KCORE_ROUNDS, (
+        f"fixture peels for {depth} rounds but the SQL oracle unrolls "
+        f"only {KCORE_ROUNDS} — raise KCORE_ROUNDS in "
+        f"queries/graph_extras.py to at least {depth} (the unrolled "
+        f"CTE chain is a no-op past convergence, so raising it is "
+        f"always safe; AS MATERIALIZED keeps the oracle linear)"
+    )
     a = {(r.doc_id, r.in_core) for r in kcore_of(p).collect()}
     b = {
         (r.doc_id, r.in_core)

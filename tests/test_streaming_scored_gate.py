@@ -92,3 +92,31 @@ def test_threshold_is_frozen_not_per_batch(spark, gate_setup):
     again = score_batch(low_docs, w, b, thr)
     assert again.count() == len(low_ids)
     assert again.filter("keep").count() == 0
+
+
+def test_featureless_docs_get_explicit_verdicts(spark, gate_setup):
+    """A document with < 2 tokens has no bigram features and cannot be
+    scored — it must still appear in the batch's audit output, as an
+    explicit scoreable=false / keep=false row, never silently vanish
+    (round-9 advice: the gate's docstring promises a verdict per
+    arriving document)."""
+    from doc2dataset_spark.streaming.scored_gate import score_batch
+
+    model_dir, src, _ = gate_setup
+    w, b, thr = load_fx_model(spark, model_dir)
+    base = spark.read.parquet(src).limit(3)
+    tiny_ids = (-1, -2)
+    docs = base.union(
+        spark.createDataFrame(
+            [(tiny_ids[0], "src0", "word"), (tiny_ids[1], "src0", "")],
+            base.schema,
+        )
+    )
+    verd = score_batch(docs, w, b, thr).collect()
+    assert len(verd) == 5
+    by_id = {r.doc_id: r for r in verd}
+    for tiny in tiny_ids:
+        r = by_id[tiny]
+        assert r.scoreable is False and r.keep is False
+        assert r.p8 is None and r.score is None
+    assert all(by_id[i].scoreable for i in by_id if i not in tiny_ids)
