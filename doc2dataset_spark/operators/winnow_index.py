@@ -1,0 +1,176 @@
+"""Winnowing fingerprint-index lifecycle: build once, persist, dedup many.
+
+``dedup_winnow`` recomputes the shingle→hash→window-min fingerprint
+pipeline inside every invocation — right for an oracle-gated operator,
+wrong for a serving path where new-batch dedup runs daily against a
+mostly-static corpus. This module persists the winnowed postings as
+plain parquet, the FOURTH persisted-index lifecycle next to the IVF
+vector index (operators/vector_index.py), the inverted text index
+(operators/text_index.py), and the MinHash band index
+(operators/minhash_index.py):
+
+    index_dir/postings/  batch_id=<b>/*.parquet  — (doc_id, fp)
+
+Candidate scoring against the index is postings-only: document
+frequency (the hub-fingerprint prune, df <= WINNOW_MAXDF), per-document
+fingerprint counts, the fp-blocked self-join, and the fingerprint-set
+Jaccard are ALL computed from the persisted (doc_id, fp) rows — the
+corpus is never scanned at serve time (winnowing needs no corpus verify
+stage: the similarity IS the fingerprint-set Jaccard). df is derived
+from the postings at serve time, never persisted as a side table — a
+persisted df would go stale the moment a batch is appended (df counts
+documents across ALL batches), while the derived form is one
+map-side-combinable aggregate over the index and is always consistent
+with exactly the batches being served.
+
+batch_id partitioning is the incremental-ingest seam (the band-index
+discipline): appending tomorrow's documents is one dynamic-overwrite
+write of a new batch_id partition — idempotent per batch_id, existing
+partitions untouched — and new-vs-corpus dedup joins the new batch's
+postings (a partition-pruned read) against batches <= the requested one.
+
+Fingerprints are the exact ``round9_extras.winnow_fingerprints``
+expressions, so index-served pairs are hash-identical to the in-query
+path (locked by the shared oracle on dedup_winnow_indexed and
+tests/test_winnow_index.py).
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.round9_extras import (
+    WINNOW_MAXDF,
+    WINNOW_THRESHOLD,
+    winnow_fingerprints,
+)
+from doc2dataset_spark.session import load_table
+
+
+def _postings_path(index_dir: str) -> str:
+    return posixpath.join(index_dir, "postings")
+
+
+def build_winnow_index(
+    spark: SparkSession, sf_dir: str, index_dir: str
+) -> None:
+    """One fingerprint pass over the documents table → winnowed postings,
+    hive-partitioned by batch_id. The fingerprint build is the one-time
+    cost (row-local shingle/hash/window-min lambdas + one explode); the
+    persisted postings are ~2/(W+1) the size of a full shingle index at
+    the same detection floor (the winnowing density guarantee)."""
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    (
+        fps.withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(_postings_path(index_dir))
+    )
+
+
+def append_winnow_batch(
+    spark: SparkSession, docs: DataFrame, index_dir: str, batch_id: int
+) -> None:
+    """Incremental ingest: fingerprint ONE new batch of (doc_id, text)
+    documents, appended as its own batch_id partition — existing
+    postings are never read or rewritten. Dynamic partition overwrite
+    scopes the write to this batch's partition, so a retried ingest job
+    is idempotent (exactly-once per batch_id)."""
+    (
+        winnow_fingerprints(docs)
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(_postings_path(index_dir))
+    )
+
+
+def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
+    return spark.read.parquet(_postings_path(index_dir)).select(
+        "doc_id", "fp"
+    )
+
+
+def pairs_from_postings(raw: DataFrame) -> DataFrame:
+    """(da, db, shared, jacc) near-dup pairs from a (doc_id, fp) posting
+    frame — df prune (hub fingerprints, df > WINNOW_MAXDF), per-doc
+    counts, fp-blocked self-join, fingerprint-set Jaccard >=
+    WINNOW_THRESHOLD. The single pair-scoring definition shared by the
+    cold path (dedup_winnow computes postings in-query) and the warm
+    path (dedup_winnow_indexed reads them from parquet), so the two can
+    never drift. Caller caches ``raw`` (three consumers)."""
+    keep = (
+        raw.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= WINNOW_MAXDF)
+        .select("fp")
+    )
+    fpx = raw.join(keep, "fp", "left_semi").cache()
+    fpc = fpx.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = fpx.alias("a"), fpx.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        shared.join(
+            fpc.select(F.col("doc_id").alias("da"), F.col("n").alias("na")),
+            "da",
+        )
+        .join(
+            fpc.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")),
+            "db",
+        )
+        .filter(jac >= WINNOW_THRESHOLD)
+        .select("da", "db", "shared", F.round(jac, 4).alias("jacc"))
+    )
+
+
+def new_batch_pairs(
+    spark: SparkSession, index_dir: str, batch_id: int
+) -> DataFrame:
+    """Near-dup pairs involving ONE new batch — against prior batches
+    AND within itself — without rescoring the whole corpus: postings
+    are pruned to batches <= the requested one (replaying an older
+    batch after later appends reproduces its original result), df and
+    per-doc counts are computed over that pruned corpus-so-far (df is
+    corpus-wide by definition — a hub fingerprint is a hub regardless of
+    which batch mentions it), and the pair join keeps only pairs with
+    at least one endpoint in the new batch. Old-vs-old pairs never
+    reappear: yesterday's corpus was already deduped."""
+    allp = spark.read.parquet(_postings_path(index_dir)).filter(
+        F.col("batch_id") <= batch_id
+    )
+    new_ids = (
+        allp.filter(F.col("batch_id") == batch_id)
+        .select("doc_id")
+        .distinct()
+    )
+    pairs = pairs_from_postings(allp.select("doc_id", "fp").cache())
+    # semi-join on either endpoint (da in new OR db in new), as a union
+    # of two semi-joins with an anti-join guard against double-counting
+    return pairs.join(
+        new_ids.select(F.col("doc_id").alias("da")), "da", "left_semi"
+    ).unionByName(
+        pairs.join(
+            new_ids.select(F.col("doc_id").alias("db")), "db", "left_semi"
+        ).join(
+            new_ids.select(F.col("doc_id").alias("da")),
+            "da",
+            "left_anti",
+        )
+    )

@@ -248,6 +248,11 @@ gate_swap(
 # curation (post-gate, oracle-backed)
 from doc2dataset_spark.queries import round9_extras  # noqa: E402
 
+# round-10 tail: detector-evaluation completion (SimHash + SemDeDup cell
+# precision/recall rows) + the winnowing warm path (post-gate,
+# oracle-backed)
+from doc2dataset_spark.queries import round10_extras  # noqa: E402
+
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the
 # pytest pin so any drift crashes every entry point, not just the suite.

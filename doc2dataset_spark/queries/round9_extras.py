@@ -934,40 +934,18 @@ def dedup_winnow(spark, sf_dir):
     dedup_ngram_jaccard's at the same floor. Pure row-local lambdas +
     one blocked equi-join + map-side-combined counts; the Jaccard is the
     shared round-4 double-division recipe."""
+    # deferred import: operators.winnow_index imports this module's
+    # fingerprint expressions at its top level
+    from doc2dataset_spark.operators.winnow_index import pairs_from_postings
+
     d = load_table(spark, sf_dir, "documents")
     # cache: the per-shingle md5 + window-min lambda pipeline has three
     # consumers (df prune, count frame, self-join) and would otherwise
     # re-execute per consumer (measured 61 s -> join-bound at sf1)
     raw = winnow_fingerprints(d).cache()
-    keep = (
-        raw.groupBy("fp")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= WINNOW_MAXDF)
-        .select("fp")
-    )
-    fpx = raw.join(keep, "fp", "left_semi").cache()
-    fpc = fpx.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = fpx.alias("a"), fpx.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
-        )
-        .agg(F.count("*").alias("shared"))
-    )
-    jac = F.col("shared").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("shared")
-    )
-    return (
-        shared.join(fpc.select(F.col("doc_id").alias("da"), F.col("n").alias("na")), "da")
-        .join(fpc.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")), "db")
-        .filter(jac >= WINNOW_THRESHOLD)
-        .select("da", "db", "shared", F.round(jac, 4).alias("jacc"))
-    )
+    # scoring (df prune + fp-blocked join + Jaccard) is the single
+    # definition shared with the index-served path
+    return pairs_from_postings(raw)
 
 
 _WINNOW_STATS_ORACLE = _WINNOW_CTE_DUCK + """

@@ -1,0 +1,132 @@
+"""Winnowing fingerprint index (operators/winnow_index.py): the
+persisted postings must serve BIT-IDENTICAL pairs to the in-query
+dedup_winnow — the property that lets dedup_winnow_indexed share the
+cold twin's oracle — and the batch_id seam must behave exactly like the
+band index's (append untouched, replay reproducible, reads pruned)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.operators.winnow_index import (
+    append_winnow_batch,
+    build_winnow_index,
+    new_batch_pairs,
+    pairs_from_postings,
+    read_postings,
+)
+from doc2dataset_spark.queries import REGISTRY
+from doc2dataset_spark.session import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_winnow_index_serves_identical_pairs(spark, sf_dir, tmp_path):
+    idx = str(tmp_path / "wn_index")
+    build_winnow_index(spark, sf_dir, idx)
+    served = _rows(pairs_from_postings(read_postings(spark, idx).cache()))
+    assert served  # the fixture has near-dup pairs by construction
+    cold = _rows(REGISTRY["dedup_winnow"].builder(spark, sf_dir))
+    assert served == cold
+    warm = _rows(REGISTRY["dedup_winnow_indexed"].builder(spark, sf_dir))
+    assert warm == cold
+
+
+def test_incremental_batch_append(spark, sf_dir, tmp_path):
+    """Split the corpus, index batch 0, append batch 1 WITHOUT touching
+    batch 0's files: (a) the union of postings equals the single-shot
+    index, (b) new-batch pairs are exactly the full pair set minus the
+    within-batch-0 pairs — daily-batch dedup needs no rebuild. Note df
+    pruning is corpus-wide by design: a fingerprint's hub status depends
+    on ALL batches served, which is why df is derived at serve time,
+    never persisted per batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    inc = str(tmp_path / "wn_inc")
+    append_winnow_batch(spark, old, inc, batch_id=0)
+    before = _rows(
+        spark.read.parquet(f"{inc}/postings")
+        .filter("batch_id = 0")
+        .select("doc_id", "fp")
+    )
+    append_winnow_batch(spark, new, inc, batch_id=1)
+
+    full = str(tmp_path / "wn_full")
+    build_winnow_index(spark, sf_dir, full)
+    assert _rows(read_postings(spark, inc)) == _rows(
+        read_postings(spark, full)
+    )
+    # batch-0 postings unchanged by the append
+    assert (
+        _rows(
+            spark.read.parquet(f"{inc}/postings")
+            .filter("batch_id = 0")
+            .select("doc_id", "fp")
+        )
+        == before
+    )
+
+    got = {(r[0], r[1]) for r in new_batch_pairs(spark, inc, 1).collect()}
+    allp = {
+        (r[0], r[1])
+        for r in pairs_from_postings(
+            read_postings(spark, full).cache()
+        ).collect()
+    }
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    want = {
+        (da, db) for (da, db) in allp if not (da in old_ids and db in old_ids)
+    }
+    assert got == want
+    assert got  # the fixture's near-dup twins straddle the split
+
+
+def test_replay_ignores_later_batches(spark, sf_dir, tmp_path):
+    """Replaying batch 1's dedup AFTER batch 2 has been appended must
+    reproduce batch 1's original result — the corpus side is pruned to
+    batch_id <= 1, so later arrivals can't leak in (same contract as
+    minhash_index.new_batch_candidates after the round-9 advice fix)."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "wn_replay")
+    append_winnow_batch(spark, docs.filter(F.col("doc_id") % 3 == 0), idx, 0)
+    append_winnow_batch(spark, docs.filter(F.col("doc_id") % 3 == 1), idx, 1)
+    original = _rows(new_batch_pairs(spark, idx, 1))
+    append_winnow_batch(spark, docs.filter(F.col("doc_id") % 3 == 2), idx, 2)
+    assert _rows(new_batch_pairs(spark, idx, 1)) == original
+
+
+def test_minhash_replay_ignores_later_batches(spark, sf_dir, tmp_path):
+    """The same replay contract on the band index (the advice fix
+    itself): candidates for batch 1 are unchanged by batch 2's
+    arrival."""
+    from doc2dataset_spark.operators.minhash_index import (
+        append_minhash_batch,
+        new_batch_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "mh_replay")
+    append_minhash_batch(spark, docs.filter(F.col("doc_id") % 3 == 0), idx, 0)
+    append_minhash_batch(spark, docs.filter(F.col("doc_id") % 3 == 1), idx, 1)
+    original = _rows(new_batch_candidates(spark, idx, 1))
+    append_minhash_batch(spark, docs.filter(F.col("doc_id") % 3 == 2), idx, 2)
+    assert _rows(new_batch_candidates(spark, idx, 1)) == original
+
+
+def test_new_batch_read_is_partition_pruned(spark, sf_dir, tmp_path):
+    """the incremental pair query must prune postings reads by batch_id
+    — the plan, not just the semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "wn_pp")
+    append_winnow_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), idx, 0)
+    append_winnow_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), idx, 1)
+    plan = new_batch_pairs(spark, idx, 1)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert any(
+        "PartitionFilters" in ln and "batch_id" in ln
+        for ln in plan.splitlines()
+    ), plan
