@@ -41,14 +41,32 @@ def _bands_path(index_dir: str) -> str:
 
 
 def build_minhash_index(
-    spark: SparkSession, sf_dir: str, index_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    params: str | tuple[int, int] | None = None,
 ) -> None:
     """One signature pass over the documents table → band postings,
     hive-partitioned by (batch_id, band). The signature build is the
-    one-time cost (one shuffle: groupBy doc_id with 16 map-side-
-    combinable min aggregates); the persisted postings are 4 small
-    columnar files per batch."""
-    bands = bands_of(load_table(spark, sf_dir, "documents"))
+    one-time cost (one shuffle: groupBy doc_id with bands×rows map-side-
+    combinable min aggregates); the persisted postings are ``bands``
+    small columnar files per batch.
+
+    ``params``: None (default) pins the oracle-anchored 4 bands × 4 rows;
+    ``"auto"`` computes (bands, rows) from the corpus size via
+    autoparams.minhash_bands_rows (the MMDS S-curve rule — rows grow
+    with log n so background collisions stay linear); an explicit
+    (bands, rows) tuple is taken as-is. The index layout and every
+    serving path are banding-agnostic (postings are (doc_id, band, bh)
+    whatever the banding), so candidates_from_index / new_batch_candidates
+    work unchanged on an auto-built index."""
+    docs = load_table(spark, sf_dir, "documents")
+    if params == "auto":
+        from doc2dataset_spark.operators.autoparams import minhash_bands_rows
+
+        params = minhash_bands_rows(docs.count())
+    b, r = params if params is not None else (None, None)
+    bands = bands_of(docs) if params is None else bands_of(docs, b, r)
     (
         bands.withColumn("batch_id", F.lit(0))
         .write.mode("overwrite")

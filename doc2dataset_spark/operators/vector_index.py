@@ -43,13 +43,27 @@ def _postings_path(index_dir: str) -> str:
 
 
 def build_ivf_index(
-    spark: SparkSession, sf_dir: str, index_dir: str, n_centroids: int = 16
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    n_centroids: int | str = 16,
 ) -> None:
     """Quantize the embeddings table against its first ``n_centroids``
     vectors (seed centroids — the sim_ann_ivf convention; a trained
     centroid frame slots in unchanged) and persist centroids + cell-
-    partitioned postings."""
+    partitioned postings.
+
+    ``n_centroids``: the default 16 is the oracle-pinned fixture
+    constant; ``"auto"`` computes cells ≈ √n via autoparams.ivf_cells
+    (the FAISS nlist rule — bounds within-cell pair work at n^1.5 and
+    keeps the broadcast centroid table and the per-cell scan growing at
+    the same rate). Probes are cell-count-agnostic (they read the saved
+    centroid table), so an auto-built index serves unchanged."""
     n = normalized_embeddings(spark, sf_dir)
+    if n_centroids == "auto":
+        from doc2dataset_spark.operators.autoparams import ivf_cells
+
+        n_centroids = ivf_cells(n.count())
     cents = n.filter(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cent_id"), F.col("ne").alias("ce")
     )

@@ -62,10 +62,23 @@ def _make_plane(seed: int) -> list[float]:
     return [float(rng.choice((-1.0, 1.0))) for _ in range(DIM)]
 
 
-MULTI_PLANES = [
-    [_make_plane(1000 * (t + 1) + i) for i in range(N_PLANES_MULTI)]
-    for t in range(L_TABLES)
-]
+def make_multi_planes(
+    n_planes: int, tables: int = L_TABLES
+) -> list[list[list[float]]]:
+    """L independent plane sets with per-(table, plane) seeds — the
+    builder seam for computed parameters: make_multi_planes(
+    autoparams.lsh_planes(n)) sizes buckets to the measured occupancy
+    knee at ANY corpus size, while the seed scheme guarantees a wider
+    or narrower build shares every plane it has in common with the
+    shipped one (adding tables or planes never perturbs existing
+    signatures)."""
+    return [
+        [_make_plane(1000 * (t + 1) + i) for i in range(n_planes)]
+        for t in range(tables)
+    ]
+
+
+MULTI_PLANES = make_multi_planes(N_PLANES_MULTI)
 
 
 def _bucket_duck(planes: list[list[float]]) -> str:
@@ -91,15 +104,21 @@ _TABLES_DUCK = "\n      UNION ALL ".join(
 )
 
 
-def _multi_candidates(spark, sf_dir):
+def _multi_candidates(spark, sf_dir, planes=None):
     """(qid, cid, cos): union-of-tables bucket collisions, deduped, with
-    the exact cosine attached (computed once inside the pair join)."""
+    the exact cosine attached (computed once inside the pair join).
+    ``planes`` defaults to the oracle-pinned MULTI_PLANES; pass
+    make_multi_planes(autoparams.lsh_planes(n)) for a corpus-size-scaled
+    build (tests/test_autoparams.py pins the recall floor)."""
     n = normalized_embeddings(spark, sf_dir)
     sigs = n.select(
         "vec_id",
         "ne",
         F.posexplode(
-            F.array(*[_bucket_spark(p) for p in MULTI_PLANES])
+            F.array(*[
+                _bucket_spark(p)
+                for p in (MULTI_PLANES if planes is None else planes)
+            ])
         ).alias("tbl", "bucket"),
     )
     q, c = sigs.alias("q"), sigs.alias("c")

@@ -188,26 +188,46 @@ def dedup_ngram_jaccard(spark, sf_dir):
 # MinHash + banded LSH (native implementation, no pyspark.ml dependency:
 # signatures are plain integer aggregates → bit-identical to the oracle)
 # ---------------------------------------------------------------------------
-def minhash_sig_of(sd):
-    """(doc_id, m0..m15): minhash signature of a (doc_id, sh) shingle frame
-    via one groupBy with 16 min-aggs — a single shuffle keyed by doc_id,
-    map-side combined."""
+def minhash_perms(k: int) -> list[tuple[int, int]]:
+    """First ``k`` (a, b) permutation coefficients of the seed-42 stream
+    — a PREFIX property: minhash_perms(16) == PERMS element-for-element
+    (same generator, same consumption order), so a banding widened by
+    autoparams extends the shipped signature instead of replacing it."""
+    rng = random.Random(42)
+    return [(rng.randrange(1, P), rng.randrange(0, P)) for _ in range(k)]
+
+
+def minhash_sig_of(sd, perms: list[tuple[int, int]] | None = None):
+    """(doc_id, m0..m{k-1}): minhash signature of a (doc_id, sh) shingle
+    frame via one groupBy with k min-aggs — a single shuffle keyed by
+    doc_id, map-side combined. Default perms are the oracle-pinned 16
+    (4 bands × 4 rows)."""
     x = (F.expr(_H48_SPARK.format(s="sh")) % P).alias("x")
     hashed = sd.select("doc_id", x)
     aggs = [
         F.min((F.lit(a) * F.col("x") + F.lit(b)) % P).alias(f"m{j}")
-        for j, (a, b) in enumerate(PERMS)
+        for j, (a, b) in enumerate(PERMS if perms is None else perms)
     ]
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def bands_of(docs):
+def bands_of(docs, bands: int = N_BANDS, rows: int = ROWS_PER_BAND):
     """(doc_id, band, bh) LSH band hashes of a (doc_id, text) frame — one
-    posexplode pass over the 16-perm signature (4 bands × 4 rows)."""
-    sig = minhash_sig_of(shingles_of(docs))
+    posexplode pass over the bands×rows signature. Defaults (4 × 4) are
+    the oracle-pinned shipped banding and produce byte-identical
+    expressions to the original fixed form; non-default (bands, rows) —
+    e.g. autoparams.minhash_bands_rows(n) — swaps in a longer prefix of
+    the same seeded permutation stream."""
+    sig = minhash_sig_of(shingles_of(docs), perms=minhash_perms(bands * rows))
+    # the generic template reduces to _band_cols() exactly at the default
+    # (4, 4) — same md5/concat_ws expression text, same perm values
+    exprs = [
+        f"md5(concat_ws(',', {', '.join(f'm{b * rows + r}' for r in range(rows))}))"
+        for b in range(bands)
+    ]
     return sig.select(
         "doc_id",
-        F.posexplode(F.array(*[F.expr(e) for e in _band_cols()])).alias(
+        F.posexplode(F.array(*[F.expr(e) for e in exprs])).alias(
             "band", "bh"
         ),
     )
