@@ -248,6 +248,31 @@ gate_swap(
 # curation (post-gate, oracle-backed)
 from doc2dataset_spark.queries import round9_extras  # noqa: E402
 
+# Gate rotation #7 (round 10): surface the round-9 flagship operators in
+# the driver's externally-recorded 50-row snapshot — the applied
+# tokenizer, the model-scored curation chain, the index-served LSH, the
+# winnowing detector, and its precision/recall evaluation row — over
+# five rows gate-green since round 1 (all remain hash-checked by the
+# degated-parity pytest and the mirror; the demoted SimHash detectors
+# additionally gain the post-gate dedup_simhash_recall end-to-end judge).
+# Full rationale + the resulting frozen list live in queries/gate.py.
+gate_swap(
+    promote=[
+        "text_bpe_encode",
+        "curate_corpus_scored",
+        "dedup_minhash_indexed",
+        "dedup_winnow",
+        "dedup_winnow_recall",
+    ],
+    demote=[
+        "dedup_exact",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "dedup_ngram_containment",
+        "sim_cosine_topk",
+    ],
+)
+
 # round-10 tail: detector-evaluation completion (SimHash + SemDeDup cell
 # precision/recall rows) + the winnowing warm path (post-gate,
 # oracle-backed)

@@ -29,6 +29,17 @@ Rotation log (why the current 50 are the current 50):
   profile_documents (corpus profiling) over five round-1-stable rows
   (agg_percentiles, sample_deterministic, q40_listagg,
   text_quality_score, text_boilerplate).
+- r10 #7: promoted the round-9 flagship operators — text_bpe_encode
+  (tokenizer train->apply), curate_corpus_scored (fixed-point model
+  gate + stage audit), dedup_minhash_indexed (index-served LSH),
+  dedup_winnow (MOSS winnowing fingerprints), dedup_winnow_recall (the
+  detector-evaluation discipline) — over five round-1-stable rows
+  (dedup_exact, dedup_simhash, dedup_simhash_pairs,
+  dedup_ngram_containment, sim_cosine_topk). dedup_ngram_jaccard stays
+  gated as the detector family's exact ground truth; the demoted
+  SimHash rows are now additionally judged end-to-end by the post-gate
+  dedup_simhash_recall row, and every demoted row remains hash-checked
+  by the degated-parity pytest sweep and scripts/driver_mirror.py.
 """
 
 from __future__ import annotations
@@ -40,16 +51,16 @@ DRIVER_GATE_SIZE = 50
 # edit in queries/__init__.py in the same commit (pinned by
 # tests/test_registry_gate.py::test_driver_gate_set_is_frozen).
 FROZEN_GATE = [
-    "dedup_exact",
+    "text_bpe_encode",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
+    "curate_corpus_scored",
+    "dedup_minhash_indexed",
     "dedup_embedding_cosine",
     "dedup_embedding_cell",
     "dedup_cluster_cc",
-    "dedup_ngram_containment",
-    "sim_cosine_topk",
+    "dedup_winnow",
+    "dedup_winnow_recall",
     "sim_ann_hyperplane",
     "sim_ann_ivf",
     "agg_salted_two_phase",
