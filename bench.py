@@ -106,6 +106,10 @@ HEADLINE = [
     "dedup_minhash_indexed",     # LSH served from persisted band postings
     "dedup_winnow",              # MOSS winnowing fingerprints (2/(W+1) density)
     "curate_corpus_scored_indexed",  # persisted model + IVF warm path
+    # round-10 ops
+    "dedup_winnow_indexed",      # winnow served from persisted fp postings
+    "dedup_simhash_recall",      # detector-eval: SimHash vs exact Jaccard
+    "dedup_embedding_cell_recall",  # detector-eval: cell blocking loss
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

@@ -144,3 +144,89 @@ def run_text_index_ingest(
         # batches — refresh again from the swept directory
         refresh_index_stats(docs_stream.sparkSession, index_dir)
     return q
+
+
+def _run_batchwise_ingest(docs_stream, checkpoint_dir, append, postings_path):
+    """Shared foreachBatch wiring for the band/winnow posting indexes:
+    per micro-batch, ``append(spark, batch_df, batch_id + 1)`` lands one
+    dynamic-overwrite partition (batch 0 is the initial build's); on a
+    fresh checkpoint, stale higher-numbered partitions from an older
+    incarnation are swept after the stream drains (the run_index_ingest
+    guard). Blocks until drained."""
+    from doc2dataset_spark.streaming.util import sweep_stale_batches
+
+    ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
+    fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
+    fired: list[int] = []
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fired.append(batch_id)
+        append(batch_df.sparkSession, batch_df, batch_id + 1)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    if fresh_checkpoint and fired:
+        sweep_stale_batches(postings_path, max(fired) + 1)
+    return q
+
+
+def run_minhash_index_ingest(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming MinHash band-index ingest: micro-batches of
+    (doc_id, text) land as ``batch_id=<n>/band=<k>`` posting partitions
+    via ``operators/minhash_index.append_minhash_batch`` — signatures are
+    the exact ``dedup.bands_of`` expressions, so stream-ingested postings
+    are bit-identical to a batch build over the same documents (locked
+    in tests/test_winnow_index.py's streaming twins). Same idempotence /
+    fresh-checkpoint-sweep contract as run_index_ingest. DuckDB cannot
+    oracle a stream; the equality pytest is the twin check."""
+    from doc2dataset_spark.operators.minhash_index import (
+        _bands_path,
+        append_minhash_batch,
+    )
+
+    return _run_batchwise_ingest(
+        docs_stream,
+        checkpoint_dir,
+        lambda spark, df, bid: append_minhash_batch(
+            spark, df, index_dir, batch_id=bid
+        ),
+        _bands_path(index_dir),
+    )
+
+
+def run_winnow_index_ingest(
+    docs_stream: DataFrame,
+    index_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming winnowed-fingerprint index ingest: micro-batches of
+    (doc_id, text) land as ``batch_id=<n>`` posting partitions via
+    ``operators/winnow_index.append_winnow_batch`` — fingerprints are the
+    exact winnow_fingerprints expressions, so stream-ingested postings
+    are bit-identical to a batch build over the same documents. Same
+    idempotence / fresh-checkpoint-sweep contract as run_index_ingest.
+    Note df pruning stays a SERVE-time aggregate over the postings, so
+    hub-fingerprint status is always computed against exactly the
+    batches ingested so far — nothing to refresh per batch."""
+    from doc2dataset_spark.operators.winnow_index import (
+        _postings_path as _winnow_postings,
+    )
+    from doc2dataset_spark.operators.winnow_index import append_winnow_batch
+
+    return _run_batchwise_ingest(
+        docs_stream,
+        checkpoint_dir,
+        lambda spark, df, bid: append_winnow_batch(
+            spark, df, index_dir, batch_id=bid
+        ),
+        _winnow_postings(index_dir),
+    )

@@ -258,6 +258,22 @@ ROUND9_SET = [
     "curate_corpus_scored_indexed",
 ]
 
+# round-10 additions: winnowing warm-vs-cold + the detector-evaluation
+# rows (dedup_embedding_cell_recall embeds the exact O(n^2) cosine
+# ground truth, so it runs at shipped SFs only — at sf1's 20k replicated
+# vectors the truth side, not the detector, dominates the wall)
+ROUND10_SET = [
+    "dedup_winnow",
+    "dedup_winnow_indexed",
+    "dedup_simhash_recall",
+    "dedup_embedding_cell_recall",
+]
+ROUND10_SF1_SET = [
+    "dedup_winnow",
+    "dedup_winnow_indexed",
+    "dedup_simhash_recall",
+]
+
 
 def run_heavy6(spark, sf_dir: str, names: list[str] | None = None) -> None:
     """Heavy-set wall time + per-query shuffle/spill deltas."""
@@ -325,6 +341,70 @@ def make_big(big_dir: str = BIG_DIR, replicas: int = REPLICAS) -> None:
                 TO '{big_dir}/{t}.parquet' (FORMAT PARQUET)"""
         )
         print(f"# wrote {t}", file=sys.stderr)
+
+
+def run_scored_gate(spark) -> None:
+    """Streaming scored-gate per-batch wall at sf1 batches (round-9
+    verdict, Next round #6): train+persist the fixed-point model once on
+    the sf1 corpus (the one-time ingest-side cost), then score the
+    corpus as 10 arriving batches through the exact foreachBatch unit
+    (score_batch + per-batch overwrite write) and report per-batch wall
+    and docs/s. Falls back to sf0.1 when the sf1 twin isn't built."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from doc2dataset_spark.queries.round9_extras import save_fx_model
+    from doc2dataset_spark.streaming.scored_gate import (
+        load_fx_model,
+        score_batch,
+    )
+
+    sf_dir = BIG1_DIR if os.path.exists(BIG1_DIR) else SHIPPED[-1]
+    mdir = tempfile.mkdtemp(prefix="sg_model_")
+    out = tempfile.mkdtemp(prefix="sg_out_")
+    try:
+        t0 = time.time()
+        save_fx_model(spark, sf_dir, mdir)
+        train_sec = round(time.time() - t0, 2)
+        w, b, thr = load_fx_model(spark, mdir)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "text"
+        )
+        k = 10
+        batches = []
+        for i in range(k):
+            bd = docs.filter(F.col("doc_id") % k == i)
+            t0 = time.time()
+            score_batch(bd, w, b, thr).write.mode("overwrite").parquet(
+                f"{out}/batch={i}"
+            )
+            wall = round(time.time() - t0, 2)
+            rows = spark.read.parquet(f"{out}/batch={i}").count()
+            batches.append({"batch": i, "sec": wall, "rows": rows})
+            print(
+                f"# scoredgate batch {i}: {wall}s {rows} rows "
+                f"({round(rows / max(wall, 1e-9))} docs/s)",
+                file=sys.stderr,
+            )
+        total_rows = sum(x["rows"] for x in batches)
+        total_sec = sum(x["sec"] for x in batches)
+        print(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "train_sec": train_sec,
+                    "batches": batches,
+                    "total_rows": total_rows,
+                    "total_sec": round(total_sec, 2),
+                    "docs_per_sec": round(total_rows / max(total_sec, 1e-9)),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(mdir, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def main() -> None:
@@ -766,6 +846,13 @@ def main() -> None:
             run_set(spark, ROUND9_SET, sf_dir, with_duck=True)
         if os.path.exists(BIG1_DIR):
             run_set(spark, ROUND9_SET, BIG1_DIR, with_duck=False)
+    elif mode == "round10":
+        for sf_dir in SHIPPED:
+            run_set(spark, ROUND10_SET, sf_dir, with_duck=True)
+        if os.path.exists(BIG1_DIR):
+            run_set(spark, ROUND10_SF1_SET, BIG1_DIR, with_duck=False)
+    elif mode == "scoredgate":
+        run_scored_gate(spark)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 

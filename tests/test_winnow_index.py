@@ -117,6 +117,85 @@ def test_minhash_replay_ignores_later_batches(spark, sf_dir, tmp_path):
     assert _rows(new_batch_candidates(spark, idx, 1)) == original
 
 
+def _doc_stream_source(spark, sf_dir, tmp_path):
+    """documents split into two arrival files + a readStream over them."""
+    import os
+    import time as _time
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    mid = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    src = tmp_path / "doc_src"
+    os.makedirs(src, exist_ok=True)
+    docs.filter(F.col("doc_id") <= mid).toPandas().to_parquet(
+        (src / "b0.parquet").as_posix()
+    )
+    docs.filter(F.col("doc_id") > mid).toPandas().to_parquet(
+        (src / "b1.parquet").as_posix()
+    )
+    os.utime(src / "b1.parquet", (_time.time() + 2, _time.time() + 2))
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+
+
+def test_streaming_winnow_ingest_matches_batch_build(
+    spark, sf_dir, tmp_path
+):
+    """Documents streamed in two micro-batches must yield postings —
+    and therefore served pairs — identical to one batch build over the
+    full corpus (fingerprints are pure per-document functions)."""
+    from doc2dataset_spark.streaming.index_ingest import (
+        run_winnow_index_ingest,
+    )
+
+    sidx = str(tmp_path / "wn_stream")
+    run_winnow_index_ingest(
+        _doc_stream_source(spark, sf_dir, tmp_path),
+        sidx,
+        str(tmp_path / "wn_ck"),
+    )
+    full = str(tmp_path / "wn_batch")
+    build_winnow_index(spark, sf_dir, full)
+    assert _rows(read_postings(spark, sidx)) == _rows(
+        read_postings(spark, full)
+    )
+    assert _rows(
+        pairs_from_postings(read_postings(spark, sidx).cache())
+    ) == _rows(REGISTRY["dedup_winnow"].builder(spark, sf_dir))
+
+
+def test_streaming_minhash_ingest_matches_batch_build(
+    spark, sf_dir, tmp_path
+):
+    """Same twin check for the band index: stream-ingested band postings
+    serve the exact dedup_minhash_lsh candidate set."""
+    from doc2dataset_spark.operators.minhash_index import (
+        build_minhash_index,
+        candidates_from_index,
+        read_bands,
+    )
+    from doc2dataset_spark.streaming.index_ingest import (
+        run_minhash_index_ingest,
+    )
+
+    sidx = str(tmp_path / "mh_stream")
+    run_minhash_index_ingest(
+        _doc_stream_source(spark, sf_dir, tmp_path),
+        sidx,
+        str(tmp_path / "mh_ck"),
+    )
+    full = str(tmp_path / "mh_batch")
+    build_minhash_index(spark, sf_dir, full)
+    assert _rows(read_bands(spark, sidx)) == _rows(read_bands(spark, full))
+    assert _rows(candidates_from_index(spark, sidx)) == _rows(
+        candidates_from_index(spark, full)
+    )
+
+
 def test_new_batch_read_is_partition_pruned(spark, sf_dir, tmp_path):
     """the incremental pair query must prune postings reads by batch_id
     — the plan, not just the semantics."""
