@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from doc2dataset_spark.queries.core import REGISTRY, query
 from doc2dataset_spark.queries.round9_extras import _detector_recall_oracle
+from doc2dataset_spark.session import load_table
 
 # the exact-cosine detector threshold (dedup.dedup_embedding_cosine's
 # declared semantics — pairs with cosine >= this are true near-dups)
@@ -135,6 +136,150 @@ REGISTRY["dedup_embedding_cell_recall"].oracle = _detector_recall_oracle(
     WHERE cos >= {EMB_COS_THRESHOLD}""",
     f"""SELECT va AS da, vb AS db
     FROM ({REGISTRY["dedup_embedding_cosine"].oracle})""",
+)
+
+
+# deterministic 10% holdout: md5-hash bucket 0 of 10 (the hash split a
+# real pipeline uses so membership is stable under re-runs and appends)
+SPLIT_BUCKETS = 10
+_SPLIT_SPARK = (
+    "pmod(cast(conv(substring(md5(cast(doc_id AS string)), 1, 12), 16, 10) "
+    f"AS bigint), {SPLIT_BUCKETS}) = 0"
+)
+_SPLIT_DUCK = (
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT "
+    f"% {SPLIT_BUCKETS} = 0"
+)
+
+
+def _split_leakage_oracle(exact_oracle: str) -> str:
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT da, db FROM ({exact_oracle})
+),
+s AS MATERIALIZED (
+  SELECT doc_id, {_SPLIT_DUCK} AS hold FROM documents
+),
+f AS MATERIALIZED (
+  SELECT p.da, p.db, sa.hold AS ha, sb.hold AS hb
+  FROM pairs p
+  JOIN s sa ON sa.doc_id = p.da
+  JOIN s sb ON sb.doc_id = p.db
+),
+leaked AS (
+  SELECT count(DISTINCT doc_id) AS n FROM (
+    SELECT da AS doc_id FROM f WHERE ha AND NOT hb
+    UNION ALL
+    SELECT db AS doc_id FROM f WHERE hb AND NOT ha
+  )
+),
+d AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN hold THEN 0 ELSE 1 END), 0) AS BIGINT)
+           AS n_train,
+         CAST(COALESCE(SUM(CASE WHEN hold THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_holdout
+  FROM s
+),
+pf AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(COALESCE(SUM(CASE WHEN ha <> hb THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_cross
+  FROM f
+)
+SELECT d.n_train, d.n_holdout, pf.n_pairs, pf.n_cross,
+       CAST(l.n AS BIGINT) AS n_leaked_holdout,
+       round(l.n::DOUBLE / d.n_holdout, 4) AS leak_rate
+FROM d CROSS JOIN pf CROSS JOIN leaked l
+"""
+
+
+@query(
+    "curate_split_leakage",
+    oracle=None,  # assigned below: composes the exact detector's oracle
+    tags=("pipeline", "dedup", "eval"),
+)
+def curate_split_leakage(spark, sf_dir):
+    """Train/holdout split LEAKAGE AUDIT — the decontamination check a
+    training pipeline runs before trusting its eval numbers: with a
+    deterministic 10% hash holdout (stable under re-runs and appends,
+    like every production split), count the exact near-dup pairs
+    (shingle-Jaccard >= 0.5, the dedup_ngram_jaccard ground truth) that
+    CROSS the split, and the distinct holdout documents contaminated by
+    a train-side twin. A holdout doc with a near-duplicate in train
+    inflates eval scores without any literal overlap tooling noticing —
+    this is the Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") eval-leakage measurement as one oracle-
+    gated row.
+
+    Columns: n_train / n_holdout (split sizes), n_pairs (all near-dup
+    pairs), n_cross (pairs straddling the split — E[2·p·(1-p)·n_pairs]
+    under independence, so a clustered corpus shows up as an excess),
+    n_leaked_holdout (distinct contaminated eval docs — the actionable
+    set), leak_rate (fraction of the holdout that is contaminated).
+
+    Scale shape: the detector's own blocked plan + two broadcast-sized
+    flag joins on the pair list + one scalar aggregate row; the split
+    flag is a row-local md5 bucket, never a shuffle key."""
+    from doc2dataset_spark.queries.dedup import dedup_ngram_jaccard
+
+    d = load_table(spark, sf_dir, "documents")
+    s = d.select("doc_id", F.expr(_SPLIT_SPARK).alias("hold"))
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
+    f = (
+        pairs.join(
+            s.select(F.col("doc_id").alias("da"), F.col("hold").alias("ha")),
+            "da",
+        )
+        .join(
+            s.select(F.col("doc_id").alias("db"), F.col("hold").alias("hb")),
+            "db",
+        )
+        .localCheckpoint()
+    )
+    leaked = (
+        f.filter(F.col("ha") & ~F.col("hb"))
+        .select(F.col("da").alias("doc_id"))
+        .unionAll(
+            f.filter(F.col("hb") & ~F.col("ha")).select(
+                F.col("db").alias("doc_id")
+            )
+        )
+        .agg(F.countDistinct("doc_id").alias("n"))
+    )
+    dcounts = s.agg(
+        F.sum(F.when(F.col("hold"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when(F.col("hold"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_holdout"),
+    )
+    pcounts = f.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.coalesce(
+            F.sum((F.col("ha") != F.col("hb")).cast("int")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_cross"),
+    )
+    return (
+        dcounts.crossJoin(F.broadcast(pcounts))
+        .crossJoin(F.broadcast(leaked))
+        .select(
+            "n_train",
+            "n_holdout",
+            "n_pairs",
+            "n_cross",
+            F.col("n").cast("bigint").alias("n_leaked_holdout"),
+            F.round(
+                F.col("n").cast("double") / F.col("n_holdout"), 4
+            ).alias("leak_rate"),
+        )
+    )
+
+
+REGISTRY["curate_split_leakage"].oracle = _split_leakage_oracle(
+    REGISTRY["dedup_ngram_jaccard"].oracle
 )
 
 
