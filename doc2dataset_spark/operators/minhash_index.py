@@ -32,12 +32,43 @@ import posixpath
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from doc2dataset_spark.queries.dedup import bands_of
+from doc2dataset_spark.queries.dedup import N_BANDS, ROWS_PER_BAND, bands_of
 from doc2dataset_spark.session import load_table
+
+N_BANDS_DEFAULT, ROWS_DEFAULT = N_BANDS, ROWS_PER_BAND
 
 
 def _bands_path(index_dir: str) -> str:
     return posixpath.join(index_dir, "bands")
+
+
+def _meta_path(index_dir: str) -> str:
+    return posixpath.join(index_dir, "meta")
+
+
+def index_banding(spark: SparkSession, index_dir: str) -> tuple[int, int]:
+    """(bands, rows) the index was built with — read from the persisted
+    meta row, defaulting to the shipped 4x4 for pre-meta indexes. Every
+    append MUST band new batches with the index's own parameters: band
+    hashes from a different (bands, rows) never collide with the stored
+    postings, so a mismatched append would silently produce zero
+    cross-batch candidates (total recall loss on the incremental path) —
+    which is why the banding is index state, not a caller argument."""
+    import pyarrow.parquet as pq
+
+    from doc2dataset_spark.fsio import LocalFS
+
+    meta = _meta_path(index_dir)
+    try:
+        files = [
+            p for p in LocalFS().find(meta) if p.endswith(".parquet")
+        ]
+    except OSError:
+        files = []
+    if not files:
+        return N_BANDS_DEFAULT, ROWS_DEFAULT
+    row = pq.read_table(files[0]).to_pylist()[0]
+    return int(row["bands"]), int(row["rows"])
 
 
 def build_minhash_index(
@@ -65,14 +96,20 @@ def build_minhash_index(
         from doc2dataset_spark.operators.autoparams import minhash_bands_rows
 
         params = minhash_bands_rows(docs.count())
-    b, r = params if params is not None else (None, None)
-    bands = bands_of(docs) if params is None else bands_of(docs, b, r)
+    b, r = params if params is not None else (N_BANDS_DEFAULT, ROWS_DEFAULT)
     (
-        bands.withColumn("batch_id", F.lit(0))
+        bands_of(docs, b, r)
+        .withColumn("batch_id", F.lit(0))
         .write.mode("overwrite")
         .partitionBy("batch_id", "band")
         .parquet(_bands_path(index_dir))
     )
+    # banding is INDEX STATE: persist it so appends band with the same
+    # parameters (see index_banding — a mismatched banding never
+    # collides, i.e. silent total recall loss on the incremental path)
+    spark.createDataFrame(
+        [(int(b), int(r))], "bands int, rows int"
+    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(index_dir))
 
 
 def append_minhash_batch(
@@ -83,9 +120,13 @@ def append_minhash_batch(
     the existing postings are never read or rewritten. Dynamic partition
     overwrite scopes the write to this batch's partitions, so a retried
     ingest job is idempotent (exactly-once per batch_id) while other
-    batches stay untouched."""
+    batches stay untouched. The batch is banded with the INDEX'S OWN
+    persisted (bands, rows) — never a caller-supplied or default value —
+    so appending to an auto-built index keeps cross-batch candidates
+    intact (index_banding)."""
+    b, r = index_banding(spark, index_dir)
     (
-        bands_of(docs)
+        bands_of(docs, b, r)
         .withColumn("batch_id", F.lit(batch_id))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

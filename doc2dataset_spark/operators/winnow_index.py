@@ -109,7 +109,12 @@ def pairs_from_postings(raw: DataFrame) -> DataFrame:
         .filter(F.col("df") <= WINNOW_MAXDF)
         .select("fp")
     )
-    fpx = raw.join(keep, "fp", "left_semi").cache()
+    # localCheckpoint, not cache: 3 consumers need the materialization,
+    # but CacheManager entries are keyed per plan and never GC'd — a
+    # long-lived ingest service calling this per batch would accumulate
+    # pinned blocks forever; checkpoint blocks are released when the
+    # frame becomes unreachable
+    fpx = raw.join(keep, "fp", "left_semi").localCheckpoint()
     fpc = fpx.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = fpx.alias("a"), fpx.alias("b")
     shared = (
@@ -140,37 +145,81 @@ def pairs_from_postings(raw: DataFrame) -> DataFrame:
     )
 
 
+def _pruned_postings(
+    spark: SparkSession, index_dir: str, batch_id: int
+) -> DataFrame:
+    """Postings of batches <= batch_id — a hive-partition-pruned read
+    (asserted on THIS frame's plan in tests; new_batch_pairs
+    localCheckpoints it right after, which cuts the lineage the plan
+    assertion would need). 4 downstream consumers; checkpoint blocks
+    are GC-cleaned, unlike CacheManager entries, so a long-lived ingest
+    service calling this per batch does not accumulate pinned blocks."""
+    return spark.read.parquet(_postings_path(index_dir)).filter(
+        F.col("batch_id") <= batch_id
+    )
+
+
 def new_batch_pairs(
     spark: SparkSession, index_dir: str, batch_id: int
 ) -> DataFrame:
     """Near-dup pairs involving ONE new batch — against prior batches
     AND within itself — without rescoring the whole corpus: postings
     are pruned to batches <= the requested one (replaying an older
-    batch after later appends reproduces its original result), df and
+    batch after later appends reproduces its original result); df and
     per-doc counts are computed over that pruned corpus-so-far (df is
-    corpus-wide by definition — a hub fingerprint is a hub regardless of
-    which batch mentions it), and the pair join keeps only pairs with
-    at least one endpoint in the new batch. Old-vs-old pairs never
-    reappear: yesterday's corpus was already deduped."""
-    allp = spark.read.parquet(_postings_path(index_dir)).filter(
-        F.col("batch_id") <= batch_id
+    corpus-wide by definition — a hub fingerprint is a hub regardless
+    of which batch mentions it — but both are corpus-LINEAR
+    aggregates); and the PAIR JOIN itself is anchored on the new
+    batch's postings, so its cost is O(new-batch collisions), never the
+    whole corpus's pair space. Old-vs-old pairs are structurally absent
+    (the new side is always one endpoint): yesterday's corpus was
+    already deduped.
+
+    Shape: the new batch's df-pruned postings join (a) the PRIOR
+    batches' postings on fp — each new-old pair meets once per shared
+    fp — and (b) themselves with da < db orientation — each new-new
+    pair likewise once per shared fp; the union's per-pair row count is
+    therefore exactly the shared-fingerprint count, and the Jaccard is
+    the shared recipe over corpus-wide per-doc counts."""
+    allp = _pruned_postings(spark, index_dir, batch_id).localCheckpoint()
+    keep = (
+        allp.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= WINNOW_MAXDF)
+        .select("fp")
     )
-    new_ids = (
-        allp.filter(F.col("batch_id") == batch_id)
-        .select("doc_id")
-        .distinct()
+    pruned = allp.join(keep, "fp", "left_semi").localCheckpoint()
+    fpc = pruned.groupBy("doc_id").agg(F.count("*").alias("n"))
+    newp = pruned.filter(F.col("batch_id") == batch_id)
+    oldp = pruned.filter(F.col("batch_id") < batch_id)
+    n, o = newp.alias("n"), oldp.alias("o")
+    cross = n.join(o, F.col("n.fp") == F.col("o.fp")).select(
+        F.least("n.doc_id", "o.doc_id").alias("da"),
+        F.greatest("n.doc_id", "o.doc_id").alias("db"),
     )
-    pairs = pairs_from_postings(allp.select("doc_id", "fp").cache())
-    # semi-join on either endpoint (da in new OR db in new), as a union
-    # of two semi-joins with an anti-join guard against double-counting
-    return pairs.join(
-        new_ids.select(F.col("doc_id").alias("da")), "da", "left_semi"
-    ).unionByName(
-        pairs.join(
-            new_ids.select(F.col("doc_id").alias("db")), "db", "left_semi"
-        ).join(
-            new_ids.select(F.col("doc_id").alias("da")),
+    n2 = newp.alias("n2")
+    within = n.join(
+        n2,
+        (F.col("n.fp") == F.col("n2.fp"))
+        & (F.col("n.doc_id") < F.col("n2.doc_id")),
+    ).select(F.col("n.doc_id").alias("da"), F.col("n2.doc_id").alias("db"))
+    shared = (
+        cross.unionByName(within)
+        .groupBy("da", "db")
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        shared.join(
+            fpc.select(F.col("doc_id").alias("da"), F.col("n").alias("na")),
             "da",
-            "left_anti",
         )
+        .join(
+            fpc.select(F.col("doc_id").alias("db"), F.col("n").alias("nb")),
+            "db",
+        )
+        .filter(jac >= WINNOW_THRESHOLD)
+        .select("da", "db", "shared", F.round(jac, 4).alias("jacc"))
     )

@@ -522,6 +522,10 @@ NORM_EMB_DUCK = """
 
 
 N_EMB_BLOCKS = 16  # pair-space tiling factor; ~sqrt(target parallelism)
+# the exact near-dup threshold (ONE definition: the query, its oracle,
+# and the detector-evaluation row in round10_extras all read this name,
+# so the ground truth and its judges cannot silently diverge)
+EMB_COS_THRESHOLD = 0.4
 
 
 @query(
@@ -531,7 +535,7 @@ N_EMB_BLOCKS = 16  # pair-space tiling factor; ~sqrt(target parallelism)
     SELECT a.vec_id AS va, b.vec_id AS vb,
            list_dot_product(a.ne, b.ne) AS cos
     FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE list_dot_product(a.ne, b.ne) >= 0.4
+    WHERE list_dot_product(a.ne, b.ne) >= {EMB_COS_THRESHOLD}
     """,
     tags=("dedup", "embeddings"),
 )
@@ -584,7 +588,7 @@ def dedup_embedding_cosine(spark, sf_dir):
         F.least("ua", "ub").alias("va"),
         F.greatest("ua", "ub").alias("vb"),
         cos.alias("cos"),
-    ).filter(F.col("cos") >= 0.4)
+    ).filter(F.col("cos") >= EMB_COS_THRESHOLD)
 
 
 # cell-blocked (SemDeDup-style) embedding dedup: the sub-quadratic path

@@ -25,9 +25,10 @@ from doc2dataset_spark.queries.core import REGISTRY, query
 from doc2dataset_spark.queries.round9_extras import _detector_recall_oracle
 from doc2dataset_spark.session import load_table
 
-# the exact-cosine detector threshold (dedup.dedup_embedding_cosine's
-# declared semantics — pairs with cosine >= this are true near-dups)
-EMB_COS_THRESHOLD = 0.4
+# the exact-cosine detector threshold — imported from dedup.py (one
+# definition shared by the ground-truth query, its oracle, and this
+# evaluation row, so they cannot silently diverge)
+from doc2dataset_spark.queries.dedup import EMB_COS_THRESHOLD  # noqa: E402
 
 
 def detector_recall_frame(wq, eq):

@@ -59,33 +59,16 @@ def run_index_ingest(
     this call starts with no pre-existing checkpoint, every posting
     partition with ``batch_id > max(fired) + 1`` is deleted after the
     stream completes."""
-    ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
-    fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
-    fired: list[int] = []
+    from doc2dataset_spark.operators.vector_index import _postings_path
 
-    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        fired.append(batch_id)
-        append_to_ivf_index(
-            batch_df.sparkSession,
-            normalize_vectors(batch_df),
-            index_dir,
-            batch_id=batch_id + 1,
-        )
-
-    q = (
-        vectors_stream.writeStream.foreachBatch(one_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    return _run_batchwise_ingest(
+        vectors_stream,
+        checkpoint_dir,
+        lambda spark, df, bid: append_to_ivf_index(
+            spark, normalize_vectors(df), index_dir, batch_id=bid
+        ),
+        [_postings_path(index_dir)],
     )
-    q.processAllAvailable()
-    q.stop()
-
-    if fresh_checkpoint and fired:
-        from doc2dataset_spark.operators.vector_index import _postings_path
-        from doc2dataset_spark.streaming.util import sweep_stale_batches
-
-        sweep_stale_batches(_postings_path(index_dir), max(fired) + 1)
-    return q
 
 
 def run_text_index_ingest(
@@ -106,53 +89,41 @@ def run_text_index_ingest(
     tests/test_text_index.py locks stream-ingested probes == batch-built
     probes on the same documents."""
     from doc2dataset_spark.operators.text_index import (
+        _doclen_path,
+        append_to_text_index,
+        refresh_index_stats,
+    )
+    from doc2dataset_spark.operators.text_index import (
         _postings_path as _text_postings,
     )
-    from doc2dataset_spark.operators.text_index import append_to_text_index
-    from doc2dataset_spark.streaming.util import sweep_stale_batches
 
-    ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
-    fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
-    fired: list[int] = []
-
-    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        fired.append(batch_id)
-        append_to_text_index(
-            batch_df.sparkSession,
-            batch_df,
-            index_dir,
-            batch_id=batch_id + 1,
-        )
-
-    q = (
-        docs_stream.writeStream.foreachBatch(one_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    if fresh_checkpoint and fired:
-        from doc2dataset_spark.operators.text_index import (
-            _doclen_path,
-            refresh_index_stats,
-        )
-
+    return _run_batchwise_ingest(
+        docs_stream,
+        checkpoint_dir,
+        lambda spark, df, bid: append_to_text_index(
+            spark, df, index_dir, batch_id=bid
+        ),
         # stale partitions exist in BOTH batch-partitioned artifacts
-        sweep_stale_batches(_text_postings(index_dir), max(fired) + 1)
-        sweep_stale_batches(_doclen_path(index_dir), max(fired) + 1)
+        [_text_postings(index_dir), _doclen_path(index_dir)],
         # stats were refreshed from a doclen that included the stale
-        # batches — refresh again from the swept directory
-        refresh_index_stats(docs_stream.sparkSession, index_dir)
-    return q
+        # batches — refresh again from the swept directories
+        after_sweep=lambda spark: refresh_index_stats(spark, index_dir),
+    )
 
 
-def _run_batchwise_ingest(docs_stream, checkpoint_dir, append, postings_path):
-    """Shared foreachBatch wiring for the band/winnow posting indexes:
+def _run_batchwise_ingest(
+    docs_stream, checkpoint_dir, append, sweep_paths, after_sweep=None
+):
+    """THE foreachBatch wiring for every batch-partitioned index (IVF
+    postings, text postings+doclen, band postings, winnow postings):
     per micro-batch, ``append(spark, batch_df, batch_id + 1)`` lands one
     dynamic-overwrite partition (batch 0 is the initial build's); on a
     fresh checkpoint, stale higher-numbered partitions from an older
-    incarnation are swept after the stream drains (the run_index_ingest
-    guard). Blocks until drained."""
+    incarnation are swept from every path in ``sweep_paths`` after the
+    stream drains, then ``after_sweep(spark)`` runs (the text index's
+    stats refresh). One implementation so a fix to the idempotence /
+    sweep contract lands in all four lifecycles at once. Blocks until
+    drained."""
     from doc2dataset_spark.streaming.util import sweep_stale_batches
 
     ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
@@ -171,7 +142,10 @@ def _run_batchwise_ingest(docs_stream, checkpoint_dir, append, postings_path):
     q.processAllAvailable()
     q.stop()
     if fresh_checkpoint and fired:
-        sweep_stale_batches(postings_path, max(fired) + 1)
+        for path in sweep_paths:
+            sweep_stale_batches(path, max(fired) + 1)
+        if after_sweep is not None:
+            after_sweep(docs_stream.sparkSession)
     return q
 
 
@@ -199,7 +173,7 @@ def run_minhash_index_ingest(
         lambda spark, df, bid: append_minhash_batch(
             spark, df, index_dir, batch_id=bid
         ),
-        _bands_path(index_dir),
+        [_bands_path(index_dir)],
     )
 
 
@@ -228,5 +202,5 @@ def run_winnow_index_ingest(
         lambda spark, df, bid: append_winnow_batch(
             spark, df, index_dir, batch_id=bid
         ),
-        _winnow_postings(index_dir),
+        [_winnow_postings(index_dir)],
     )

@@ -17,16 +17,51 @@ import sys
 
 
 def load(path: str) -> dict:
-    """Accept either bench.py's raw one-line JSON or the round driver's
-    BENCH_r{N}.json wrapper (whose `parsed` field holds the bench dict)."""
+    """Accept bench.py's stdout (since round 10: the full-record line
+    followed by a compact summary line — prefer the line that carries
+    per-query data), the BENCH_detail.json full record, or the round
+    driver's BENCH_r{N}.json wrapper (whose `parsed` field may hold
+    either form)."""
     with open(path) as f:
         text = f.read()
     try:
         d = json.loads(text)
     except json.JSONDecodeError:
-        d = json.loads(text.strip().splitlines()[-1])
-    if "queries" not in d and "parsed" in d:
+        # multi-line stdout capture: scan every JSON line, prefer the
+        # one with the per-query map (the compact final line has none)
+        d = None
+        for line in text.strip().splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                cand = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "queries" in cand:
+                d = cand
+                break
+            if d is None:
+                d = cand
+        if d is None:
+            raise
+    if "queries" not in d and isinstance(d.get("parsed"), dict):
         d = d["parsed"]
+    if "queries" not in d and d.get("detail"):
+        # compact summary line: the per-query map lives in the sibling
+        # detail file it names
+        import os
+
+        detail = os.path.join(os.path.dirname(os.path.abspath(path)), d["detail"])
+        if os.path.exists(detail):
+            with open(detail) as f:
+                d = json.load(f)
+    if "queries" not in d:
+        raise SystemExit(
+            f"{path}: no per-query data (compact summary only and its "
+            "detail file is absent) — pass BENCH_detail.json or the full "
+            "stdout capture"
+        )
     return d
 
 

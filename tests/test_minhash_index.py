@@ -110,6 +110,42 @@ def test_new_batch_read_is_partition_pruned(spark, sf_dir, tmp_path):
     ), plan
 
 
+def test_append_uses_the_index_own_banding(spark, sf_dir, tmp_path):
+    """Appending to an auto-built index must band the new batch with
+    the INDEX'S persisted (bands, rows), not the default: band hashes
+    from different bandings never collide, so a mismatched append would
+    silently produce ZERO cross-batch candidates (total recall loss on
+    the incremental path). Regression for the round-10 review finding:
+    auto-build at n=500 picks (3,3) != the default (4,4); re-ingest the
+    same documents under shifted ids — every new doc has an exact twin
+    in batch 0, so cross-batch candidates must cover all of them."""
+    from pyspark.sql import functions as F
+
+    from doc2dataset_spark.operators.minhash_index import (
+        append_minhash_batch,
+        index_banding,
+        new_batch_candidates,
+    )
+    from doc2dataset_spark.session import load_table
+
+    idx = str(tmp_path / "mh_auto")
+    build_minhash_index(spark, sf_dir, idx, params="auto")
+    b, r = index_banding(spark, idx)
+    assert (b, r) == (3, 3)  # the S-curve rule at the 500-doc fixture
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    append_minhash_batch(spark, docs, idx, batch_id=1)
+    cand = new_batch_candidates(spark, idx, batch_id=1)
+    # every shifted doc collides with its identical original in batch 0
+    n_docs = docs.count()
+    cross = cand.filter(
+        (F.col("da") < 1_000_000) & (F.col("db") >= 1_000_000)
+    ).count()
+    assert cross >= n_docs, (cross, n_docs)
+
+
 def test_fx_model_roundtrip_scores_identical(spark, sf_dir, tmp_path):
     mdir = str(tmp_path / "fx_model")
     save_fx_model(spark, sf_dir, mdir)

@@ -198,14 +198,28 @@ def test_streaming_minhash_ingest_matches_batch_build(
 
 def test_new_batch_read_is_partition_pruned(spark, sf_dir, tmp_path):
     """the incremental pair query must prune postings reads by batch_id
-    — the plan, not just the semantics."""
+    — the plan, not just the semantics. Asserted on the exact read
+    frame new_batch_pairs consumes (_pruned_postings), pre-checkpoint:
+    the localCheckpoint that protects long-lived services from pinned
+    cache growth also cuts the lineage the final plan would show."""
+    from doc2dataset_spark.operators.winnow_index import _pruned_postings
+
     docs = load_table(spark, sf_dir, "documents")
     idx = str(tmp_path / "wn_pp")
     append_winnow_batch(spark, docs.filter(F.col("doc_id") % 2 == 0), idx, 0)
     append_winnow_batch(spark, docs.filter(F.col("doc_id") % 2 == 1), idx, 1)
-    plan = new_batch_pairs(spark, idx, 1)._jdf.queryExecution(
+    append_winnow_batch(spark, docs.limit(0), idx, 7)
+    plan = _pruned_postings(spark, idx, 1)._jdf.queryExecution(
     ).executedPlan().toString()
     assert any(
         "PartitionFilters" in ln and "batch_id" in ln
         for ln in plan.splitlines()
     ), plan
+    # and the pruned frame really excludes later batches
+    assert (
+        _pruned_postings(spark, idx, 1)
+        .select("batch_id")
+        .distinct()
+        .count()
+        == 2
+    )
