@@ -343,6 +343,79 @@ def make_big(big_dir: str = BIG_DIR, replicas: int = REPLICAS) -> None:
         print(f"# wrote {t}", file=sys.stderr)
 
 
+def run_incremental_dedup(spark) -> None:
+    """The daily-batch claim, measured (round 10): split the sf1 corpus
+    90/10, index the 90% once, then time (a) appending the 10% batch and
+    (b) its new-vs-corpus candidate/pair query — against (c) the full
+    from-scratch dedup wall a rebuild-everything pipeline would pay.
+    Runs both incremental indexes (MinHash bands, winnow fingerprints).
+    Falls back to sf0.1 when the sf1 twin isn't built."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from doc2dataset_spark.operators.minhash_index import (
+        append_minhash_batch,
+        new_batch_candidates,
+    )
+    from doc2dataset_spark.operators.winnow_index import (
+        append_winnow_batch,
+        new_batch_pairs,
+    )
+    from doc2dataset_spark.queries.dedup import minhash_verify
+
+    sf_dir = BIG1_DIR if os.path.exists(BIG1_DIR) else SHIPPED[-1]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    out = {"sf_dir": sf_dir, "corpus_docs": docs.count(),
+           "batch_docs": new.count()}
+    root = tempfile.mkdtemp(prefix="inc_bench_")
+    try:
+        for kind, append, query_fn in (
+            (
+                "minhash",
+                append_minhash_batch,
+                # index gives candidates; the comparable end-to-end unit
+                # includes the shared exact-Jaccard verification stage
+                lambda idx: minhash_verify(
+                    spark, sf_dir, new_batch_candidates(spark, idx, 1)
+                ),
+            ),
+            ("winnow", append_winnow_batch,
+             lambda idx: new_batch_pairs(spark, idx, 1)),
+        ):
+            idx = os.path.join(root, kind)
+            t0 = time.time()
+            append(spark, old, idx, 0)
+            base_build = round(time.time() - t0, 2)
+            t0 = time.time()
+            append(spark, new, idx, 1)
+            append_sec = round(time.time() - t0, 2)
+            t0 = time.time()
+            n_pairs = query_fn(idx).count()
+            query_sec = round(time.time() - t0, 2)
+            full_name = (
+                "dedup_minhash_lsh" if kind == "minhash" else "dedup_winnow"
+            )
+            full_sec = spark_time(spark, full_name, sf_dir, runs=1)
+            out[kind] = {
+                "base_build_sec": base_build,
+                "batch_append_sec": append_sec,
+                "new_vs_corpus_sec": query_sec,
+                "incremental_total_sec": round(append_sec + query_sec, 2),
+                "full_rebuild_dedup_sec": full_sec,
+                "new_pairs": n_pairs,
+            }
+            print(f"# incremental {kind}: {out[kind]}", file=sys.stderr)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def run_scored_gate(spark) -> None:
     """Streaming scored-gate per-batch wall at sf1 batches (round-9
     verdict, Next round #6): train+persist the fixed-point model once on
@@ -853,6 +926,8 @@ def main() -> None:
             run_set(spark, ROUND10_SF1_SET, BIG1_DIR, with_duck=False)
     elif mode == "scoredgate":
         run_scored_gate(spark)
+    elif mode == "incremental":
+        run_incremental_dedup(spark)
     else:
         raise SystemExit(f"unknown mode {mode!r}")
 
