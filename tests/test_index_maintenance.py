@@ -1,0 +1,120 @@
+"""Batch-history compaction (operators/index_maintenance.py): merging
+old batch partitions must preserve every serving result bit-for-bit,
+leave later batches untouched, keep the incremental seam alive for new
+batches, and actually shrink the partition/file inventory."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.operators.index_maintenance import (
+    compact_index_history,
+)
+from doc2dataset_spark.operators.minhash_index import (
+    _bands_path,
+    append_minhash_batch,
+    candidates_from_index,
+    new_batch_candidates,
+)
+from doc2dataset_spark.operators.winnow_index import (
+    _postings_path as _winnow_postings,
+    append_winnow_batch,
+    new_batch_pairs,
+    pairs_from_postings,
+    read_postings,
+)
+from doc2dataset_spark.session import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _batch_dirs(path):
+    return sorted(
+        d for d in os.listdir(path) if d.startswith("batch_id=")
+    )
+
+
+def test_minhash_history_compaction_preserves_serving(
+    spark, sf_dir, tmp_path
+):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "mh")
+    for i in range(3):
+        append_minhash_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), idx, batch_id=i
+        )
+    before = _rows(candidates_from_index(spark, idx))
+    assert before
+    stats = compact_index_history(
+        spark, _bands_path(idx), upto_batch=1, partition_cols=("band",)
+    )
+    # batches 0+1 merged into batch_id=1; batch 2 untouched
+    assert _batch_dirs(_bands_path(idx)) == ["batch_id=1", "batch_id=2"]
+    assert stats["batches_before"] == 3 and stats["batches_after"] == 2
+    assert _rows(candidates_from_index(spark, idx)) == before
+    # the incremental seam survives: batch 2's new-vs-corpus candidates
+    # are computed against the merged corpus-so-far exactly as before
+    got = _rows(new_batch_candidates(spark, idx, batch_id=2))
+    assert got
+    old_ids = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % 3 != 2)
+        .select("doc_id")
+        .collect()
+    }
+    assert all(not (da in old_ids and db in old_ids) for da, db in got)
+    # and a NEW batch appends past the compaction point cleanly
+    append_minhash_batch(
+        spark,
+        docs.select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text"),
+        idx,
+        batch_id=3,
+    )
+    assert _rows(new_batch_candidates(spark, idx, batch_id=3))
+
+
+def test_winnow_history_compaction_preserves_serving(
+    spark, sf_dir, tmp_path
+):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "wn")
+    for i in range(3):
+        append_winnow_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), idx, batch_id=i
+        )
+    before = _rows(pairs_from_postings(read_postings(spark, idx).cache()))
+    assert before
+    files_before = sum(
+        len(fs) for _, _, fs in os.walk(_winnow_postings(idx))
+    )
+    stats = compact_index_history(
+        spark, _winnow_postings(idx), upto_batch=1
+    )
+    assert _batch_dirs(_winnow_postings(idx)) == [
+        "batch_id=1",
+        "batch_id=2",
+    ]
+    assert stats["files_after"] < stats["files_before"] <= files_before
+    assert (
+        _rows(pairs_from_postings(read_postings(spark, idx).cache()))
+        == before
+    )
+    assert _rows(new_batch_pairs(spark, idx, batch_id=2))
+
+
+def test_compaction_refuses_over_leftover_recovery_dir(
+    spark, sf_dir, tmp_path
+):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "wn2")
+    append_winnow_batch(spark, docs.limit(50), idx, batch_id=0)
+    leftover = _winnow_postings(idx).rstrip("/") + "__old_compact"
+    os.makedirs(leftover)
+    with pytest.raises(RuntimeError, match="interrupted compaction"):
+        compact_index_history(spark, _winnow_postings(idx), upto_batch=0)
