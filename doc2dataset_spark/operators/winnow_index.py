@@ -37,6 +37,7 @@ tests/test_winnow_index.py).
 
 from __future__ import annotations
 
+import os
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,6 +55,48 @@ def _postings_path(index_dir: str) -> str:
     return posixpath.join(index_dir, "postings")
 
 
+def _meta_path(index_dir: str) -> str:
+    return posixpath.join(index_dir, "meta")
+
+
+def _write_meta(spark: SparkSession, index_dir: str) -> None:
+    spark.createDataFrame(
+        [(int(WINNOW_W), int(WINNOW_MAXDF))], "w int, maxdf int"
+    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(index_dir))
+
+
+def _check_meta(index_dir: str) -> None:
+    """Fingerprinting parameters are INDEX STATE: fingerprints winnowed
+    at a different window W never equal the stored ones, so an append
+    from a code version whose WINNOW_W changed would silently produce
+    zero cross-batch matches (the banding-mismatch failure mode, caught
+    here by refusing the write instead of persisting a parameter — W is
+    a module constant, not a call argument, so validation is the right
+    seam). Pre-meta indexes (none shipped) pass through."""
+    import pyarrow.parquet as pq
+
+    from doc2dataset_spark.fsio import LocalFS
+
+    try:
+        files = [
+            f
+            for f in LocalFS().find(_meta_path(index_dir))
+            if f.endswith(".parquet")
+        ]
+    except OSError:
+        return
+    if not files:
+        return
+    row = pq.read_table(files[0]).to_pylist()[0]
+    if int(row["w"]) != WINNOW_W:
+        raise RuntimeError(
+            f"index at {index_dir!r} was built with winnow window "
+            f"w={row['w']} but this code uses WINNOW_W={WINNOW_W} — "
+            "appending would silently never match the stored "
+            "fingerprints; rebuild the index (or run the old code)"
+        )
+
+
 def build_winnow_index(
     spark: SparkSession, sf_dir: str, index_dir: str
 ) -> None:
@@ -69,6 +112,7 @@ def build_winnow_index(
         .partitionBy("batch_id")
         .parquet(_postings_path(index_dir))
     )
+    _write_meta(spark, index_dir)
 
 
 def append_winnow_batch(
@@ -78,7 +122,11 @@ def append_winnow_batch(
     documents, appended as its own batch_id partition — existing
     postings are never read or rewritten. Dynamic partition overwrite
     scopes the write to this batch's partition, so a retried ingest job
-    is idempotent (exactly-once per batch_id)."""
+    is idempotent (exactly-once per batch_id). Refuses to append when
+    the index's persisted winnow window differs from this code's
+    (_check_meta); a fresh directory is stamped on first append."""
+    _check_meta(index_dir)
+    first_write = not os.path.exists(_postings_path(index_dir))
     (
         winnow_fingerprints(docs)
         .withColumn("batch_id", F.lit(batch_id))
@@ -87,6 +135,8 @@ def append_winnow_batch(
         .partitionBy("batch_id")
         .parquet(_postings_path(index_dir))
     )
+    if first_write:
+        _write_meta(spark, index_dir)
 
 
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
