@@ -45,7 +45,7 @@ def compact_index_history(
     postings_path: str,
     upto_batch: int,
     partition_cols: tuple[str, ...] = (),
-    files_per_partition: int = 1,
+    shuffle_partitions: int = 1,
 ) -> dict:
     """Merge ``batch_id <= upto_batch`` partitions into one
     ``batch_id=upto_batch`` set; later batches pass through unchanged.
@@ -69,9 +69,14 @@ def compact_index_history(
     )
     parts = ["batch_id", *partition_cols]
     tmp = f"{p.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    # repartition(n, cols) HASH-partitions by cols: all rows of one
+    # (batch_id, band/tb/cent_id) combo land in a single task, so each
+    # hive partition dir gets exactly one file regardless of n — n only
+    # spreads DISTINCT combos across tasks (hence the name: it is the
+    # shuffle width, not a files-per-dir knob).
     (
         merged.repartition(
-            max(files_per_partition, 1), *[F.col(c) for c in parts]
+            max(shuffle_partitions, 1), *[F.col(c) for c in parts]
         )
         .write.partitionBy(*parts)
         .mode("overwrite")

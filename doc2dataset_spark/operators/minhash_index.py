@@ -46,6 +46,20 @@ def _meta_path(index_dir: str) -> str:
     return posixpath.join(index_dir, "meta")
 
 
+def _write_meta(
+    spark: SparkSession, index_dir: str, bands: int, rows: int
+) -> None:
+    spark.createDataFrame(
+        [(int(bands), int(rows))], "bands int, rows int"
+    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(index_dir))
+
+
+def _has_meta(index_dir: str) -> bool:
+    from doc2dataset_spark.fsio import read_parquet_dir
+
+    return read_parquet_dir(_meta_path(index_dir)) is not None
+
+
 def index_banding(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     """(bands, rows) the index was built with — read from the persisted
     meta row, defaulting to the shipped 4x4 for pre-meta indexes. Every
@@ -53,21 +67,17 @@ def index_banding(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     hashes from a different (bands, rows) never collide with the stored
     postings, so a mismatched append would silently produce zero
     cross-batch candidates (total recall loss on the incremental path) —
-    which is why the banding is index state, not a caller argument."""
-    import pyarrow.parquet as pq
+    which is why the banding is index state, not a caller argument.
 
-    from doc2dataset_spark.fsio import LocalFS
+    Resolved through fsio.url_to_fs so a memory:// or remote index_dir
+    validates the same as a local one (the Spark read/write paths in
+    this lifecycle already support them)."""
+    from doc2dataset_spark.fsio import read_parquet_dir
 
-    meta = _meta_path(index_dir)
-    try:
-        files = [
-            p for p in LocalFS().find(meta) if p.endswith(".parquet")
-        ]
-    except OSError:
-        files = []
-    if not files:
+    table = read_parquet_dir(_meta_path(index_dir))
+    if table is None:
         return N_BANDS_DEFAULT, ROWS_DEFAULT
-    row = pq.read_table(files[0]).to_pylist()[0]
+    row = table.to_pylist()[0]
     return int(row["bands"]), int(row["rows"])
 
 
@@ -97,6 +107,13 @@ def build_minhash_index(
 
         params = minhash_bands_rows(docs.count())
     b, r = params if params is not None else (N_BANDS_DEFAULT, ROWS_DEFAULT)
+    # banding is INDEX STATE: persist it BEFORE the postings so a crash
+    # between the two writes can never leave banded postings with no
+    # banding record (index_banding would fall back to 4x4 and later
+    # appends would silently produce zero cross-batch candidates — the
+    # exact recall-loss failure the meta exists to prevent; meta with no
+    # postings is harmless: the rerun build overwrites both)
+    _write_meta(spark, index_dir, b, r)
     (
         bands_of(docs, b, r)
         .withColumn("batch_id", F.lit(0))
@@ -104,12 +121,6 @@ def build_minhash_index(
         .partitionBy("batch_id", "band")
         .parquet(_bands_path(index_dir))
     )
-    # banding is INDEX STATE: persist it so appends band with the same
-    # parameters (see index_banding — a mismatched banding never
-    # collides, i.e. silent total recall loss on the incremental path)
-    spark.createDataFrame(
-        [(int(b), int(r))], "bands int, rows int"
-    ).coalesce(1).write.mode("overwrite").parquet(_meta_path(index_dir))
 
 
 def append_minhash_batch(
@@ -123,8 +134,13 @@ def append_minhash_batch(
     batches stay untouched. The batch is banded with the INDEX'S OWN
     persisted (bands, rows) — never a caller-supplied or default value —
     so appending to an auto-built index keeps cross-batch candidates
-    intact (index_banding)."""
+    intact (index_banding). A purely stream-built index (first ever
+    write is an append, no prior build) gets its banding record stamped
+    here — mirroring append_winnow_batch — so the parameters it was
+    born with are persisted, not re-derived from code defaults."""
     b, r = index_banding(spark, index_dir)
+    if not _has_meta(index_dir):
+        _write_meta(spark, index_dir, b, r)
     (
         bands_of(docs, b, r)
         .withColumn("batch_id", F.lit(batch_id))

@@ -37,7 +37,6 @@ tests/test_winnow_index.py).
 
 from __future__ import annotations
 
-import os
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
@@ -46,6 +45,7 @@ from pyspark.sql import functions as F
 from doc2dataset_spark.queries.round9_extras import (
     WINNOW_MAXDF,
     WINNOW_THRESHOLD,
+    WINNOW_W,
     winnow_fingerprints,
 )
 from doc2dataset_spark.session import load_table
@@ -72,22 +72,15 @@ def _check_meta(index_dir: str) -> None:
     zero cross-batch matches (the banding-mismatch failure mode, caught
     here by refusing the write instead of persisting a parameter — W is
     a module constant, not a call argument, so validation is the right
-    seam). Pre-meta indexes (none shipped) pass through."""
-    import pyarrow.parquet as pq
+    seam). Pre-meta indexes (none shipped) pass through. Resolved
+    through fsio.read_parquet_dir → url_to_fs so a memory:// or remote
+    index_dir validates the same as a local one."""
+    from doc2dataset_spark.fsio import read_parquet_dir
 
-    from doc2dataset_spark.fsio import LocalFS
-
-    try:
-        files = [
-            f
-            for f in LocalFS().find(_meta_path(index_dir))
-            if f.endswith(".parquet")
-        ]
-    except OSError:
+    table = read_parquet_dir(_meta_path(index_dir))
+    if table is None:
         return
-    if not files:
-        return
-    row = pq.read_table(files[0]).to_pylist()[0]
+    row = table.to_pylist()[0]
     if int(row["w"]) != WINNOW_W:
         raise RuntimeError(
             f"index at {index_dir!r} was built with winnow window "
@@ -106,13 +99,16 @@ def build_winnow_index(
     persisted postings are ~2/(W+1) the size of a full shingle index at
     the same detection floor (the winnowing density guarantee)."""
     fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    # meta BEFORE postings: a crash between the two writes must never
+    # leave fingerprinted postings with no parameter record (meta with
+    # no postings is harmless — the rerun build overwrites both)
+    _write_meta(spark, index_dir)
     (
         fps.withColumn("batch_id", F.lit(0))
         .write.mode("overwrite")
         .partitionBy("batch_id")
         .parquet(_postings_path(index_dir))
     )
-    _write_meta(spark, index_dir)
 
 
 def append_winnow_batch(
@@ -125,8 +121,14 @@ def append_winnow_batch(
     is idempotent (exactly-once per batch_id). Refuses to append when
     the index's persisted winnow window differs from this code's
     (_check_meta); a fresh directory is stamped on first append."""
+    from doc2dataset_spark.fsio import url_to_fs
+
     _check_meta(index_dir)
-    first_write = not os.path.exists(_postings_path(index_dir))
+    fs, _ = url_to_fs(index_dir)
+    # stamp the fresh directory BEFORE the postings land (same crash
+    # ordering as build_winnow_index: parameters first, data second)
+    if not fs.exists(_postings_path(index_dir)):
+        _write_meta(spark, index_dir)
     (
         winnow_fingerprints(docs)
         .withColumn("batch_id", F.lit(batch_id))
@@ -135,8 +137,6 @@ def append_winnow_batch(
         .partitionBy("batch_id")
         .parquet(_postings_path(index_dir))
     )
-    if first_write:
-        _write_meta(spark, index_dir)
 
 
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:

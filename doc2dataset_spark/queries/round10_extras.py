@@ -313,4 +313,11 @@ def dedup_winnow_indexed(spark, sf_dir):
         "postings",
         lambda tmp: build_winnow_index(spark, sf_dir, tmp),
     )
-    return pairs_from_postings(read_postings(spark, idx).cache())
+    # localCheckpoint, not cache: CacheManager entries are keyed per
+    # plan and never GC'd — repeated calls in a long-lived session would
+    # pin blocks forever (the exact hazard pairs_from_postings' own df
+    # prune avoids the same way); checkpoint blocks are freed when the
+    # frame becomes unreachable
+    return pairs_from_postings(
+        read_postings(spark, idx).localCheckpoint()
+    )

@@ -161,3 +161,34 @@ def test_scored_curation_warm_equals_cold(spark, sf_dir):
         REGISTRY["curate_corpus_scored_indexed"].builder(spark, sf_dir)
     )
     assert warm == cold
+
+
+def test_stream_built_index_stamps_banding_meta(spark, sf_dir, tmp_path):
+    """A purely stream-built index (first write is an append, never a
+    build) must persist its banding record: without it, index_banding
+    silently falls back to the code default, and a future default bump
+    would band later appends differently — zero cross-batch candidates.
+    Regression for the round-10 review finding (append_minhash_batch
+    never stamped meta on a fresh directory, unlike append_winnow_batch)."""
+    from pyspark.sql import functions as F
+
+    from doc2dataset_spark.operators.minhash_index import (
+        _has_meta,
+        append_minhash_batch,
+        index_banding,
+    )
+    from doc2dataset_spark.session import load_table
+
+    idx = str(tmp_path / "mh_stream")
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    append_minhash_batch(spark, docs, idx, batch_id=0)
+    assert _has_meta(idx)
+    assert index_banding(spark, idx) == (4, 4)
+    # a second append on the now-stamped index must not rewrite meta
+    append_minhash_batch(
+        spark,
+        docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text"),
+        idx,
+        batch_id=1,
+    )
+    assert index_banding(spark, idx) == (4, 4)
