@@ -278,6 +278,32 @@ gate_swap(
 # oracle-backed)
 from doc2dataset_spark.queries import round10_extras  # noqa: E402
 
+# Gate rotation #8 (round 11): driver-record the round-10 operators —
+# the two detector evaluations that completed the precision/recall
+# family (SimHash hamming-band and SemDeDup cell blocking, each judged
+# against its exact ground truth), the index-served winnowing twin, and
+# the train/holdout leakage audit — over four rows whose families keep
+# other gate representation (dedup_prefix_stats for PPJoin, five TPC-H
+# joins, curate_corpus for sampling/curation) or that have been
+# gate-green since round 7 with no new information (q38_lateral_topk,
+# text_heavy_hitters). All demoted rows remain hash-checked by the
+# degated-parity pytest sweep and scripts/driver_mirror.py. Full
+# rationale + the resulting frozen list live in queries/gate.py.
+gate_swap(
+    promote=[
+        "dedup_simhash_recall",
+        "dedup_embedding_cell_recall",
+        "dedup_winnow_indexed",
+        "curate_split_leakage",
+    ],
+    demote=[
+        "dedup_jaccard_prefix",
+        "q38_lateral_topk",
+        "text_heavy_hitters",
+        "q55_tpch_q7",
+    ],
+)
+
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the
 # pytest pin so any drift crashes every entry point, not just the suite.

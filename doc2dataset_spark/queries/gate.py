@@ -40,6 +40,14 @@ Rotation log (why the current 50 are the current 50):
   SimHash rows are now additionally judged end-to-end by the post-gate
   dedup_simhash_recall row, and every demoted row remains hash-checked
   by the degated-parity pytest sweep and scripts/driver_mirror.py.
+- r11 #8: promoted the round-10 operators — dedup_simhash_recall +
+  dedup_embedding_cell_recall (completing the detector-evaluation
+  family: every approximate dedup detector now has an oracle-gated
+  precision/recall judge), dedup_winnow_indexed (the index-served
+  winnowing twin), curate_split_leakage (train/holdout decontamination
+  audit) — over dedup_jaccard_prefix (PPJoin stays gated via
+  dedup_prefix_stats), q55_tpch_q7 (TPC-H keeps 5 gated joins),
+  q38_lateral_topk and text_heavy_hitters (gate-green since round 7).
 """
 
 from __future__ import annotations
@@ -75,7 +83,7 @@ FROZEN_GATE = [
     "q74_higher_order_fns",
     "events_ewma",
     "dedup_prefix_stats",
-    "dedup_jaccard_prefix",
+    "dedup_simhash_recall",
     "graph_clustering_coef",
     "sim_ann_hyperplane_multi",
     "graph_kcore",
@@ -90,13 +98,13 @@ FROZEN_GATE = [
     "text_bpe_merges",
     "q45_tpch_q3",
     "q46_tpch_q5",
-    "q55_tpch_q7",
-    "q38_lateral_topk",
+    "curate_split_leakage",
+    "dedup_embedding_cell_recall",
     "search_bm25_topk",
     "dedup_substring_rewrite",
     "sim_ann_pq",
     "curate_corpus",
-    "text_heavy_hitters",
+    "dedup_winnow_indexed",
     "q56_tpch_q8",
     "join_bucketed_colocated",
     "merge_cdc_apply",
