@@ -304,6 +304,11 @@ gate_swap(
     ],
 )
 
+# round-11 tail: detection -> decision operators (cluster retention
+# manifest, CCNet perplexity strata, Matryoshka truncated-dim recall) —
+# post-gate, oracle-backed
+from doc2dataset_spark.queries import round11_extras  # noqa: E402
+
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the
 # pytest pin so any drift crashes every entry point, not just the suite.

@@ -420,17 +420,25 @@ _KNN_DUCK = f"""
 
 
 def _knn_graph(spark, sf_dir):
-    """Exact top-K neighbor edges for EVERY vector.
+    """Exact top-K neighbor edges for EVERY vector (the corpus-default
+    instantiation of knn_edges_from)."""
+    return knn_edges_from(spark, normalized_embeddings(spark, sf_dir))
+
+
+def knn_edges_from(spark, n, k: int = KNN_K):
+    """Exact top-k neighbor edges for EVERY vector of a (vec_id, ne)
+    unit-normalized frame.
 
     Same tile-partitioned pair join as dedup_embedding_cosine (each task
     holds two n/B blocks, never a full side), but the top-k is
     hierarchical: a first row_number runs per (tile, qid) — satisfied by
     the join's existing (ba, bb) hash partitioning, so the full pair set
-    is never re-shuffled — and only the ≤ K·B surviving candidates per
+    is never re-shuffled — and only the ≤ k·B surviving candidates per
     query enter the final per-qid window. The O(n²) pair stream dies
-    inside the tile tasks."""
+    inside the tile tasks. Parameterized on the input frame so variant
+    embeddings (dimension-truncated, quantized) reuse the exact shape
+    (round11_extras.embedding_mrl_recall)."""
     B = N_EMB_BLOCKS
-    n = normalized_embeddings(spark, sf_dir)
     v = n.select(
         "vec_id", "ne", F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk")
     )
@@ -471,13 +479,13 @@ def _knn_graph(spark, sf_dir):
     w_tile = W.partitionBy("ba", "bb", "qid").orderBy(F.desc("cos"), "cid")
     partial = (
         directed.withColumn("rn", F.row_number().over(w_tile))
-        .filter(F.col("rn") <= KNN_K)
+        .filter(F.col("rn") <= k)
         .select("qid", "cid", "cos")
     )
     w_final = W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
     return (
         partial.withColumn("rn", F.row_number().over(w_final))
-        .filter(F.col("rn") <= KNN_K)
+        .filter(F.col("rn") <= k)
         .drop("rn")
     )
 

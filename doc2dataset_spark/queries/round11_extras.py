@@ -1,0 +1,341 @@
+"""Round-11 queries: turn detection into decisions.
+
+The dedup family so far detects (pairs, clusters, recall rows); a real
+pipeline must also DECIDE — which cluster member survives, which
+perplexity stratum a document lands in, how much ANN quality a cheaper
+embedding buys. Three operators close that loop:
+
+- ``dedup_cluster_keep_best``  full-corpus keep/drop materialization:
+                               near-dup clusters (connected components
+                               over SimHash pairs) each keep their
+                               highest-quality member; singletons keep
+                               themselves. The output IS the deduped
+                               corpus manifest.
+- ``curate_ccnet_buckets``     CCNet-style perplexity stratification
+                               (Wenzek et al., LREC 2020): per-source
+                               head/middle/tail terciles of the bigram-LM
+                               NLL, with the standard keep policy (head
+                               kept, middle hash-sampled 50%, tail
+                               dropped).
+- ``embedding_mrl_recall``     Matryoshka-style truncated-dimension ANN
+                               evaluation (Kusupati et al., NeurIPS
+                               2022): exact top-k over the first
+                               MRL_DIMS dims judged against the full-dim
+                               exact top-k — the recall an index built
+                               on cheaper prefixes would serve.
+
+Reference parity: the reference pipeline (doc2dataset) has no dedup,
+curation, or embedding surface (its only dedup is a URL dropDuplicates,
+/root/reference/examples/get_pdf_links_from_cc.py:126); these extend the
+training-data-pipeline family the brief makes first-class.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import REGISTRY, query
+from doc2dataset_spark.queries.curation_extras import KNN_K, knn_edges_from
+from doc2dataset_spark.queries.dedup import (
+    _TOKS,
+    NORM_EMB_DUCK,
+    dedup_cluster_cc,
+    normalized_embeddings,
+    spark_dot,
+)
+from doc2dataset_spark.queries.round7f_extras import _DUCK_BG, _bigram_frame
+from doc2dataset_spark.session import compute_parallelism, load_table
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_keep_best — cluster → retention decision
+# ---------------------------------------------------------------------------
+
+# quality key for the survivor choice: distinct-token count (an integer,
+# so the cross-engine argmax can't hit a float rounding boundary), ties
+# broken by min doc_id — deterministic on any corpus.
+_ND_SPARK = f"size(array_distinct({_TOKS}))"
+_ND_DUCK = """
+  SELECT doc_id, count(DISTINCT tok) AS n_distinct
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents)
+  GROUP BY doc_id
+"""
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle=None,  # assigned below (wraps the dedup_cluster_cc oracle)
+    tags=("dedup", "documents", "curation"),
+)
+def dedup_cluster_keep_best(spark, sf_dir):
+    """Full-corpus fuzzy-dedup retention: every document gets a cluster
+    (its connected component over SimHash near-dup pairs, or itself if
+    it has no near-dup) and a keep/drop verdict — each cluster keeps
+    exactly its highest-quality member (most distinct tokens, ties to
+    the smallest doc_id). This is the step pipelines actually ship:
+    pairwise detection and clustering exist to produce THIS manifest.
+
+    Scale shape: the cluster labels come from the convergence-probed CC
+    (dedup_cluster_cc — O(diameter) rounds, localCheckpoint-cut
+    lineage); the survivor choice is one map-side-combinable
+    max_by(doc_id, (n_distinct, -doc_id)) aggregate per cluster_id plus
+    one equi-join of the per-cluster winners back to the member rows —
+    both keyed by cluster_id, whose key space is dominated by
+    singletons (no skew). No windows over the corpus, no collect."""
+    labels = dedup_cluster_cc(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_ND_SPARK).cast("bigint").alias("n_distinct")
+    )
+    members = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_distinct",
+    )
+    # argmax quality per cluster: max over the lexicographic struct
+    # (n_distinct, -doc_id) == max n_distinct, ties to the MIN doc_id
+    best = members.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(n_distinct, -doc_id))").alias(
+            "keep_doc"
+        )
+    )
+    return members.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_distinct",
+        (F.col("doc_id") == F.col("keep_doc")).alias("kept"),
+    )
+
+
+REGISTRY["dedup_cluster_keep_best"].oracle = f"""
+WITH cc AS MATERIALIZED (
+  SELECT * FROM ({REGISTRY["dedup_cluster_cc"].oracle})
+),
+nd AS ({_ND_DUCK}),
+members AS (
+  SELECT d.doc_id,
+         coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         coalesce(nd.n_distinct, 0)::BIGINT AS n_distinct
+  FROM documents d
+  LEFT JOIN nd ON nd.doc_id = d.doc_id
+  LEFT JOIN cc ON cc.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, n_distinct,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_distinct DESC, doc_id
+         ) AS rn
+  FROM members
+)
+SELECT doc_id, cluster_id, n_distinct, (rn = 1) AS kept FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# curate_ccnet_buckets — perplexity stratification + keep policy
+# ---------------------------------------------------------------------------
+
+CCNET_BUCKETS = 3  # head / middle / tail (the CCNet recipe)
+# middle-bucket hash sample: keep docs whose md5-derived 48-bit value is
+# even — the sample_deterministic idiom, identical on both engines
+_KEEP_HASH_SPARK = (
+    "cast(conv(substring(md5(cast(doc_id AS string)), 1, 12), 16, 10)"
+    " AS bigint) % 2 = 0"
+)
+_KEEP_HASH_DUCK = "('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT % 2 = 0"
+
+
+@query(
+    "curate_ccnet_buckets",
+    oracle=f"""
+    WITH {_DUCK_BG},
+    dc AS (
+      SELECT doc_id, source, w1, w2, count(*) AS c
+      FROM bg GROUP BY doc_id, source, w1, w2
+    ),
+    lm AS (SELECT w1, w2, SUM(c) AS c12 FROM dc GROUP BY w1, w2),
+    pre AS (SELECT w1, SUM(c12) AS c1 FROM lm GROUP BY w1),
+    voc AS (SELECT COUNT(DISTINCT w2) AS v FROM lm),
+    terms AS (
+      SELECT dc.doc_id, dc.source, dc.c,
+             CAST(round(dc.c * ln((lm.c12 + 0.5) / (pre.c1 + 0.5 * voc.v)), 8)
+                  AS DECIMAL(38,10)) AS term
+      FROM dc
+      JOIN lm USING (w1, w2)
+      JOIN pre USING (w1)
+      CROSS JOIN voc
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round(-round(SUM(term), 4)::DOUBLE / CAST(SUM(c) AS BIGINT), 4)
+               AS nll
+      FROM terms GROUP BY doc_id, source
+    ),
+    bucketed AS (
+      SELECT doc_id, source, nll,
+             ntile({CCNET_BUCKETS}) OVER (
+               PARTITION BY source ORDER BY nll, doc_id
+             )::INT AS bucket
+      FROM scored
+    )
+    SELECT doc_id, source, nll, bucket,
+           (bucket = 1 OR (bucket = 2 AND ({_KEEP_HASH_DUCK}))) AS kept
+    FROM bucketed
+    """,
+    tags=("curation", "quality", "lm"),
+)
+def curate_ccnet_buckets(spark, sf_dir):
+    """CCNet-style perplexity stratification (Wenzek et al., LREC 2020):
+    every document's bigram-LM NLL (the text_lm_perplexity score, full
+    corpus instead of top-k) is bucketed into per-source terciles —
+    head (most fluent), middle, tail — and the standard keep policy is
+    applied: head kept, middle hash-sampled 50% (deterministic
+    md5-parity, the sample_deterministic idiom), tail dropped. The
+    per-source partitioning is the CCNet design point: each source's
+    own distribution sets its cutoffs, so a boilerplate-heavy source
+    cannot push a clean source's documents into the tail.
+
+    Scale shape: the LM estimation is text_lm_perplexity's (one explode
+    → (w1,w2)-keyed partial aggs — vocabulary-bounded shuffles, never
+    raw text); the tercile assignment is ONE window partitioned by
+    source ordered by (nll, doc_id) — hash-partitioned, per-group
+    counter state, no global window. The keep flag is a map-side hash.
+    Deterministic: integer ntile over an exactly-reproducible (decimal
+    ln-term sum) score with a total tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    dc = (
+        _bigram_frame(d)
+        .groupBy("doc_id", "source", "w1", "w2")
+        .agg(F.count("*").alias("c"))
+    )
+    lm = dc.groupBy("w1", "w2").agg(F.sum("c").alias("c12"))
+    pre = lm.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    voc = lm.agg(F.count_distinct("w2").alias("v"))
+    p = (F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("v"))
+    term = F.round(F.col("c") * F.log(p), 8).cast("decimal(38,10)")
+    scored = (
+        dc.join(lm, ["w1", "w2"])
+        .join(pre, "w1")
+        .crossJoin(F.broadcast(voc))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                -F.round(F.sum(term), 4).cast("double")
+                / F.sum("c").cast("bigint"),
+                4,
+            ).alias("nll")
+        )
+    )
+    w = W.partitionBy("source").orderBy("nll", "doc_id")
+    bucketed = scored.select(
+        "doc_id",
+        "source",
+        "nll",
+        F.ntile(CCNET_BUCKETS).over(w).cast("int").alias("bucket"),
+    )
+    return bucketed.select(
+        "doc_id",
+        "source",
+        "nll",
+        "bucket",
+        (
+            (F.col("bucket") == 1)
+            | ((F.col("bucket") == 2) & F.expr(_KEEP_HASH_SPARK))
+        ).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_mrl_recall — truncated-dimension ANN evaluation
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = 16  # prefix dims scored against the full 64-dim ground truth
+
+
+def _knn_duck(src: str) -> str:
+    """Exact top-k SQL over a (vec_id, ne) CTE named ``src`` — the
+    _KNN_DUCK shape parameterized on its source (two instantiations
+    below: full-dim truth and truncated-dim approximation)."""
+    return f"""
+  SELECT qid, cid FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.ne, c.ne) DESC, c.vec_id
+           ) AS rn
+    FROM {src} q JOIN {src} c ON c.vec_id <> q.vec_id
+  ) WHERE rn <= {KNN_K}
+"""
+
+
+@query(
+    "embedding_mrl_recall",
+    oracle=f"""
+    WITH nf AS ({NORM_EMB_DUCK}),
+    tr AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:{MRL_DIMS}] AS t
+      FROM embeddings
+    ),
+    nt AS (
+      SELECT vec_id,
+             list_transform(t, x -> x / sqrt(list_dot_product(t, t))) AS ne
+      FROM tr
+    ),
+    truth AS ({_knn_duck("nf")}),
+    appr AS ({_knn_duck("nt")})
+    SELECT t.qid,
+           count(a.cid)::INT AS n_hits,
+           round(count(a.cid) / {KNN_K}.0, 4) AS recall
+    FROM truth t LEFT JOIN appr a ON a.qid = t.qid AND a.cid = t.cid
+    GROUP BY t.qid
+    """,
+    tags=("similarity", "embeddings", "eval"),
+)
+def embedding_mrl_recall(spark, sf_dir):
+    """Matryoshka-style truncated-embedding evaluation (Kusupati et al.,
+    NeurIPS 2022): exact cosine top-k over the first MRL_DIMS of 64
+    dimensions (renormalized over the prefix, as MRL serving does),
+    judged per query against the full-dimension exact top-k. recall@k
+    here is the quality an ANN index built on 4x-cheaper vectors would
+    serve — the measurement that decides whether the prefix index is
+    good enough before anyone builds it.
+
+    Scale shape: both top-k graphs are the tile-partitioned pair join +
+    hierarchical per-tile/global top-k (knn_edges_from — the O(n²) pair
+    stream dies inside tile tasks), the judgment is one equi-join on
+    (qid, cid) + a per-qid count aggregate. The truncation itself is a
+    free map-side slice; at 100 TB the prefix side's pair join moves 4x
+    fewer bytes — which is exactly the economics this row measures."""
+    return mrl_recall_frame(spark, sf_dir, MRL_DIMS)
+
+
+def mrl_recall_frame(spark, sf_dir, dims: int):
+    """(qid, n_hits, recall) for an arbitrary prefix width — the query
+    body, parameterized so tests can pin the dims=64 identity (a full
+    'truncation' renormalizes to the same unit vectors, so recall must
+    be exactly 1.0 everywhere)."""
+    # pre-partition like normalized_embeddings: the single small parquet
+    # file would otherwise put the whole truncated pair join on one core
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        compute_parallelism(spark)
+    )
+    t = F.transform(
+        F.slice("embedding", 1, dims), lambda x: x.cast("double")
+    )
+    nrm = F.sqrt(spark_dot(t, t))
+    nt = e.select(
+        "vec_id", F.transform(t, lambda x: x / nrm).alias("ne")
+    )
+    truth = knn_edges_from(spark, normalized_embeddings(spark, sf_dir))
+    appr = knn_edges_from(spark, nt)
+    hit = appr.select("qid", "cid", F.lit(1).alias("hit"))
+    return (
+        truth.join(hit, ["qid", "cid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.count("hit").cast("int").alias("n_hits"),
+            F.round(F.count("hit") / float(KNN_K), 4).alias("recall"),
+        )
+    )
