@@ -1,4 +1,4 @@
-"""Batch-history compaction for the persisted posting indexes.
+"""Batch-history compaction + targeted deletion for the posting indexes.
 
 All four index lifecycles (IVF postings, text postings/doclen, MinHash
 bands, winnow fingerprints) append one ``batch_id=<n>`` hive partition
@@ -28,6 +28,13 @@ the compacted copy is written to a sibling tmp dir, then swapped in
 with two renames and a deterministic ``__old_compact`` recovery name;
 any failure before the swap leaves the index untouched, failure inside
 the swap rolls back or leaves the recovery sibling.
+
+``delete_from_postings`` (+ the per-family ``delete_docs_*`` wrappers)
+is the other maintenance verb: right-to-be-forgotten removal of
+specific keys, partition-scoped and idempotent, with explicit removal
+of partitions the deletion empties. With build → append → compact →
+delete, each index family has the full lifecycle a long-lived serving
+index needs.
 """
 
 from __future__ import annotations
@@ -107,3 +114,156 @@ def compact_index_history(
             1 for f in fs.find(p) if f.endswith(".parquet")
         ),
     }
+
+
+# ---------------------------------------------------------------------------
+# targeted deletion (right-to-be-forgotten)
+# ---------------------------------------------------------------------------
+def delete_from_postings(
+    spark: SparkSession,
+    postings_path: str,
+    keys: list[int],
+    key_col: str = "doc_id",
+    partition_cols: tuple[str, ...] = (),
+) -> dict:
+    """Remove every posting row whose ``key_col`` is in ``keys`` —
+    the GDPR/right-to-be-forgotten primitive for the persisted indexes.
+
+    Partition-scoped, never a full rewrite: one partition-pruned probe
+    finds the (batch_id, band/tb/cent_id) partitions that actually
+    contain the keys, ONLY those partitions are rewritten (dynamic
+    overwrite), and partitions left EMPTY by the deletion are removed
+    explicitly — dynamic overwrite only replaces partitions present in
+    the written data, so an all-rows-deleted partition would otherwise
+    silently keep its old files (the failure this function exists to
+    prevent). At 100 TB a deletion touches O(partitions containing the
+    keys), not O(index).
+
+    Crash contract: survivors are rewritten BEFORE empty partitions are
+    removed; a crash in between leaves only already-emptied partitions'
+    stale files, and a RERUN of the same call finishes the job — the
+    operation is idempotent (rerunning after completion is a no-op).
+
+    Returns {rows_deleted, partitions_rewritten, partitions_removed}.
+    """
+    fs, p = fsio.url_to_fs(postings_path)
+    parts = ["batch_id", *partition_cols]
+    ids = spark.createDataFrame(
+        [(int(k),) for k in keys], f"{key_col} bigint"
+    )
+    posts = spark.read.parquet(postings_path)
+
+    # bounded collect: one row per affected hive partition
+    affected = [
+        tuple(r)
+        for r in posts.join(F.broadcast(ids), key_col, "left_semi")
+        .select(*parts)
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return {
+            "rows_deleted": 0,
+            "partitions_rewritten": 0,
+            "partitions_removed": 0,
+        }
+
+    # static per-partition predicate -> parquet partition pruning: only
+    # the affected partitions are read back for the rewrite
+    combo_pred = None
+    for combo in affected:
+        pred = F.lit(True)
+        for col, val in zip(parts, combo):
+            pred = pred & (F.col(col) == F.lit(val))
+        combo_pred = pred if combo_pred is None else (combo_pred | pred)
+
+    scoped = posts.filter(combo_pred)
+    n_before = scoped.count()
+    survivors = scoped.join(F.broadcast(ids), key_col, "left_anti")
+    # cut lineage so the overwrite below cannot race its own source scan
+    survivors = survivors.localCheckpoint()
+    n_after = survivors.count()
+
+    kept_combos = {
+        tuple(r) for r in survivors.select(*parts).distinct().collect()
+    }
+    if kept_combos:
+        (
+            survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*parts)
+            .parquet(postings_path)
+        )
+    removed = 0
+    for combo in affected:
+        if tuple(combo) in kept_combos:
+            continue
+        sub = "/".join(
+            f"{col}={val}" for col, val in zip(parts, combo)
+        )
+        dirpath = f"{p.rstrip('/')}/{sub}"
+        if fs.exists(dirpath):
+            fs.rm(dirpath, recursive=True)
+            removed += 1
+    return {
+        "rows_deleted": n_before - n_after,
+        "partitions_rewritten": len(kept_combos),
+        "partitions_removed": removed,
+    }
+
+
+def delete_docs_minhash(spark, index_dir: str, doc_ids: list[int]) -> dict:
+    """Forget documents in a MinHash band index: postings-only (banding
+    meta and other batches untouched)."""
+    from doc2dataset_spark.operators import minhash_index as mi
+
+    return delete_from_postings(
+        spark, mi._bands_path(index_dir), doc_ids,
+        key_col="doc_id", partition_cols=("band",),
+    )
+
+
+def delete_docs_winnow(spark, index_dir: str, doc_ids: list[int]) -> dict:
+    """Forget documents in a winnowing fingerprint index. Document
+    frequency needs no fixup: df is derived from the postings at serve
+    time (winnow_index module docstring), so it is consistent the moment
+    the rows are gone."""
+    from doc2dataset_spark.operators import winnow_index as wi
+
+    return delete_from_postings(
+        spark, wi._postings_path(index_dir), doc_ids,
+        key_col="doc_id", partition_cols=(),
+    )
+
+
+def delete_docs_text(spark, index_dir: str, doc_ids: list[int]) -> dict:
+    """Forget documents in the inverted text index: postings AND doclen
+    rows, then a stats refresh — BM25's df is serve-time-derived from
+    postings, but n/avgdl are persisted aggregates of doclen and MUST be
+    recomputed or every surviving score silently drifts."""
+    from doc2dataset_spark.operators import text_index as ti
+
+    out = delete_from_postings(
+        spark, ti._postings_path(index_dir), doc_ids,
+        key_col="doc_id", partition_cols=("tb",),
+    )
+    dl = delete_from_postings(
+        spark, ti._doclen_path(index_dir), doc_ids,
+        key_col="doc_id", partition_cols=(),
+    )
+    ti.refresh_index_stats(spark, index_dir)
+    out["doclen_rows_deleted"] = dl["rows_deleted"]
+    return out
+
+
+def delete_vecs_ivf(spark, index_dir: str, vec_ids: list[int]) -> dict:
+    """Forget vectors in an IVF index: cell postings only. The centroid
+    codebook is FROZEN state (quantization geometry, not user data) and
+    is deliberately untouched — deleting a vector must not re-train the
+    index, or every other vector's cell assignment could shift."""
+    from doc2dataset_spark.operators import vector_index as vi
+
+    return delete_from_postings(
+        spark, vi._postings_path(index_dir), vec_ids,
+        key_col="vec_id", partition_cols=("cent_id",),
+    )
