@@ -110,6 +110,10 @@ HEADLINE = [
     "dedup_winnow_indexed",      # winnow served from persisted fp postings
     "dedup_simhash_recall",      # detector-eval: SimHash vs exact Jaccard
     "dedup_embedding_cell_recall",  # detector-eval: cell blocking loss
+    # round-11 ops
+    "dedup_cluster_keep_best",   # full-corpus retention manifest (CC+argmax)
+    "curate_ccnet_buckets",      # per-source perplexity terciles + keep
+    "embedding_mrl_recall",      # truncated-dim ANN recall vs full-dim
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

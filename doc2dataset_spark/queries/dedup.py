@@ -761,6 +761,15 @@ def dedup_cluster_cc(spark, sf_dir):
     propagation schedule, so DuckDB's recursive-CTE transitive closure
     remains the exact oracle."""
     pairs = dedup_simhash_pairs(spark, sf_dir).select("da", "db")
+    return cc_labels_from_pairs(pairs)
+
+
+def cc_labels_from_pairs(pairs):
+    """(doc_id, cluster_id = min doc_id of the connected component) from
+    an undirected (da, db) pair frame — the dedup_cluster_cc propagation
+    loop, factored so incremental cluster maintenance
+    (operators/cluster_state.py) runs the IDENTICAL algorithm on its
+    affected subgraphs. Only docs appearing in pairs get a row."""
     edges = pairs.union(
         pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
     ).toDF("src", "dst").localCheckpoint(eager=True)

@@ -339,3 +339,79 @@ def mrl_recall_frame(spark, sf_dir, dims: int):
             F.round(F.count("hit") / float(KNN_K), 4).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_incremental — batch-replayed cluster state == full CC
+# ---------------------------------------------------------------------------
+
+CLUSTER_BATCHES = 3
+
+
+@query(
+    "dedup_cluster_incremental",
+    oracle=None,  # assigned below (the trusted dedup_cluster_cc CTE)
+    tags=("dedup", "documents", "index", "incremental"),
+)
+def dedup_cluster_incremental(spark, sf_dir):
+    """The incremental cluster-state engine judged against the full
+    recompute: the SimHash near-dup pair set is replayed in
+    CLUSTER_BATCHES arrival batches (a pair arrives when its LATER
+    endpoint does — the new_batch_candidates contract), each folded into
+    persisted label state by operators/cluster_state.apply_batch, and
+    the served latest-wins labels must hash-match dedup_cluster_cc's
+    oracle — min-label CC is confluent (the fixpoint is independent of
+    edge arrival order), and this row pins that the subgraph-local
+    update preserves it. Singleton docs carry their own id, so the
+    output is the full-corpus cluster manifest.
+
+    Scale shape: per batch, the update touches O(new pairs + members of
+    the clusters they connect) — at 100 TB with the band index feeding
+    new_batch_candidates, daily cluster maintenance never re-reads the
+    corpus or the full pair set; serving is one max_by aggregate over a
+    doc-count-sized upsert log."""
+    import shutil
+    import tempfile
+
+    from doc2dataset_spark.operators.cluster_state import (
+        apply_batch,
+        serve_labels,
+    )
+    from doc2dataset_spark.queries.dedup import dedup_simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % CLUSTER_BATCHES).alias("b")
+    )
+    pairs = (
+        dedup_simhash_pairs(spark, sf_dir)
+        .select(
+            "da",
+            "db",
+            F.greatest(
+                F.col("da") % CLUSTER_BATCHES, F.col("db") % CLUSTER_BATCHES
+            ).alias("pb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = tempfile.mkdtemp(prefix="d2d_cluster_state_")
+    try:
+        for b in range(CLUSTER_BATCHES):
+            apply_batch(
+                spark,
+                state,
+                pairs.filter(F.col("pb") == b).select("da", "db"),
+                docs.filter(F.col("b") == b).select("doc_id"),
+                batch_id=b,
+            )
+        return serve_labels(spark, state).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+
+
+REGISTRY["dedup_cluster_incremental"].oracle = f"""
+WITH cc AS MATERIALIZED (
+  SELECT * FROM ({REGISTRY["dedup_cluster_cc"].oracle})
+)
+SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+"""
