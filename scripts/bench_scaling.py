@@ -274,6 +274,27 @@ ROUND10_SF1_SET = [
     "dedup_simhash_recall",
 ]
 
+# round-11 additions: detection->decision ops + the incremental cluster
+# state machine. embedding_mrl_recall runs at shipped SFs only — it
+# embeds TWO exact O(n^2) tiled top-k graphs (full-dim truth AND the
+# truncated side), so at sf1 the exact ground truths, not the operator
+# under test, dominate the wall (the dedup_embedding_cell_recall
+# precedent). dedup_cluster_keep_best / dedup_cluster_incremental embed
+# the full SimHash pair detection + CC, so their sf1 walls are
+# detection-dominated; the incremental row's own claim (subgraph-local
+# fold) is measured separately by run_incremental_cluster below.
+ROUND11_SET = [
+    "dedup_cluster_keep_best",
+    "curate_ccnet_buckets",
+    "embedding_mrl_recall",
+    "dedup_cluster_incremental",
+]
+ROUND11_SF1_SET = [
+    "dedup_cluster_keep_best",
+    "curate_ccnet_buckets",
+    "dedup_cluster_incremental",
+]
+
 
 def run_heavy6(spark, sf_dir: str, names: list[str] | None = None) -> None:
     """Heavy-set wall time + per-query shuffle/spill deltas."""
@@ -411,6 +432,79 @@ def run_incremental_dedup(spark) -> None:
                 "new_pairs": n_pairs,
             }
             print(f"# incremental {kind}: {out[kind]}", file=sys.stderr)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
+def run_incremental_cluster(spark) -> None:
+    """The subgraph-local cluster-fold claim, measured: split the corpus
+    90/10, band-index the 90% and fold its pairs into cluster state (the
+    one-time base cost), then time the daily unit — append the 10% batch
+    to the index, pull its new-vs-corpus candidates, apply_batch into
+    the persisted labels — against the full-recompute wall (one CC over
+    ALL candidate pairs plus the corpus singleton join). Falls back to
+    sf0.1 when the sf1 twin isn't built."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from doc2dataset_spark.operators.cluster_state import (
+        apply_batch,
+        serve_labels,
+    )
+    from doc2dataset_spark.operators.minhash_index import (
+        append_minhash_batch,
+        new_batch_candidates,
+    )
+    from doc2dataset_spark.queries.dedup import cc_labels_from_pairs
+
+    sf_dir = BIG1_DIR if os.path.exists(BIG1_DIR) else SHIPPED[-1]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    out = {"sf_dir": sf_dir, "corpus_docs": docs.count(),
+           "batch_docs": new.count()}
+    root = tempfile.mkdtemp(prefix="inc_cluster_")
+    try:
+        idx = os.path.join(root, "mh")
+        state = os.path.join(root, "state")
+        t0 = time.time()
+        append_minhash_batch(spark, old, idx, 0)
+        p0 = new_batch_candidates(spark, idx, 0).select("da", "db")
+        apply_batch(spark, state, p0, old.select("doc_id"), batch_id=0)
+        out["base_build_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        append_minhash_batch(spark, new, idx, 1)
+        p1 = new_batch_candidates(spark, idx, 1).select("da", "db")
+        stats1 = apply_batch(
+            spark, state, p1, new.select("doc_id"), batch_id=1
+        )
+        out["incremental_total_sec"] = round(time.time() - t0, 2)
+        out["batch_stats"] = stats1
+
+        t0 = time.time()
+        full = cc_labels_from_pairs(p0.union(p1))
+        n_full = (
+            docs.select("doc_id")
+            .join(full, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            )
+            .count()
+        )
+        out["full_recompute_sec"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        n_served = serve_labels(spark, state).count()
+        out["serve_sec"] = round(time.time() - t0, 2)
+        assert n_served == n_full == out["corpus_docs"]
+        print(f"# incremental cluster: {out}", file=sys.stderr)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     print(json.dumps(out))
@@ -924,6 +1018,13 @@ def main() -> None:
             run_set(spark, ROUND10_SET, sf_dir, with_duck=True)
         if os.path.exists(BIG1_DIR):
             run_set(spark, ROUND10_SF1_SET, BIG1_DIR, with_duck=False)
+    elif mode == "round11":
+        for sf_dir in SHIPPED:
+            run_set(spark, ROUND11_SET, sf_dir, with_duck=True)
+        if os.path.exists(BIG1_DIR):
+            run_set(spark, ROUND11_SF1_SET, BIG1_DIR, with_duck=False)
+    elif mode == "cluster-incremental":
+        run_incremental_cluster(spark)
     elif mode == "scoredgate":
         run_scored_gate(spark)
     elif mode == "incremental":
