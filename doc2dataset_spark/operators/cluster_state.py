@@ -36,6 +36,13 @@ AFFECTED SUBGRAPH:
   the latest-wins state of batches <= k becomes the single batch_id=k
   partition (served state invariant, pytest-pinned).
 
+- ``forget_docs`` is the right-to-be-forgotten verb — the one index
+  family where deletion is not row removal: pulling a doc out can SPLIT
+  its cluster (it may be the only bridge), so the affected clusters are
+  relabeled from the surviving members' own pair evidence (a
+  member-scoped band-index join), and the forgotten docs get NULL
+  tombstones that latest-wins serves as absence.
+
 Registered query twin: ``dedup_cluster_incremental``
 (queries/round11_extras.py) replays the SimHash pair set in three
 batches through this state machine and must hash-match the
@@ -59,10 +66,16 @@ def _labels_path(state_dir: str) -> str:
 
 def serve_labels(spark: SparkSession, state_dir: str) -> DataFrame:
     """Current (doc_id, cluster_id) state: latest-wins over the upsert
-    log — one map-side-combinable aggregate, doc-count-sized."""
+    log — one map-side-combinable aggregate, doc-count-sized. NULL
+    labels are forget_docs tombstones: max_by keeps a null VALUE when
+    its ordering wins (probed — it does not skip null-valued rows), so
+    a tombstone shadows every earlier label and the filter below then
+    drops the doc from the served state entirely."""
     log = spark.read.parquet(_labels_path(state_dir))
-    return log.groupBy("doc_id").agg(
-        F.expr("max_by(cluster_id, batch_id)").alias("cluster_id")
+    return (
+        log.groupBy("doc_id")
+        .agg(F.expr("max_by(cluster_id, batch_id)").alias("cluster_id"))
+        .filter(F.col("cluster_id").isNotNull())
     )
 
 
@@ -195,6 +208,9 @@ def compact_labels(
         log.filter(F.col("batch_id") <= upto_batch)
         .groupBy("doc_id")
         .agg(F.expr("max_by(cluster_id, batch_id)").alias("cluster_id"))
+        # a forget tombstone whose shadowed rows are all inside the
+        # collapsed range has nothing left to shadow — drop it outright
+        .filter(F.col("cluster_id").isNotNull())
         .withColumn("batch_id", F.lit(upto_batch))
     )
     tail = log.filter(F.col("batch_id") > upto_batch)
@@ -233,3 +249,114 @@ def _has_labels(state_dir: str) -> bool:
         )
     except OSError:
         return False
+
+
+def forget_docs(
+    spark: SparkSession,
+    state_dir: str,
+    doc_ids: list[int],
+    pairs_for,
+    batch_id: int,
+) -> dict:
+    """Right-to-be-forgotten for cluster state — the one index family
+    where deletion is NOT just row removal: pulling a document out of a
+    near-dup cluster can SPLIT it (the deleted doc may be the only
+    bridge between two groups), and the min-label itself may be the
+    deleted doc. So the affected clusters' labels are RECOMPUTED from
+    the surviving members' own pair evidence:
+
+    1. every member of every cluster containing a forgotten doc is
+       collected into the affected set (minus the forgotten docs);
+    2. ``pairs_for(members_df) -> (da, db)`` re-derives the near-dup
+       pairs among exactly those members — e.g. a band-index candidate
+       join semi-scoped to the member set (``member_pairs_minhash``
+       below): O(affected members), never O(corpus);
+    3. one cc_labels_from_pairs fixpoint over those pairs relabels the
+       survivors (pair-less members become singletons of themselves);
+    4. forgotten docs get NULL-label tombstone rows — latest-wins then
+       serves nothing for them (serve_labels filters null labels).
+
+    All upserts land under ``batch_id`` (the caller's ingest clock —
+    use the next batch number; replaying the forget batch is idempotent
+    like any other batch).
+
+    Returns {n_forgotten, n_affected_members, n_upserts}.
+    """
+    ids = spark.createDataFrame(
+        [(int(d),) for d in doc_ids], "doc_id bigint"
+    )
+    prior = serve_labels(spark, state_dir).localCheckpoint(eager=True)
+    affected_clusters = (
+        prior.join(F.broadcast(ids), "doc_id", "left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    members = (
+        prior.join(affected_clusters, "cluster_id", "left_semi")
+        .join(F.broadcast(ids), "doc_id", "left_anti")
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n_members = members.count()
+
+    if n_members > 0:
+        pairs = pairs_for(members).select("da", "db")
+        fresh = cc_labels_from_pairs(pairs)
+        singles = members.join(fresh, "doc_id", "left_anti").select(
+            "doc_id", F.col("doc_id").alias("cluster_id")
+        )
+        relabeled = fresh.union(singles)
+    else:
+        relabeled = spark.createDataFrame(
+            [], "doc_id bigint, cluster_id bigint"
+        )
+
+    tombstones = ids.select(
+        "doc_id", F.lit(None).cast("bigint").alias("cluster_id")
+    )
+    upserts = relabeled.union(tombstones).localCheckpoint(eager=True)
+    n_upserts = upserts.count()
+    (
+        upserts.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(_labels_path(state_dir))
+    )
+    return {
+        "n_forgotten": len(doc_ids),
+        "n_affected_members": n_members,
+        "n_upserts": n_upserts,
+    }
+
+
+def member_pairs_minhash(spark: SparkSession, index_dir: str):
+    """``pairs_for`` provider backed by the MinHash band index: the
+    (band, bh) candidate self-join semi-scoped to the member set BEFORE
+    the join, so the pair space is the members' own collision buckets —
+    O(affected members' postings), not a full-index candidate pass.
+    Forget the docs from the band index FIRST (delete_docs_minhash);
+    this provider then sees only surviving postings either way because
+    both sides are member-scoped."""
+    from doc2dataset_spark.operators.minhash_index import read_bands
+
+    def pairs_for(members):
+        bands = read_bands(spark, index_dir).join(
+            members.select("doc_id"), "doc_id", "left_semi"
+        )
+        ba, bb = bands.alias("ba"), bands.alias("bb")
+        return (
+            ba.join(
+                bb,
+                (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.bh") == F.col("bb.bh"))
+                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+            )
+            .select(
+                F.col("ba.doc_id").alias("da"),
+                F.col("bb.doc_id").alias("db"),
+            )
+            .distinct()
+        )
+
+    return pairs_for

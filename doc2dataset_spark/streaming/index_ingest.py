@@ -204,3 +204,51 @@ def run_winnow_index_ingest(
         ),
         [_winnow_postings(index_dir)],
     )
+
+
+def run_cluster_ingest(
+    docs_stream: DataFrame,
+    index_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming near-dup CLUSTER maintenance: per micro-batch of
+    (doc_id, text), land the batch's band postings
+    (append_minhash_batch), pull exactly the candidate pairs touching it
+    (new_batch_candidates — a partition-pruned read, old-vs-old pairs
+    never rejoin the work set), and fold them into the persisted label
+    state (cluster_state.apply_batch, the subgraph-local CC). Crawl →
+    detect → cluster, all incremental: the served cluster manifest is
+    current the moment a batch lands.
+
+    The index and the state share the stream's batch clock (both land
+    under the same batch_id), so a same-checkpoint replay rewrites one
+    batch's partitions in BOTH artifacts; a fresh checkpoint sweeps
+    stale higher-numbered partitions from both. DuckDB cannot oracle a
+    stream; tests/test_cluster_state.py locks stream-built labels ==
+    one full CC over the complete candidate set."""
+    from doc2dataset_spark.operators.cluster_state import (
+        _labels_path,
+        apply_batch,
+    )
+    from doc2dataset_spark.operators.minhash_index import (
+        _bands_path,
+        append_minhash_batch,
+        new_batch_candidates,
+    )
+
+    def step(spark, df, bid):
+        append_minhash_batch(spark, df, index_dir, batch_id=bid)
+        pairs = new_batch_candidates(spark, index_dir, bid).select(
+            "da", "db"
+        )
+        apply_batch(
+            spark, state_dir, pairs, df.select("doc_id"), batch_id=bid
+        )
+
+    return _run_batchwise_ingest(
+        docs_stream,
+        checkpoint_dir,
+        step,
+        [_bands_path(index_dir), _labels_path(state_dir)],
+    )

@@ -113,3 +113,152 @@ def test_empty_batch_writes_only_singletons(spark, sf_dir, tmp_path):
     assert stats["n_new_pairs"] == 0 and stats["n_upserts"] == 10
     got = _rows(serve_labels(spark, state))
     assert all(d == c for d, c in got) and len(got) == 10
+
+
+# ---------------------------------------------------------------------------
+# forget_docs (right-to-be-forgotten with cluster splits)
+# ---------------------------------------------------------------------------
+def _pairs_const(spark, rows):
+    def pairs_for(members):
+        if rows:
+            return spark.createDataFrame(rows, "da bigint, db bigint")
+        return spark.createDataFrame([], "da bigint, db bigint")
+
+    return pairs_for
+
+
+def test_forget_splits_bridged_cluster(spark, tmp_path):
+    """Chain 1-2-3 (2 is the only bridge): forgetting 2 must SPLIT the
+    cluster into singletons {1} and {3} — the semantics plain row
+    deletion cannot produce."""
+    state = str(tmp_path / "st")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "da bigint, db bigint"
+    )
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+    apply_batch(spark, state, pairs, docs, batch_id=0)
+    assert _rows(serve_labels(spark, state)) == [(1, 1), (2, 1), (3, 1)]
+
+    from doc2dataset_spark.operators.cluster_state import forget_docs
+
+    stats = forget_docs(
+        spark, state, [2], _pairs_const(spark, []), batch_id=1
+    )
+    assert stats["n_affected_members"] == 2
+    assert _rows(serve_labels(spark, state)) == [(1, 1), (3, 3)]
+
+
+def test_forget_min_label_holder(spark, tmp_path):
+    """Forgetting the doc whose id IS the cluster label: survivors must
+    be relabeled to their new min, not keep a dangling label."""
+    state = str(tmp_path / "st")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "da bigint, db bigint"
+    )
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+    apply_batch(spark, state, pairs, docs, batch_id=0)
+
+    from doc2dataset_spark.operators.cluster_state import forget_docs
+
+    forget_docs(
+        spark, state, [1], _pairs_const(spark, [(2, 3)]), batch_id=1
+    )
+    assert _rows(serve_labels(spark, state)) == [(2, 2), (3, 2)]
+
+
+def test_forget_with_band_index_equals_never_ingested(
+    spark, sf_dir, tmp_path
+):
+    """End-to-end with the real providers: forget docs from the band
+    index (delete_docs_minhash) AND the cluster state
+    (member_pairs_minhash relabeling) — the served labels must equal a
+    full recompute over the post-deletion index for every surviving
+    doc."""
+    from doc2dataset_spark.operators.cluster_state import (
+        forget_docs,
+        member_pairs_minhash,
+    )
+    from doc2dataset_spark.operators.index_maintenance import (
+        delete_docs_minhash,
+    )
+    from doc2dataset_spark.operators.minhash_index import (
+        append_minhash_batch,
+        candidates_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "mh")
+    state = str(tmp_path / "state")
+    append_minhash_batch(spark, docs, idx, batch_id=0)
+    pairs = candidates_from_index(spark, idx)
+    apply_batch(spark, state, pairs, docs.select("doc_id"), batch_id=0)
+
+    # forget a doc that HAS near-dups (so clusters are really affected)
+    victim = int(pairs.limit(1).collect()[0]["da"])
+    delete_docs_minhash(spark, idx, [victim])
+    stats = forget_docs(
+        spark, state, [victim], member_pairs_minhash(spark, idx), batch_id=1
+    )
+    assert stats["n_affected_members"] > 0
+
+    got = _rows(serve_labels(spark, state))
+    full = cc_labels_from_pairs(candidates_from_index(spark, idx))
+    want = _rows(
+        docs.filter(F.col("doc_id") != victim)
+        .select("doc_id")
+        .join(full, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    assert got == want
+
+
+def test_forget_tombstone_survives_compaction(spark, tmp_path):
+    """Compacting past a forget batch must not resurrect the doc — the
+    tombstone's shadowed rows die with it inside the collapsed range."""
+    from doc2dataset_spark.operators.cluster_state import forget_docs
+
+    state = str(tmp_path / "st")
+    pairs = spark.createDataFrame([(1, 2)], "da bigint, db bigint")
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id bigint")
+    apply_batch(spark, state, pairs, docs, batch_id=0)
+    forget_docs(spark, state, [1], _pairs_const(spark, []), batch_id=1)
+    before = _rows(serve_labels(spark, state))
+    assert before == [(2, 2)]
+    compact_labels(spark, state, upto_batch=1)
+    assert _rows(serve_labels(spark, state)) == before
+    log = spark.read.parquet(str(tmp_path / "st" / "labels"))
+    assert log.count() == 1  # the tombstone itself is compacted away
+
+
+def test_streaming_cluster_ingest_matches_full_recompute(
+    spark, sf_dir, tmp_path
+):
+    """Documents streamed in two micro-batches through
+    run_cluster_ingest (band append -> pruned candidates -> state fold
+    per batch) must serve the labels of ONE full CC over the complete
+    candidate set — the streaming twin of the batch equality test."""
+    from doc2dataset_spark.operators.minhash_index import (
+        candidates_from_index,
+    )
+    from doc2dataset_spark.streaming.index_ingest import run_cluster_ingest
+    from tests.test_winnow_index import _doc_stream_source
+
+    idx = str(tmp_path / "mh_stream")
+    state = str(tmp_path / "state_stream")
+    run_cluster_ingest(
+        _doc_stream_source(spark, sf_dir, tmp_path),
+        idx,
+        state,
+        str(tmp_path / "ck"),
+    )
+    got = _rows(serve_labels(spark, state))
+    full = cc_labels_from_pairs(candidates_from_index(spark, idx))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    want = _rows(
+        docs.join(full, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    assert got == want
