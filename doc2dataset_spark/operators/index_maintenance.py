@@ -32,8 +32,11 @@ the swap rolls back or leaves the recovery sibling.
 ``delete_from_postings`` (+ the per-family ``delete_docs_*`` wrappers)
 is the other maintenance verb: right-to-be-forgotten removal of
 specific keys, partition-scoped and idempotent, with explicit removal
-of partitions the deletion empties. With build → append → compact →
-delete, each index family has the full lifecycle a long-lived serving
+of partitions the deletion empties. ``sync_*_index_cdc`` composes the
+two verbs into CDC-driven index synchronization (upsert = delete old
+postings + append new text; merge_cdc_apply's contract pointed at an
+index instead of a table). With build → append → compact → delete →
+CDC-sync, each index family has the full lifecycle a long-lived serving
 index needs.
 """
 
@@ -267,3 +270,87 @@ def delete_vecs_ivf(spark, index_dir: str, vec_ids: list[int]) -> dict:
         spark, vi._postings_path(index_dir), vec_ids,
         key_col="vec_id", partition_cols=("cent_id",),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC-driven index synchronization
+# ---------------------------------------------------------------------------
+def sync_text_index_cdc(
+    spark: SparkSession,
+    index_dir: str,
+    changelog: "DataFrame",
+    batch_id: int,
+) -> dict:
+    """Apply one CDC changelog batch to the inverted text index:
+    ``changelog`` is (doc_id, text, op) with op in {'upsert', 'delete'}
+    — the merge_cdc_apply contract, pointed at an INDEX instead of a
+    table. An upsert of an existing doc is delete + re-add (its old
+    postings are invalidated by the text change, not amendable); a
+    delete is the right-to-be-forgotten path; a brand-new doc is a plain
+    append. All three reduce to the two verbs this module already has:
+
+    1. delete_docs_text(all changelog doc_ids) — removes every touched
+       doc's postings + doclen rows, partition-scoped (a no-op for
+       brand-new ids);
+    2. append_to_text_index(upsert rows, batch_id) — lands the new text
+       under this batch's partitions and refreshes n/avgdl.
+
+    The composed result is equality to an index built on the
+    post-changelog corpus (pytest). NOT idempotent under replay the way
+    a plain append is: step 1 mutates prior batches' partitions, so a
+    crash between the steps must be rerun from step 1 — both steps are
+    individually idempotent, and rerunning the pair converges.
+
+    Returns {n_deleted_rows, n_upserts, n_deletes}.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from doc2dataset_spark.operators.text_index import append_to_text_index
+
+    rows = changelog.select("doc_id", "text", "op").localCheckpoint()
+    ids = [int(r["doc_id"]) for r in rows.select("doc_id").distinct().collect()]
+    stats = delete_docs_text(spark, index_dir, ids)
+    ups = rows.filter(F.col("op") == "upsert").select("doc_id", "text")
+    n_ups = ups.count()
+    if n_ups:
+        append_to_text_index(spark, ups, index_dir, batch_id=batch_id)
+    else:
+        # deletes-only changelog: the doclen-derived stats were already
+        # refreshed inside delete_docs_text
+        pass
+    return {
+        "n_deleted_rows": stats["rows_deleted"],
+        "n_upserts": n_ups,
+        "n_deletes": rows.filter(F.col("op") == "delete").count(),
+    }
+
+
+def sync_minhash_index_cdc(
+    spark: SparkSession,
+    index_dir: str,
+    changelog: "DataFrame",
+    batch_id: int,
+) -> dict:
+    """sync_text_index_cdc for the MinHash band index: delete every
+    touched doc's band postings, then band + append the upsert rows as
+    this batch's partition. No derived state to refresh (banding meta is
+    frozen; df-style stats don't exist here). Same crash contract:
+    rerun the pair to converge."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from doc2dataset_spark.operators.minhash_index import (
+        append_minhash_batch,
+    )
+
+    rows = changelog.select("doc_id", "text", "op").localCheckpoint()
+    ids = [int(r["doc_id"]) for r in rows.select("doc_id").distinct().collect()]
+    stats = delete_docs_minhash(spark, index_dir, ids)
+    ups = rows.filter(F.col("op") == "upsert").select("doc_id", "text")
+    n_ups = ups.count()
+    if n_ups:
+        append_minhash_batch(spark, ups, index_dir, batch_id=batch_id)
+    return {
+        "n_deleted_rows": stats["rows_deleted"],
+        "n_upserts": n_ups,
+        "n_deletes": rows.filter(F.col("op") == "delete").count(),
+    }

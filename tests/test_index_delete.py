@@ -192,3 +192,90 @@ def test_delete_unknown_keys_is_a_noop(spark, sf_dir, tmp_path):
         "partitions_rewritten": 0,
         "partitions_removed": 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# CDC-driven index synchronization
+# ---------------------------------------------------------------------------
+def _changed_corpus(spark, sf_dir):
+    """(changelog, post-corpus): update 3 docs' text, delete 2, add 2."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    upd = [7, 21, 70]
+    dele = [133, 245]
+    new = [(900001, "brand new survey of spark internals"),
+           (900002, "another brand new document about indexes")]
+    changelog = spark.createDataFrame(
+        [(d, f"rewritten text for document {d} entirely", "upsert")
+         for d in upd]
+        + [(d, None, "delete") for d in dele]
+        + [(d, t, "upsert") for d, t in new],
+        "doc_id bigint, text string, op string",
+    )
+    post = (
+        docs.filter(~F.col("doc_id").isin(upd + dele))
+        .union(changelog.filter(F.col("op") == "upsert")
+               .select("doc_id", "text"))
+    )
+    return changelog, post
+
+
+def test_cdc_sync_text_index_equals_rebuilt(spark, sf_dir, tmp_path):
+    """Applying a mixed changelog (updates + deletes + inserts) to a
+    built text index must score exactly like an index built on the
+    post-changelog corpus — updates invalidate old postings, stats
+    follow the surviving doclen."""
+    from doc2dataset_spark.operators.index_maintenance import (
+        sync_text_index_cdc,
+    )
+    from doc2dataset_spark.operators.text_index import (
+        append_to_text_index,
+        build_text_index,
+        probe_text_index,
+    )
+    from doc2dataset_spark.queries.search_extras import BM25_TOPK, QUERY_TERMS
+
+    changelog, post = _changed_corpus(spark, sf_dir)
+    idx = str(tmp_path / "tx")
+    build_text_index(spark, sf_dir, idx)
+    stats = sync_text_index_cdc(spark, idx, changelog, batch_id=1)
+    assert stats["n_upserts"] == 5 and stats["n_deletes"] == 2
+    assert stats["n_deleted_rows"] > 0  # old postings really invalidated
+
+    never = str(tmp_path / "tx_never")
+    append_to_text_index(spark, post, never, batch_id=0)
+    terms = list(QUERY_TERMS) + ["rewritten"]
+    got = _rows(probe_text_index(spark, idx, terms, topk=BM25_TOPK))
+    want = _rows(probe_text_index(spark, never, terms, topk=BM25_TOPK))
+    assert got == want
+
+
+def test_cdc_sync_minhash_index_equals_rebuilt(spark, sf_dir, tmp_path):
+    from doc2dataset_spark.operators.index_maintenance import (
+        sync_minhash_index_cdc,
+    )
+    from doc2dataset_spark.operators.minhash_index import (
+        append_minhash_batch,
+        read_bands,
+    )
+
+    changelog, post = _changed_corpus(spark, sf_dir)
+    idx = str(tmp_path / "mh")
+    append_minhash_batch(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        idx,
+        batch_id=0,
+    )
+    sync_minhash_index_cdc(spark, idx, changelog, batch_id=1)
+
+    never = str(tmp_path / "mh_never")
+    append_minhash_batch(spark, post, never, batch_id=0)
+    got = _rows(read_bands(spark, idx))
+    want = _rows(read_bands(spark, never))
+    assert got == want
+
+    # crash-rerun convergence: applying the same changelog again (the
+    # documented recovery for a crash between delete and append) leaves
+    # the same served state
+    sync_minhash_index_cdc(spark, idx, changelog, batch_id=1)
+    assert _rows(read_bands(spark, idx)) == want
