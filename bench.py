@@ -114,6 +114,8 @@ HEADLINE = [
     "dedup_cluster_keep_best",   # full-corpus retention manifest (CC+argmax)
     "curate_ccnet_buckets",      # per-source perplexity terciles + keep
     "embedding_mrl_recall",      # truncated-dim ANN recall vs full-dim
+    "ann_pca_recall",            # trained 32-dim compressor vs prefix
+    "dedup_keep_best_incremental",  # manifest served from cluster state
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

@@ -481,3 +481,162 @@ def ann_pca_recall(spark, sf_dir):
             F.round(F.count("hit") / float(KNN_K), 4).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_keep_best_incremental — the retention manifest served from state
+# ---------------------------------------------------------------------------
+def _build_cluster_state(spark, sf_dir, state_dir):
+    """The dedup_cluster_incremental replay (SimHash pairs in
+    CLUSTER_BATCHES arrival batches), persisted for warm serving."""
+    from doc2dataset_spark.operators.cluster_state import apply_batch
+    from doc2dataset_spark.queries.dedup import dedup_simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % CLUSTER_BATCHES).alias("b")
+    )
+    pairs = (
+        dedup_simhash_pairs(spark, sf_dir)
+        .select(
+            "da",
+            "db",
+            F.greatest(
+                F.col("da") % CLUSTER_BATCHES, F.col("db") % CLUSTER_BATCHES
+            ).alias("pb"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for b in range(CLUSTER_BATCHES):
+        apply_batch(
+            spark,
+            state_dir,
+            pairs.filter(F.col("pb") == b).select("da", "db"),
+            docs.filter(F.col("b") == b).select("doc_id"),
+            batch_id=b,
+        )
+
+
+@query(
+    "dedup_keep_best_incremental",
+    oracle=None,  # assigned below: EXACTLY the dedup_cluster_keep_best
+    # oracle — the row's claim is that the manifest served from
+    # incrementally-maintained state is indistinguishable from the
+    # from-scratch computation.
+    tags=("dedup", "documents", "curation", "index"),
+)
+def dedup_keep_best_incremental(spark, sf_dir):
+    """The warm twin of dedup_cluster_keep_best: the retention manifest
+    (cluster + keep/drop verdict per doc) served from the PERSISTED
+    incremental cluster state (built once per corpus via the
+    dedup_cluster_incremental replay, mtime-keyed /tmp cache) joined to
+    the per-doc quality key — one latest-wins aggregate over the label
+    log, one argmax per cluster, zero detection work at serve time.
+    Shares dedup_cluster_keep_best's oracle verbatim: daily-maintained
+    state must be indistinguishable from the from-scratch manifest.
+
+    Scale shape: serve-time cost is the doc-count-sized label aggregate
+    + the cluster-keyed max_by + one equi-join — the detection and CC
+    work amortizes across every serve (and across days, via
+    apply_batch)."""
+    from doc2dataset_spark.fsio import (
+        artifact_cache_dir,
+        ensure_local_cache_dir,
+    )
+    from doc2dataset_spark.operators.cluster_state import serve_labels
+
+    state = ensure_local_cache_dir(
+        artifact_cache_dir(sf_dir, "cstate", "documents"),
+        "labels",
+        lambda tmp: _build_cluster_state(spark, sf_dir, tmp),
+    )
+    labels = serve_labels(spark, state)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_ND_SPARK).cast("bigint").alias("n_distinct")
+    )
+    members = docs.join(labels, "doc_id").select(
+        "doc_id", "cluster_id", "n_distinct"
+    )
+    best = members.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(n_distinct, -doc_id))").alias(
+            "keep_doc"
+        )
+    )
+    return members.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_distinct",
+        (F.col("doc_id") == F.col("keep_doc")).alias("kept"),
+    )
+
+
+REGISTRY["dedup_keep_best_incremental"].oracle = REGISTRY[
+    "dedup_cluster_keep_best"
+].oracle
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_stats — cluster-size distribution + per-source dup rate
+# ---------------------------------------------------------------------------
+@query(
+    "dedup_cluster_stats",
+    oracle=None,  # assigned below (wraps the dedup_cluster_cc oracle)
+    tags=("dedup", "documents", "stats"),
+)
+def dedup_cluster_stats(spark, sf_dir):
+    """The dedup health report operators teams actually watch: per
+    source — docs, near-dup cluster count, clustered-doc count, docs
+    that survive keep-one-per-cluster, and the duplication rate
+    (dropped / docs). One CC pass, two aggregates; the cluster-size
+    histogram is implicit in (n_clustered - n_clusters) = dropped."""
+    labels = dedup_cluster_cc(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    m = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        "source",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        F.col("cluster_id").isNotNull().alias("in_cluster"),
+    )
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("in_cluster").cast("int"))
+            .cast("bigint")
+            .alias("n_clustered"),
+            F.count_distinct(
+                F.when(F.col("in_cluster"), F.col("cluster_id"))
+            ).cast("bigint").alias("n_clusters"),
+            F.round(
+                (
+                    F.sum(F.col("in_cluster").cast("int"))
+                    - F.count_distinct(
+                        F.when(F.col("in_cluster"), F.col("cluster_id"))
+                    )
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+REGISTRY["dedup_cluster_stats"].oracle = f"""
+WITH cc AS MATERIALIZED (
+  SELECT * FROM ({REGISTRY["dedup_cluster_cc"].oracle})
+),
+m AS (
+  SELECT d.doc_id, d.source,
+         coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+         (cc.cluster_id IS NOT NULL) AS in_cluster
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN in_cluster THEN 1 ELSE 0 END)::BIGINT AS n_clustered,
+       count(DISTINCT CASE WHEN in_cluster THEN cluster_id END)::BIGINT
+         AS n_clusters,
+       round((SUM(CASE WHEN in_cluster THEN 1 ELSE 0 END)
+              - count(DISTINCT CASE WHEN in_cluster THEN cluster_id END))
+             / count(*), 4) AS dup_rate
+FROM m GROUP BY source
+"""
