@@ -453,17 +453,31 @@ def ann_pca_recall(spark, sf_dir):
     hierarchical kNN. At 100 TB the expensive side is the exact truth
     graph — the same cost every recall row in this family pays by
     definition of being an evaluation."""
+    from doc2dataset_spark.fsio import (
+        artifact_cache_dir,
+        ensure_local_cache_dir,
+    )
     from doc2dataset_spark.operators.pca import (
         doubles,
         fit_pca,
+        load_pca,
         project_expr,
+        save_pca,
     )
 
     e = load_table(spark, sf_dir, "embeddings").repartition(
         compute_parallelism(spark)
     )
     vecs = e.select("vec_id", doubles(F.col("embedding")).alias("vec"))
-    p = fit_pca(spark, vecs, PCA_DIMS)
+    # fit once per corpus (the fx-model / IVF-artifact discipline): the
+    # projection is a persisted model, deterministic per corpus (sign
+    # convention + ordered partial accumulation), so serving reloads it
+    mdir = ensure_local_cache_dir(
+        artifact_cache_dir(sf_dir, "pca", "embeddings"),
+        "_SUCCESS",
+        lambda tmp: save_pca(spark, fit_pca(spark, vecs, PCA_DIMS), tmp),
+    )
+    p = load_pca(spark, mdir)
     proj = vecs.select("vec_id", project_expr(p).alias("vec"))
     nrm = F.sqrt(spark_dot(F.col("vec"), F.col("vec")))
     nt = proj.select(
