@@ -189,7 +189,10 @@ def apply_batch(
 
 
 def compact_labels(
-    spark: SparkSession, state_dir: str, upto_batch: int
+    spark: SparkSession,
+    state_dir: str,
+    upto_batch: int,
+    shuffle_partitions: int = 1,
 ) -> None:
     """Collapse label history <= upto_batch into ONE materialized
     partition of the SERVED state. Unlike the posting indexes (where
@@ -218,8 +221,11 @@ def compact_labels(
         tail.select("doc_id", "cluster_id", "batch_id")
     )
     tmp = f"{p.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    # shuffle_partitions spreads DISTINCT batch_ids across tasks (the
+    # compact_index_history contract): raise it when the corpus-sized
+    # head partition would bottleneck or OOM a single shuffle task
     (
-        merged.repartition(1, F.col("batch_id"))
+        merged.repartition(max(shuffle_partitions, 1), F.col("batch_id"))
         .write.partitionBy("batch_id")
         .mode("overwrite")
         .parquet(tmp)
@@ -285,7 +291,23 @@ def forget_docs(
     ids = spark.createDataFrame(
         [(int(d),) for d in doc_ids], "doc_id bigint"
     )
-    prior = serve_labels(spark, state_dir).localCheckpoint(eager=True)
+    # prior = batches STRICTLY BEFORE this one (the apply_batch replay
+    # rule): a crash-recovery rerun of the same forget batch must see
+    # the pre-forget state — served state would already exclude the
+    # forgotten docs, the affected set would come up empty, and the
+    # partition rewrite would keep only the tombstones, dropping the
+    # relabel upserts (survivors silently reverting to labels that
+    # point at the forgotten doc). Tombstones in prior are dropped the
+    # same way serve_labels drops them: a doc forgotten earlier is not
+    # a member of anything.
+    log = spark.read.parquet(_labels_path(state_dir))
+    prior = (
+        log.filter(F.col("batch_id") < batch_id)
+        .groupBy("doc_id")
+        .agg(F.expr("max_by(cluster_id, batch_id)").alias("cluster_id"))
+        .filter(F.col("cluster_id").isNotNull())
+        .localCheckpoint(eager=True)
+    )
     affected_clusters = (
         prior.join(F.broadcast(ids), "doc_id", "left_semi")
         .select("cluster_id")
@@ -340,23 +362,13 @@ def member_pairs_minhash(spark: SparkSession, index_dir: str):
     both sides are member-scoped."""
     from doc2dataset_spark.operators.minhash_index import read_bands
 
+    from doc2dataset_spark.operators.minhash_index import pairs_from_bands
+
     def pairs_for(members):
-        bands = read_bands(spark, index_dir).join(
-            members.select("doc_id"), "doc_id", "left_semi"
-        )
-        ba, bb = bands.alias("ba"), bands.alias("bb")
-        return (
-            ba.join(
-                bb,
-                (F.col("ba.band") == F.col("bb.band"))
-                & (F.col("ba.bh") == F.col("bb.bh"))
-                & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        return pairs_from_bands(
+            read_bands(spark, index_dir).join(
+                members.select("doc_id"), "doc_id", "left_semi"
             )
-            .select(
-                F.col("ba.doc_id").alias("da"),
-                F.col("bb.doc_id").alias("db"),
-            )
-            .distinct()
         )
 
     return pairs_for

@@ -310,19 +310,32 @@ def sync_text_index_cdc(
     rows = changelog.select("doc_id", "text", "op").localCheckpoint()
     ids = [int(r["doc_id"]) for r in rows.select("doc_id").distinct().collect()]
     stats = delete_docs_text(spark, index_dir, ids)
-    ups = rows.filter(F.col("op") == "upsert").select("doc_id", "text")
+    ups = _surviving_upserts(rows)
     n_ups = ups.count()
     if n_ups:
         append_to_text_index(spark, ups, index_dir, batch_id=batch_id)
-    else:
-        # deletes-only changelog: the doclen-derived stats were already
-        # refreshed inside delete_docs_text
-        pass
+    # else: deletes-only changelog — the doclen-derived stats were
+    # already refreshed inside delete_docs_text
     return {
         "n_deleted_rows": stats["rows_deleted"],
         "n_upserts": n_ups,
         "n_deletes": rows.filter(F.col("op") == "delete").count(),
     }
+
+
+def _surviving_upserts(rows):
+    """Upsert rows minus any doc the SAME changelog also deletes —
+    deletes win over updates (the merge_cdc_apply precedence this sync
+    implements); without the anti-join, an upsert would resurrect a doc
+    deleted in the same batch."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    dels = rows.filter(F.col("op") == "delete").select("doc_id")
+    return (
+        rows.filter(F.col("op") == "upsert")
+        .join(dels, "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
 
 
 def sync_minhash_index_cdc(
@@ -345,7 +358,7 @@ def sync_minhash_index_cdc(
     rows = changelog.select("doc_id", "text", "op").localCheckpoint()
     ids = [int(r["doc_id"]) for r in rows.select("doc_id").distinct().collect()]
     stats = delete_docs_minhash(spark, index_dir, ids)
-    ups = rows.filter(F.col("op") == "upsert").select("doc_id", "text")
+    ups = _surviving_upserts(rows)
     n_ups = ups.count()
     if n_ups:
         append_minhash_batch(spark, ups, index_dir, batch_id=batch_id)

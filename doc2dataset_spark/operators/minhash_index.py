@@ -72,11 +72,19 @@ def index_banding(spark: SparkSession, index_dir: str) -> tuple[int, int]:
     Resolved through fsio.url_to_fs so a memory:// or remote index_dir
     validates the same as a local one (the Spark read/write paths in
     this lifecycle already support them)."""
+    got = _read_banding(index_dir)
+    return got if got is not None else (N_BANDS_DEFAULT, ROWS_DEFAULT)
+
+
+def _read_banding(index_dir: str):
+    """(bands, rows) from the persisted meta, or None for a fresh dir —
+    one read serving both the lookup and the has-meta decision (appends
+    were paying two metadata round-trips per batch)."""
     from doc2dataset_spark.fsio import read_parquet_dir
 
     table = read_parquet_dir(_meta_path(index_dir))
     if table is None:
-        return N_BANDS_DEFAULT, ROWS_DEFAULT
+        return None
     row = table.to_pylist()[0]
     return int(row["bands"]), int(row["rows"])
 
@@ -138,8 +146,9 @@ def append_minhash_batch(
     write is an append, no prior build) gets its banding record stamped
     here — mirroring append_winnow_batch — so the parameters it was
     born with are persisted, not re-derived from code defaults."""
-    b, r = index_banding(spark, index_dir)
-    if not _has_meta(index_dir):
+    got = _read_banding(index_dir)
+    b, r = got if got is not None else (N_BANDS_DEFAULT, ROWS_DEFAULT)
+    if got is None:
         _write_meta(spark, index_dir, b, r)
     (
         bands_of(docs, b, r)
@@ -198,7 +207,15 @@ def candidates_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
     """Distinct LSH candidate pairs (da < db) from the persisted band
     postings — the corpus is never scanned here; the join touches only
     the index files, shuffle-keyed by (band, bh) collision buckets."""
-    bands = read_bands(spark, index_dir)
+    return pairs_from_bands(read_bands(spark, index_dir))
+
+
+def pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Distinct (da < db) collision pairs of a (doc_id, band, bh)
+    posting frame — THE candidate-pair definition, shared by full-index
+    serving (candidates_from_index) and member-scoped cluster
+    relabeling (cluster_state.member_pairs_minhash), so forget_docs
+    always relabels with the same pair evidence the index serves."""
     ba, bb = bands.alias("ba"), bands.alias("bb")
     return (
         ba.join(

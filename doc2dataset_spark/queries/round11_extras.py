@@ -53,8 +53,11 @@ from doc2dataset_spark.session import compute_parallelism, load_table
 
 # quality key for the survivor choice: distinct-token count (an integer,
 # so the cross-engine argmax can't hit a float rounding boundary), ties
-# broken by min doc_id — deterministic on any corpus.
-_ND_SPARK = f"size(array_distinct({_TOKS}))"
+# broken by min doc_id — deterministic on any corpus. coalesce: NULL
+# text gives a NULL token array (size NULL), which must rank as 0 like
+# the oracle's coalesce(nd, 0) — not as a NULL that the argmax struct
+# orders differently per engine.
+_ND_SPARK = f"coalesce(size(array_distinct({_TOKS})), 0)"
 _ND_DUCK = """
   SELECT doc_id, count(DISTINCT tok) AS n_distinct
   FROM (SELECT doc_id,
@@ -94,8 +97,15 @@ def dedup_cluster_keep_best(spark, sf_dir):
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
         "n_distinct",
     )
-    # argmax quality per cluster: max over the lexicographic struct
-    # (n_distinct, -doc_id) == max n_distinct, ties to the MIN doc_id
+    return _manifest_from_members(members)
+
+
+def _manifest_from_members(members):
+    """(doc_id, cluster_id, n_distinct, kept) from a members frame —
+    THE survivor rule (argmax quality per cluster: max over the
+    lexicographic struct (n_distinct, -doc_id) == max n_distinct, ties
+    to the MIN doc_id), shared by the cold manifest and its warm
+    state-served twin so the two rows under one oracle cannot drift."""
     best = members.groupBy("cluster_id").agg(
         F.expr("max_by(doc_id, struct(n_distinct, -doc_id))").alias(
             "keep_doc"
@@ -331,6 +341,15 @@ def mrl_recall_frame(spark, sf_dir, dims: int):
     nt = e.select(
         "vec_id", F.transform(t, lambda x: x / nrm).alias("ne")
     )
+    return _recall_vs_truth(spark, sf_dir, nt)
+
+
+def _recall_vs_truth(spark, sf_dir, nt):
+    """(qid, n_hits, recall): a (vec_id, ne) variant embedding frame's
+    exact top-k judged against the full-dimension truth — THE recall
+    definition shared by every compression-evaluation row (MRL prefix,
+    PCA), so a tie-break or rounding fix cannot desynchronize rows that
+    are explicitly compared against each other."""
     truth = knn_edges_from(spark, normalized_embeddings(spark, sf_dir))
     appr = knn_edges_from(spark, nt)
     hit = appr.select("qid", "cid", F.lit(1).alias("hit"))
@@ -376,36 +395,11 @@ def dedup_cluster_incremental(spark, sf_dir):
     import shutil
     import tempfile
 
-    from doc2dataset_spark.operators.cluster_state import (
-        apply_batch,
-        serve_labels,
-    )
-    from doc2dataset_spark.queries.dedup import dedup_simhash_pairs
+    from doc2dataset_spark.operators.cluster_state import serve_labels
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("doc_id") % CLUSTER_BATCHES).alias("b")
-    )
-    pairs = (
-        dedup_simhash_pairs(spark, sf_dir)
-        .select(
-            "da",
-            "db",
-            F.greatest(
-                F.col("da") % CLUSTER_BATCHES, F.col("db") % CLUSTER_BATCHES
-            ).alias("pb"),
-        )
-        .localCheckpoint(eager=True)
-    )
     state = tempfile.mkdtemp(prefix="d2d_cluster_state_")
     try:
-        for b in range(CLUSTER_BATCHES):
-            apply_batch(
-                spark,
-                state,
-                pairs.filter(F.col("pb") == b).select("da", "db"),
-                docs.filter(F.col("b") == b).select("doc_id"),
-                batch_id=b,
-            )
+        _build_cluster_state(spark, sf_dir, state)
         return serve_labels(spark, state).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(state, ignore_errors=True)
@@ -484,17 +478,7 @@ def ann_pca_recall(spark, sf_dir):
         "vec_id",
         F.transform(F.col("vec"), lambda x: x / nrm).alias("ne"),
     )
-    truth = knn_edges_from(spark, normalized_embeddings(spark, sf_dir))
-    appr = knn_edges_from(spark, nt)
-    hit = appr.select("qid", "cid", F.lit(1).alias("hit"))
-    return (
-        truth.join(hit, ["qid", "cid"], "left")
-        .groupBy("qid")
-        .agg(
-            F.count("hit").cast("int").alias("n_hits"),
-            F.round(F.count("hit") / float(KNN_K), 4).alias("recall"),
-        )
-    )
+    return _recall_vs_truth(spark, sf_dir, nt)
 
 
 # ---------------------------------------------------------------------------
@@ -570,17 +554,7 @@ def dedup_keep_best_incremental(spark, sf_dir):
     members = docs.join(labels, "doc_id").select(
         "doc_id", "cluster_id", "n_distinct"
     )
-    best = members.groupBy("cluster_id").agg(
-        F.expr("max_by(doc_id, struct(n_distinct, -doc_id))").alias(
-            "keep_doc"
-        )
-    )
-    return members.join(best, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        "n_distinct",
-        (F.col("doc_id") == F.col("keep_doc")).alias("kept"),
-    )
+    return _manifest_from_members(members)
 
 
 REGISTRY["dedup_keep_best_incremental"].oracle = REGISTRY[

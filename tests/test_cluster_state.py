@@ -262,3 +262,28 @@ def test_streaming_cluster_ingest_matches_full_recompute(
         )
     )
     assert got == want
+
+
+def test_forget_replay_is_idempotent(spark, tmp_path):
+    """Crash-recovery rerun of the same forget batch: prior must be the
+    PRE-forget state (batches < batch_id), or the rewrite keeps only the
+    tombstones and survivors silently revert to labels pointing at the
+    forgotten doc."""
+    from doc2dataset_spark.operators.cluster_state import forget_docs
+
+    state = str(tmp_path / "st")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "da bigint, db bigint"
+    )
+    docs = spark.createDataFrame([(1,), (2,), (3,)], "doc_id bigint")
+    apply_batch(spark, state, pairs, docs, batch_id=0)
+    first = forget_docs(
+        spark, state, [1], _pairs_const(spark, [(2, 3)]), batch_id=1
+    )
+    before = _rows(serve_labels(spark, state))
+    assert before == [(2, 2), (3, 2)]
+    replay = forget_docs(
+        spark, state, [1], _pairs_const(spark, [(2, 3)]), batch_id=1
+    )
+    assert replay == first
+    assert _rows(serve_labels(spark, state)) == before

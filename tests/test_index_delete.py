@@ -279,3 +279,31 @@ def test_cdc_sync_minhash_index_equals_rebuilt(spark, sf_dir, tmp_path):
     # the same served state
     sync_minhash_index_cdc(spark, idx, changelog, batch_id=1)
     assert _rows(read_bands(spark, idx)) == want
+
+
+def test_cdc_same_batch_delete_wins_over_upsert(spark, sf_dir, tmp_path):
+    """A doc both upserted and deleted in ONE changelog stays deleted
+    (the merge_cdc_apply precedence) — the upsert must not resurrect
+    it."""
+    from doc2dataset_spark.operators.index_maintenance import (
+        sync_minhash_index_cdc,
+    )
+    from doc2dataset_spark.operators.minhash_index import (
+        append_minhash_batch,
+        read_bands,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = str(tmp_path / "mh")
+    append_minhash_batch(spark, docs, idx, batch_id=0)
+    changelog = spark.createDataFrame(
+        [(7, "resurrected text that must not land", "upsert"),
+         (7, None, "delete"),
+         (21, "a legitimate update", "upsert")],
+        "doc_id bigint, text string, op string",
+    )
+    stats = sync_minhash_index_cdc(spark, idx, changelog, batch_id=1)
+    assert stats["n_upserts"] == 1  # doc 7's upsert lost to its delete
+    ids = {r["doc_id"] for r in read_bands(spark, idx).select("doc_id")
+           .distinct().collect()}
+    assert 7 not in ids and 21 in ids
