@@ -628,3 +628,65 @@ SELECT source,
              / count(*), 4) AS dup_rate
 FROM m GROUP BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# sample_token_budget — token-budgeted mixture selection
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 700  # per-source token allowance (fixture-strict subset)
+_TOKN_SPARK = f"coalesce(size({_TOKS}), 0)"
+_ORD_HASH_SPARK = "md5(cast(doc_id AS string))"
+_ORD_HASH_DUCK = "md5(doc_id::VARCHAR)"
+
+
+@query(
+    "sample_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             coalesce(len(list_filter(string_split_regex(lower(text),
+                                                         '\\s+'),
+                                      x -> x <> '')), 0)::BIGINT AS n_tokens,
+             {_ORD_HASH_DUCK} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             )::BIGINT AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+    tags=("curation", "documents", "sampling"),
+)
+def sample_token_budget(spark, sf_dir):
+    """Token-budgeted mixture selection: training mixtures are specified
+    in TOKENS, not documents (a source of many short docs must not get
+    the same doc-count allowance as one of long docs). Each source's
+    documents are ranked by a deterministic hash (an unbiased shuffle,
+    the sample_cap_per_key idiom) and kept while the running token sum
+    stays within the per-source budget — rerunnable, engine-independent,
+    and integer-exact.
+
+    Scale shape: token counts are a map-side expression; the running sum
+    is ONE window partitioned by source with a ROWS frame (per-group
+    counter state, no global window); the filter is row-local. At 100 TB
+    this is the same shape as the per-domain cap — a severely hot source
+    would call for the two-phase salted variant."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.expr(_ORD_HASH_SPARK), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = d.select(
+        "doc_id",
+        "source",
+        F.expr(_TOKN_SPARK).cast("bigint").alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+    return c.filter(F.col("cum_tokens") <= TOKEN_BUDGET)
