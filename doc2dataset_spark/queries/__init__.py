@@ -309,6 +309,34 @@ gate_swap(
 # post-gate, oracle-backed
 from doc2dataset_spark.queries import round11_extras  # noqa: E402
 
+# Gate rotation #9 (round 11, second rotation this round — the r7
+# precedent of multiple rotations per round): give the round-11
+# flagship operators externally-recorded correctness rows in THIS
+# round's snapshot rather than next round's — the retention manifest,
+# the incremental cluster engine judged against the full-recompute
+# oracle, the CCNet stratifier, and the Matryoshka recall row — over
+# four rows whose families keep stronger gate representation:
+# sample_temperature_mix (sampling keeps curate_corpus + the promoted
+# ccnet policy row), graph_clustering_coef (graph keeps graph_kcore),
+# events_resample_interp (events keeps events_ewma), text_bpe_merges
+# (the tokenizer lifecycle keeps text_bpe_encode, whose oracle embeds
+# the merge training end-to-end). All demoted rows stay hash-checked by
+# the degated-parity pytest sweep and scripts/driver_mirror.py.
+gate_swap(
+    promote=[
+        "dedup_cluster_keep_best",
+        "dedup_cluster_incremental",
+        "curate_ccnet_buckets",
+        "embedding_mrl_recall",
+    ],
+    demote=[
+        "sample_temperature_mix",
+        "graph_clustering_coef",
+        "events_resample_interp",
+        "text_bpe_merges",
+    ],
+)
+
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the
 # pytest pin so any drift crashes every entry point, not just the suite.

@@ -48,6 +48,15 @@ Rotation log (why the current 50 are the current 50):
   audit) — over dedup_jaccard_prefix (PPJoin stays gated via
   dedup_prefix_stats), q55_tpch_q7 (TPC-H keeps 5 gated joins),
   q38_lateral_topk and text_heavy_hitters (gate-green since round 7).
+- r11 #9 (same round): promoted the round-11 flagships —
+  dedup_cluster_keep_best (the retention manifest), 
+  dedup_cluster_incremental (the incremental cluster engine judged
+  against the full-recompute recursive CTE), curate_ccnet_buckets
+  (CCNet perplexity strata + keep policy), embedding_mrl_recall
+  (Matryoshka prefix recall) — over sample_temperature_mix,
+  graph_clustering_coef, events_resample_interp, text_bpe_merges
+  (each family keeps stronger gate representation; bpe_encode's oracle
+  embeds the demoted merge training end-to-end).
 """
 
 from __future__ import annotations
@@ -79,15 +88,15 @@ FROZEN_GATE = [
     "q64_tpch_q2",
     "join_cbo_reordered",
     "quality_psi_drift",
-    "events_resample_interp",
+    "curate_ccnet_buckets",
     "q74_higher_order_fns",
     "events_ewma",
     "dedup_prefix_stats",
     "dedup_simhash_recall",
-    "graph_clustering_coef",
+    "dedup_cluster_incremental",
     "sim_ann_hyperplane_multi",
     "graph_kcore",
-    "sample_temperature_mix",
+    "dedup_cluster_keep_best",
     "profile_documents",
     "ml_kmeans_lite",
     "q36_pandas_udf",
@@ -95,7 +104,7 @@ FROZEN_GATE = [
     "text_lm_perplexity",
     "quality_dsir_weights",
     "quality_classifier_lr",
-    "text_bpe_merges",
+    "embedding_mrl_recall",
     "q45_tpch_q3",
     "q46_tpch_q5",
     "curate_split_leakage",
