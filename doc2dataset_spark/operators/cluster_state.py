@@ -372,3 +372,24 @@ def member_pairs_minhash(spark: SparkSession, index_dir: str):
         )
 
     return pairs_for
+
+
+def member_pairs_winnow(spark: SparkSession, index_dir: str):
+    """``pairs_for`` provider backed by the winnowing fingerprint index:
+    pairs_from_postings with the member set as its scope — the df prune
+    stays full-corpus (a member-scoped df would admit hub fingerprints
+    the serving path prunes), then the fp self-join runs over the
+    members' own postings only. Forget the docs from the winnow index
+    FIRST (delete_docs_winnow); df is derived from the surviving
+    postings, so the evidence is post-deletion either way."""
+    from doc2dataset_spark.operators.winnow_index import (
+        pairs_from_postings,
+        read_postings,
+    )
+
+    def pairs_for(members):
+        return pairs_from_postings(
+            read_postings(spark, index_dir), scope=members
+        ).select("da", "db")
+
+    return pairs_for

@@ -145,14 +145,21 @@ def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
-def pairs_from_postings(raw: DataFrame) -> DataFrame:
+def pairs_from_postings(raw: DataFrame, scope: DataFrame | None = None) -> DataFrame:
     """(da, db, shared, jacc) near-dup pairs from a (doc_id, fp) posting
     frame — df prune (hub fingerprints, df > WINNOW_MAXDF), per-doc
     counts, fp-blocked self-join, fingerprint-set Jaccard >=
     WINNOW_THRESHOLD. The single pair-scoring definition shared by the
     cold path (dedup_winnow computes postings in-query) and the warm
     path (dedup_winnow_indexed reads them from parquet), so the two can
-    never drift. Caller caches ``raw`` (three consumers)."""
+    never drift. Caller caches ``raw`` (three consumers).
+
+    ``scope``: optional (doc_id) frame restricting OUTPUT pairs to
+    scoped docs (cluster_state.member_pairs_winnow). The df prune stays
+    FULL-CORPUS — a member-scoped df would under-count hub fingerprints
+    and admit pairs the serving path prunes, so scoped relabeling would
+    use different evidence than the index serves. Per-doc fingerprint
+    counts are per-doc either way, so scoping after the prune is exact."""
     keep = (
         raw.groupBy("fp")
         .agg(F.count("*").alias("df"))
@@ -164,7 +171,10 @@ def pairs_from_postings(raw: DataFrame) -> DataFrame:
     # long-lived ingest service calling this per batch would accumulate
     # pinned blocks forever; checkpoint blocks are released when the
     # frame becomes unreachable
-    fpx = raw.join(keep, "fp", "left_semi").localCheckpoint()
+    fpx = raw.join(keep, "fp", "left_semi")
+    if scope is not None:
+        fpx = fpx.join(scope.select("doc_id"), "doc_id", "left_semi")
+    fpx = fpx.localCheckpoint()
     fpc = fpx.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = fpx.alias("a"), fpx.alias("b")
     shared = (

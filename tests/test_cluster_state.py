@@ -287,3 +287,52 @@ def test_forget_replay_is_idempotent(spark, tmp_path):
     )
     assert replay == first
     assert _rows(serve_labels(spark, state)) == before
+
+
+def test_forget_with_winnow_index_equals_never_ingested(
+    spark, sf_dir, tmp_path
+):
+    """The winnow-fed twin of the band-index forget test: detector
+    choice must not matter to the forget contract. Pairs among members
+    keep the FULL-corpus df prune (a member-scoped df would admit hub
+    fingerprints the serving path prunes)."""
+    from doc2dataset_spark.operators.cluster_state import (
+        forget_docs,
+        member_pairs_winnow,
+    )
+    from doc2dataset_spark.operators.index_maintenance import (
+        delete_docs_winnow,
+    )
+    from doc2dataset_spark.operators.winnow_index import (
+        append_winnow_batch,
+        pairs_from_postings,
+        read_postings,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "wn")
+    state = str(tmp_path / "state")
+    append_winnow_batch(spark, docs, idx, batch_id=0)
+    pairs = pairs_from_postings(read_postings(spark, idx)).select("da", "db")
+    apply_batch(spark, state, pairs, docs.select("doc_id"), batch_id=0)
+
+    victim = int(pairs.limit(1).collect()[0]["da"])
+    delete_docs_winnow(spark, idx, [victim])
+    stats = forget_docs(
+        spark, state, [victim], member_pairs_winnow(spark, idx), batch_id=1
+    )
+    assert stats["n_affected_members"] > 0
+
+    got = _rows(serve_labels(spark, state))
+    full = cc_labels_from_pairs(
+        pairs_from_postings(read_postings(spark, idx)).select("da", "db")
+    )
+    want = _rows(
+        docs.filter(F.col("doc_id") != victim)
+        .select("doc_id")
+        .join(full, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    assert got == want
