@@ -197,52 +197,49 @@ def compact_labels(
     """Collapse label history <= upto_batch into ONE materialized
     partition of the SERVED state. Unlike the posting indexes (where
     compact_index_history relabels rows losslessly), an upsert log must
-    drop superseded rows, so compaction here is serve-then-rewrite:
-    latest-wins over batches <= upto_batch becomes the batch_id=
-    upto_batch partition, later batches stay untouched, and the served
-    state is invariant (pytest-pinned)."""
+    drop superseded rows, so compaction here is serve-then-rewrite —
+    but only over the HEAD: latest-wins over batches <= upto_batch
+    becomes the batch_id=upto_batch partition (a partition-pruned
+    scan), later batches' partition dirs are renamed into the new root
+    byte-untouched, and the served state is invariant (pytest-pinned).
+    Cost is O(head), not O(log)."""
     import uuid
 
     from doc2dataset_spark import fsio
+    from doc2dataset_spark.operators.index_maintenance import (
+        check_no_leftover_compaction,
+        list_batch_dirs,
+        swap_in_compacted,
+    )
 
     fs, p = fsio.url_to_fs(_labels_path(state_dir))
-    log = spark.read.parquet(_labels_path(state_dir))
+    check_no_leftover_compaction(fs, p)
+    tail_dirs = [
+        d
+        for d in list_batch_dirs(fs, p)
+        if int(d.split("=", 1)[1]) > upto_batch
+    ]
     head = (
-        log.filter(F.col("batch_id") <= upto_batch)
+        spark.read.parquet(_labels_path(state_dir))
+        .filter(F.col("batch_id") <= upto_batch)
         .groupBy("doc_id")
         .agg(F.expr("max_by(cluster_id, batch_id)").alias("cluster_id"))
         # a forget tombstone whose shadowed rows are all inside the
         # collapsed range has nothing left to shadow — drop it outright
         .filter(F.col("cluster_id").isNotNull())
         .withColumn("batch_id", F.lit(upto_batch))
-    )
-    tail = log.filter(F.col("batch_id") > upto_batch)
-    merged = head.select("doc_id", "cluster_id", "batch_id").union(
-        tail.select("doc_id", "cluster_id", "batch_id")
+        .select("doc_id", "cluster_id", "batch_id")
     )
     tmp = f"{p.rstrip('/')}__compact_{uuid.uuid4().hex}"
-    # shuffle_partitions spreads DISTINCT batch_ids across tasks (the
-    # compact_index_history contract): raise it when the corpus-sized
-    # head partition would bottleneck or OOM a single shuffle task
+    # shuffle_partitions: raise it when the corpus-sized head partition
+    # would bottleneck or OOM a single shuffle task
     (
-        merged.repartition(max(shuffle_partitions, 1), F.col("batch_id"))
+        head.repartition(max(shuffle_partitions, 1))
         .write.partitionBy("batch_id")
         .mode("overwrite")
         .parquet(tmp)
     )
-    old = f"{p.rstrip('/')}__old_compact"
-    if fs.exists(old):
-        raise RuntimeError(
-            f"found leftover {old!r} from an interrupted compaction — "
-            "recover it before compacting again"
-        )
-    fs.mv(p, old)
-    try:
-        fs.mv(tmp, p)
-    except BaseException:
-        fs.mv(old, p)
-        raise
-    fs.rm(old, recursive=True)
+    swap_in_compacted(fs, p, tmp, tail_dirs)
 
 
 def _has_labels(state_dir: str) -> bool:

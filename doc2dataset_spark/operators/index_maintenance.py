@@ -10,7 +10,11 @@ never on batch_id, so batch proliferation is pure overhead there).
 
 ``compact_index_history`` merges batches ``<= upto_batch`` into ONE
 ``batch_id=upto_batch`` partition set, leaving later batches byte-
-untouched. Semantics after compaction:
+untouched — literally: the Spark job reads and rewrites ONLY the head
+(``batch_id <= upto_batch``, a partition-pruned scan), and the later
+batches' hive partition directories are MOVED (filesystem rename, no
+read) into the compacted root. Compacting a 1% head of a 100 TB index
+costs O(head), not O(index). Semantics after compaction:
 
 - every SERVING read (candidates_from_index, pairs_from_postings,
   probe_*) returns exactly what it returned before — postings rows are
@@ -24,10 +28,19 @@ untouched. Semantics after compaction:
   truncation in a log-structured system.
 
 Transactional shape (the sinks/maintenance.compact_parquet discipline):
-the compacted copy is written to a sibling tmp dir, then swapped in
-with two renames and a deterministic ``__old_compact`` recovery name;
-any failure before the swap leaves the index untouched, failure inside
-the swap rolls back or leaves the recovery sibling.
+the compacted head is written to a sibling tmp dir, then swapped in —
+``mv index -> __old_compact``, mv each tail ``batch_id=<n>`` dir from
+the old root into tmp, ``mv tmp -> index`` — so the live index is
+either fully the old tree or fully the new one, never a partial mix
+(during the swap window the path is ABSENT: reads fail loudly instead
+of silently serving a truncated index). Any failure before the first
+rename leaves the index untouched; a Python-level failure inside the
+swap rolls the tail moves back and restores the original root; a hard
+crash (SIGKILL) leaves the ``__old_compact`` sibling plus a
+``__compact_manifest.json`` recording tmp path / upto_batch / tail
+dirs, and the next compaction attempt refuses to run until the
+operator reassembles from those two (the manifest says exactly which
+dirs belong where).
 
 ``delete_from_postings`` (+ the per-family ``delete_docs_*`` wrappers)
 is the other maintenance verb: right-to-be-forgotten removal of
@@ -42,12 +55,78 @@ index needs.
 
 from __future__ import annotations
 
+import json
 import uuid
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doc2dataset_spark import fsio
+
+
+def _batch_of(dirname: str) -> int:
+    return int(dirname.split("=", 1)[1])
+
+
+def list_batch_dirs(fs, root: str) -> list[str]:
+    """Immediate ``batch_id=<n>`` hive partition dir names under root,
+    sorted by batch number — a directory listing, never a data scan."""
+    names = []
+    for child in fs.ls(root):
+        name = child.rstrip("/").rsplit("/", 1)[-1]
+        if name.startswith("batch_id="):
+            names.append(name)
+    return sorted(names, key=_batch_of)
+
+
+def check_no_leftover_compaction(fs, root: str) -> None:
+    old = f"{root.rstrip('/')}__old_compact"
+    if fs.exists(old):  # leftover from a previous crashed swap
+        raise RuntimeError(
+            f"found leftover {old!r} from an interrupted compaction — "
+            f"recover it (see {root.rstrip('/')}__compact_manifest.json "
+            "for which tail dirs moved where; mv back to "
+            f"{root!r} if {root!r} is missing, else rm) "
+            "before compacting again"
+        )
+
+
+def swap_in_compacted(fs, root: str, tmp: str, tail_dirs: list[str]) -> None:
+    """Publish a compacted head: move the untouched tail ``batch_id=<n>``
+    dirs from the live root into tmp (filesystem renames — the tail is
+    never read or rewritten), then swap tmp in as the new root.
+
+    The live path is absent for the duration of the swap (loud failure
+    beats silently serving a truncated index). Python-level failures
+    roll the tail moves back and restore the original root; a hard crash
+    leaves ``__old_compact`` + the manifest for manual reassembly, and
+    ``check_no_leftover_compaction`` refuses to run over the debris.
+    """
+    root = root.rstrip("/")
+    old = f"{root}__old_compact"
+    manifest = f"{root}__compact_manifest.json"
+    with fs.open(manifest, "wb") as fh:
+        fh.write(
+            json.dumps(
+                {"tmp": tmp, "root": root, "tail_dirs": tail_dirs}
+            ).encode()
+        )
+    fs.mv(root, old)
+    try:
+        for d in tail_dirs:
+            fs.mv(fsio.join(old, d), fsio.join(tmp, d))
+        fs.mv(tmp, root)
+    except BaseException:
+        # roll back: return any moved tail dirs, restore the original root
+        for d in tail_dirs:
+            src = fsio.join(tmp, d)
+            if fs.exists(src) and not fs.exists(fsio.join(old, d)):
+                fs.mv(src, fsio.join(old, d))
+        fs.mv(old, root)
+        fs.rm(manifest)
+        raise
+    fs.rm(old, recursive=True)
+    fs.rm(manifest)
 
 
 def compact_index_history(
@@ -58,7 +137,10 @@ def compact_index_history(
     shuffle_partitions: int = 1,
 ) -> dict:
     """Merge ``batch_id <= upto_batch`` partitions into one
-    ``batch_id=upto_batch`` set; later batches pass through unchanged.
+    ``batch_id=upto_batch`` set; later batches pass through unchanged —
+    as BYTES, not just as rows: only the head is read (partition-pruned
+    scan) and rewritten, the tail partition dirs are renamed into the
+    new root untouched. Cost is O(head), not O(index).
 
     ``partition_cols``: the sub-partition columns under batch_id —
     ("band",) for the MinHash index, ("tb",) for text postings,
@@ -67,15 +149,17 @@ def compact_index_history(
     Returns {batches_before, batches_after, files_before, files_after}.
     """
     fs, p = fsio.url_to_fs(postings_path)
+    check_no_leftover_compaction(fs, p)
     files_before = sum(1 for f in fs.find(p) if f.endswith(".parquet"))
+    batch_dirs = list_batch_dirs(fs, p)
+    tail_dirs = [d for d in batch_dirs if _batch_of(d) > upto_batch]
 
-    df = spark.read.option("mergeSchema", "true").parquet(postings_path)
-    batches_before = df.select("batch_id").distinct().count()
-    merged = df.withColumn(
-        "batch_id",
-        F.when(
-            F.col("batch_id") <= upto_batch, F.lit(upto_batch)
-        ).otherwise(F.col("batch_id")),
+    head = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(postings_path)
+        # partition filter: the scan lists/reads ONLY head partitions
+        .filter(F.col("batch_id") <= upto_batch)
+        .withColumn("batch_id", F.lit(upto_batch))
     )
     parts = ["batch_id", *partition_cols]
     tmp = f"{p.rstrip('/')}__compact_{uuid.uuid4().hex}"
@@ -85,33 +169,18 @@ def compact_index_history(
     # spreads DISTINCT combos across tasks (hence the name: it is the
     # shuffle width, not a files-per-dir knob).
     (
-        merged.repartition(
+        head.repartition(
             max(shuffle_partitions, 1), *[F.col(c) for c in parts]
         )
         .write.partitionBy(*parts)
         .mode("overwrite")
         .parquet(tmp)
     )
+    swap_in_compacted(fs, p, tmp, tail_dirs)
 
-    old = f"{p.rstrip('/')}__old_compact"
-    if fs.exists(old):  # leftover from a previous crashed swap
-        raise RuntimeError(
-            f"found leftover {old!r} from an interrupted compaction — "
-            f"recover it (mv back to {p!r} if {p!r} is missing, else rm) "
-            "before compacting again"
-        )
-    fs.mv(p, old)
-    try:
-        fs.mv(tmp, p)
-    except BaseException:
-        fs.mv(old, p)  # roll back: restore the original directory
-        raise
-    fs.rm(old, recursive=True)
-
-    after = spark.read.parquet(postings_path)
     return {
-        "batches_before": batches_before,
-        "batches_after": after.select("batch_id").distinct().count(),
+        "batches_before": len(batch_dirs),
+        "batches_after": len(list_batch_dirs(fs, p)),
         "files_before": files_before,
         "files_after": sum(
             1 for f in fs.find(p) if f.endswith(".parquet")
@@ -125,12 +194,17 @@ def compact_index_history(
 def delete_from_postings(
     spark: SparkSession,
     postings_path: str,
-    keys: list[int],
+    keys: list[int] | DataFrame,
     key_col: str = "doc_id",
     partition_cols: tuple[str, ...] = (),
 ) -> dict:
     """Remove every posting row whose ``key_col`` is in ``keys`` —
     the GDPR/right-to-be-forgotten primitive for the persisted indexes.
+
+    ``keys`` is a driver-side list (the interactive/CLI shape) OR a
+    DataFrame with a ``key_col`` column (the CDC-sync shape) — a
+    changelog-sized key set stays distributed end-to-end instead of
+    round-tripping through a Python list on the driver.
 
     Partition-scoped, never a full rewrite: one partition-pruned probe
     finds the (batch_id, band/tb/cent_id) partitions that actually
@@ -151,9 +225,14 @@ def delete_from_postings(
     """
     fs, p = fsio.url_to_fs(postings_path)
     parts = ["batch_id", *partition_cols]
-    ids = spark.createDataFrame(
-        [(int(k),) for k in keys], f"{key_col} bigint"
-    )
+    if isinstance(keys, DataFrame):
+        ids = keys.select(
+            F.col(key_col).cast("bigint").alias(key_col)
+        ).distinct()
+    else:
+        ids = spark.createDataFrame(
+            [(int(k),) for k in keys], f"{key_col} bigint"
+        )
     posts = spark.read.parquet(postings_path)
 
     # bounded collect: one row per affected hive partition
@@ -215,7 +294,9 @@ def delete_from_postings(
     }
 
 
-def delete_docs_minhash(spark, index_dir: str, doc_ids: list[int]) -> dict:
+def delete_docs_minhash(
+    spark, index_dir: str, doc_ids: "list[int] | DataFrame"
+) -> dict:
     """Forget documents in a MinHash band index: postings-only (banding
     meta and other batches untouched)."""
     from doc2dataset_spark.operators import minhash_index as mi
@@ -226,7 +307,9 @@ def delete_docs_minhash(spark, index_dir: str, doc_ids: list[int]) -> dict:
     )
 
 
-def delete_docs_winnow(spark, index_dir: str, doc_ids: list[int]) -> dict:
+def delete_docs_winnow(
+    spark, index_dir: str, doc_ids: "list[int] | DataFrame"
+) -> dict:
     """Forget documents in a winnowing fingerprint index. Document
     frequency needs no fixup: df is derived from the postings at serve
     time (winnow_index module docstring), so it is consistent the moment
@@ -239,7 +322,9 @@ def delete_docs_winnow(spark, index_dir: str, doc_ids: list[int]) -> dict:
     )
 
 
-def delete_docs_text(spark, index_dir: str, doc_ids: list[int]) -> dict:
+def delete_docs_text(
+    spark, index_dir: str, doc_ids: "list[int] | DataFrame"
+) -> dict:
     """Forget documents in the inverted text index: postings AND doclen
     rows, then a stats refresh — BM25's df is serve-time-derived from
     postings, but n/avgdl are persisted aggregates of doclen and MUST be
@@ -259,7 +344,9 @@ def delete_docs_text(spark, index_dir: str, doc_ids: list[int]) -> dict:
     return out
 
 
-def delete_vecs_ivf(spark, index_dir: str, vec_ids: list[int]) -> dict:
+def delete_vecs_ivf(
+    spark, index_dir: str, vec_ids: "list[int] | DataFrame"
+) -> dict:
     """Forget vectors in an IVF index: cell postings only. The centroid
     codebook is FROZEN state (quantization geometry, not user data) and
     is deliberately untouched — deleting a vector must not re-train the
@@ -308,8 +395,9 @@ def sync_text_index_cdc(
     from doc2dataset_spark.operators.text_index import append_to_text_index
 
     rows = changelog.select("doc_id", "text", "op").localCheckpoint()
-    ids = [int(r["doc_id"]) for r in rows.select("doc_id").distinct().collect()]
-    stats = delete_docs_text(spark, index_dir, ids)
+    # the changelog's key set stays a DataFrame end-to-end: a 10M-row
+    # upsert batch must not materialize 10M ids on the driver
+    stats = delete_docs_text(spark, index_dir, rows.select("doc_id"))
     ups = _surviving_upserts(rows)
     n_ups = ups.count()
     if n_ups:
@@ -356,8 +444,7 @@ def sync_minhash_index_cdc(
     )
 
     rows = changelog.select("doc_id", "text", "op").localCheckpoint()
-    ids = [int(r["doc_id"]) for r in rows.select("doc_id").distinct().collect()]
-    stats = delete_docs_minhash(spark, index_dir, ids)
+    stats = delete_docs_minhash(spark, index_dir, rows.select("doc_id"))
     ups = _surviving_upserts(rows)
     n_ups = ups.count()
     if n_ups:

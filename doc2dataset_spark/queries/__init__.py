@@ -337,6 +337,31 @@ gate_swap(
     ],
 )
 
+# Gate rotation #10 (round 12): driver-record the round-11 second wave —
+# the warm state-served retention manifest (shares the keep_best oracle
+# VERBATIM, so the gate now proves warm == cold externally), the
+# per-source dedup health report, and the token-budgeted mixture
+# selector — over three rows whose families keep stronger gate
+# representation: curate_corpus (curation keeps curate_corpus_scored,
+# whose oracle embeds the same 5-stage chain plus the model gate, plus
+# ccnet/split_leakage), q45_tpch_q3 (TPC-H keeps its four join-heaviest
+# gated shapes: Q21, Q2, Q5, Q8), text_lm_perplexity (the bigram-LM NLL
+# scoring is embedded end-to-end in curate_ccnet_buckets' gated oracle).
+# All demoted rows stay hash-checked by the degated-parity pytest sweep
+# and scripts/driver_mirror.py.
+gate_swap(
+    promote=[
+        "dedup_keep_best_incremental",
+        "dedup_cluster_stats",
+        "sample_token_budget",
+    ],
+    demote=[
+        "curate_corpus",
+        "q45_tpch_q3",
+        "text_lm_perplexity",
+    ],
+)
+
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the
 # pytest pin so any drift crashes every entry point, not just the suite.

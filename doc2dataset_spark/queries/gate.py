@@ -57,6 +57,16 @@ Rotation log (why the current 50 are the current 50):
   graph_clustering_coef, events_resample_interp, text_bpe_merges
   (each family keeps stronger gate representation; bpe_encode's oracle
   embeds the demoted merge training end-to-end).
+- r12 #10: promoted the round-11 second wave — dedup_keep_best_incremental
+  (the warm state-served retention manifest; shares dedup_cluster_keep_best's
+  oracle VERBATIM, so the gate externally proves warm == cold),
+  dedup_cluster_stats (per-source dedup health report), sample_token_budget
+  (token-budgeted mixture selection) — over curate_corpus (curation keeps
+  curate_corpus_scored + ccnet + split_leakage; scored embeds the same
+  5-stage chain plus the model gate), q45_tpch_q3 (TPC-H keeps its four
+  join-heaviest gated shapes: Q21, Q2, Q5, Q8), and text_lm_perplexity
+  (its bigram-LM NLL scoring is embedded end-to-end in
+  curate_ccnet_buckets' gated oracle).
 """
 
 from __future__ import annotations
@@ -101,18 +111,18 @@ FROZEN_GATE = [
     "ml_kmeans_lite",
     "q36_pandas_udf",
     "q36_apply_in_pandas",
-    "text_lm_perplexity",
+    "sample_token_budget",
     "quality_dsir_weights",
     "quality_classifier_lr",
     "embedding_mrl_recall",
-    "q45_tpch_q3",
+    "dedup_cluster_stats",
     "q46_tpch_q5",
     "curate_split_leakage",
     "dedup_embedding_cell_recall",
     "search_bm25_topk",
     "dedup_substring_rewrite",
     "sim_ann_pq",
-    "curate_corpus",
+    "dedup_keep_best_incremental",
     "dedup_winnow_indexed",
     "q56_tpch_q8",
     "join_bucketed_colocated",

@@ -101,6 +101,32 @@ def test_compact_labels_preserves_served_state(spark, sf_dir, tmp_path):
     assert _rows(serve_labels(spark, state)) == before
 
 
+def test_compact_labels_leaves_tail_batches_byte_untouched(
+    spark, sf_dir, tmp_path
+):
+    """Compacting upto batch 0 with batch 1 still live must rename batch
+    1's partition dir into the new root — identical files, never a
+    read-modify-rewrite — and the served state is invariant."""
+    import os
+
+    from tests.test_index_maintenance import file_inventory
+
+    state, pairs, ids = _setup(spark, sf_dir, tmp_path)
+    apply_batch(spark, state, pairs[0], ids[0], batch_id=0)
+    apply_batch(spark, state, pairs[1], ids[1], batch_id=1)
+    before = _rows(serve_labels(spark, state))
+    labels_root = str(tmp_path / "state" / "labels")
+    tail_before = file_inventory(os.path.join(labels_root, "batch_id=1"))
+    compact_labels(spark, state, upto_batch=0)
+    assert (
+        file_inventory(os.path.join(labels_root, "batch_id=1"))
+        == tail_before
+    )
+    assert not os.path.exists(labels_root + "__compact_manifest.json")
+    assert not os.path.exists(labels_root + "__old_compact")
+    assert _rows(serve_labels(spark, state)) == before
+
+
 def test_empty_batch_writes_only_singletons(spark, sf_dir, tmp_path):
     """A batch whose documents have no near-dup pair still lands its
     docs as self-labeled singletons (the state must cover the corpus)."""

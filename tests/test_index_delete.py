@@ -307,3 +307,24 @@ def test_cdc_same_batch_delete_wins_over_upsert(spark, sf_dir, tmp_path):
     ids = {r["doc_id"] for r in read_bands(spark, idx).select("doc_id")
            .distinct().collect()}
     assert 7 not in ids and 21 in ids
+
+
+def test_delete_accepts_dataframe_keys(spark, sf_dir, tmp_path):
+    """The CDC-sync shape: a DataFrame key set must behave exactly like
+    the equivalent driver-side list (no collect on the changelog path)."""
+    from doc2dataset_spark.operators.winnow_index import (
+        build_winnow_index,
+        read_postings,
+    )
+    from doc2dataset_spark.operators.winnow_index import (
+        _postings_path as _wp,
+    )
+
+    a, b = str(tmp_path / "wn_list"), str(tmp_path / "wn_df")
+    build_winnow_index(spark, sf_dir, a)
+    build_winnow_index(spark, sf_dir, b)
+    by_list = delete_from_postings(spark, _wp(a), FORGET)
+    ids = spark.createDataFrame([(k,) for k in FORGET], "doc_id bigint")
+    by_df = delete_from_postings(spark, _wp(b), ids)
+    assert by_df == by_list and by_df["rows_deleted"] > 0
+    assert _rows(read_postings(spark, a)) == _rows(read_postings(spark, b))

@@ -38,6 +38,22 @@ def _batch_dirs(path):
     )
 
 
+def file_inventory(root):
+    """{relpath: (size, md5)} for every file under root — the tail-
+    partitions-are-byte-untouched assertion (head-only compaction must
+    rename later batches' dirs, never read or rewrite them)."""
+    import hashlib
+
+    out = {}
+    for d, _, files in os.walk(root):
+        for f in files:
+            fp = os.path.join(d, f)
+            with open(fp, "rb") as fh:
+                digest = hashlib.md5(fh.read()).hexdigest()
+            out[os.path.relpath(fp, root)] = (os.path.getsize(fp), digest)
+    return out
+
+
 def test_minhash_history_compaction_preserves_serving(
     spark, sf_dir, tmp_path
 ):
@@ -49,11 +65,24 @@ def test_minhash_history_compaction_preserves_serving(
         )
     before = _rows(candidates_from_index(spark, idx))
     assert before
+    tail_before = file_inventory(
+        os.path.join(_bands_path(idx), "batch_id=2")
+    )
     stats = compact_index_history(
         spark, _bands_path(idx), upto_batch=1, partition_cols=("band",)
     )
-    # batches 0+1 merged into batch_id=1; batch 2 untouched
+    # batches 0+1 merged into batch_id=1; batch 2 untouched — as BYTES:
+    # head-only compaction renames the tail dir, never rewrites it
     assert _batch_dirs(_bands_path(idx)) == ["batch_id=1", "batch_id=2"]
+    assert (
+        file_inventory(os.path.join(_bands_path(idx), "batch_id=2"))
+        == tail_before
+    )
+    # the swap cleaned up after itself: no manifest / recovery siblings
+    assert not os.path.exists(
+        _bands_path(idx).rstrip("/") + "__compact_manifest.json"
+    )
+    assert not os.path.exists(_bands_path(idx).rstrip("/") + "__old_compact")
     assert stats["batches_before"] == 3 and stats["batches_after"] == 2
     assert _rows(candidates_from_index(spark, idx)) == before
     # the incremental seam survives: batch 2's new-vs-corpus candidates
