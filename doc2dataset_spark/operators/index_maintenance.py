@@ -84,11 +84,69 @@ def check_no_leftover_compaction(fs, root: str) -> None:
     if fs.exists(old):  # leftover from a previous crashed swap
         raise RuntimeError(
             f"found leftover {old!r} from an interrupted compaction — "
-            f"recover it (see {root.rstrip('/')}__compact_manifest.json "
-            "for which tail dirs moved where; mv back to "
-            f"{root!r} if {root!r} is missing, else rm) "
-            "before compacting again"
+            f"run recover_compaction({root!r}) (it reads the "
+            "__compact_manifest.json sibling and finishes or rolls back "
+            "the swap) before compacting again"
         )
+
+
+def recover_compaction(root: str) -> dict:
+    """One-call recovery from a hard crash (SIGKILL, OOM) inside a
+    compaction swap: read the ``__compact_manifest.json`` sibling, work
+    out which swap step the crash interrupted, and either roll the index
+    back to its pre-compaction tree or finish cleaning up a swap that
+    already published. Idempotent — running it over a healthy index (no
+    manifest, no debris) is a no-op.
+
+    Crash windows and their recovery (order of swap_in_compacted):
+    - manifest written, root never renamed → live root is intact:
+      remove tmp + manifest ("cleaned");
+    - root renamed to __old_compact, tail moves / publish unfinished →
+      move any migrated tail dirs back, rename __old_compact to root:
+      the original tree, byte-identical ("rolled_back");
+    - tmp published as root, __old_compact not yet removed → the new
+      tree is live and complete; the old dir holds only superseded head
+      batches: remove it + the manifest ("finalized").
+
+    Returns {"action": "none" | "cleaned" | "rolled_back" | "finalized"}.
+    """
+    fs, p = fsio.url_to_fs(root)
+    p = p.rstrip("/")
+    manifest = f"{p}__compact_manifest.json"
+    old = f"{p}__old_compact"
+    if not fs.exists(manifest):
+        if fs.exists(old):
+            raise RuntimeError(
+                f"{old!r} exists but its manifest is gone — this is not "
+                "compaction debris this module wrote; inspect by hand"
+            )
+        return {"action": "none"}
+    with fs.open(manifest, "rb") as fh:
+        m = json.loads(fh.read().decode())
+    tmp, tail_dirs = m["tmp"], m["tail_dirs"]
+    if not fs.exists(old):
+        # crash before the first rename (or after the cleanup's rm old):
+        # the live root is complete either way
+        if fs.exists(tmp):
+            fs.rm(tmp, recursive=True)
+        fs.rm(manifest)
+        return {"action": "cleaned"}
+    if fs.exists(p):
+        # publish happened: root is the complete new tree, old holds
+        # only the superseded head batches
+        fs.rm(old, recursive=True)
+        fs.rm(manifest)
+        return {"action": "finalized"}
+    # mid-swap: root is absent; reassemble the ORIGINAL tree
+    for d in tail_dirs:
+        src = fsio.join(tmp, d)
+        if fs.exists(src) and not fs.exists(fsio.join(old, d)):
+            fs.mv(src, fsio.join(old, d))
+    fs.mv(old, p)
+    if fs.exists(tmp):
+        fs.rm(tmp, recursive=True)
+    fs.rm(manifest)
+    return {"action": "rolled_back"}
 
 
 def swap_in_compacted(fs, root: str, tmp: str, tail_dirs: list[str]) -> None:

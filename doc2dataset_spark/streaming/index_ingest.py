@@ -43,6 +43,7 @@ def run_index_ingest(
     vectors_stream: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
+    compact_past_batches: int | None = None,
 ):
     """Wire the stream and block until drained; the index must already
     exist (build_ivf_index) — ingest only ever quantizes against its
@@ -59,6 +60,9 @@ def run_index_ingest(
     this call starts with no pre-existing checkpoint, every posting
     partition with ``batch_id > max(fired) + 1`` is deleted after the
     stream completes."""
+    from doc2dataset_spark.operators.index_maintenance import (
+        compact_index_history,
+    )
     from doc2dataset_spark.operators.vector_index import _postings_path
 
     return _run_batchwise_ingest(
@@ -68,6 +72,11 @@ def run_index_ingest(
             spark, normalize_vectors(df), index_dir, batch_id=bid
         ),
         [_postings_path(index_dir)],
+        compact_past_batches=compact_past_batches,
+        compactor=lambda spark, upto: compact_index_history(
+            spark, _postings_path(index_dir), upto,
+            partition_cols=("cent_id",),
+        ),
     )
 
 
@@ -75,6 +84,7 @@ def run_text_index_ingest(
     docs_stream: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
+    compact_past_batches: int | None = None,
 ):
     """Streaming inverted-index ingest: micro-batches of (doc_id, text)
     land as ``batch_id=<n>/tb=<b>`` posting partitions via
@@ -97,6 +107,18 @@ def run_text_index_ingest(
         _postings_path as _text_postings,
     )
 
+    from doc2dataset_spark.operators.index_maintenance import (
+        compact_index_history,
+    )
+
+    def _compact(spark, upto):
+        # both batch-partitioned artifacts compact on the same clock;
+        # n/avgdl need no refresh — doclen CONTENT is preserved
+        compact_index_history(
+            spark, _text_postings(index_dir), upto, partition_cols=("tb",)
+        )
+        compact_index_history(spark, _doclen_path(index_dir), upto)
+
     return _run_batchwise_ingest(
         docs_stream,
         checkpoint_dir,
@@ -108,11 +130,14 @@ def run_text_index_ingest(
         # stats were refreshed from a doclen that included the stale
         # batches — refresh again from the swept directories
         after_sweep=lambda spark: refresh_index_stats(spark, index_dir),
+        compact_past_batches=compact_past_batches,
+        compactor=_compact,
     )
 
 
 def _run_batchwise_ingest(
-    docs_stream, checkpoint_dir, append, sweep_paths, after_sweep=None
+    docs_stream, checkpoint_dir, append, sweep_paths, after_sweep=None,
+    compact_past_batches=None, compactor=None,
 ):
     """THE foreachBatch wiring for every batch-partitioned index (IVF
     postings, text postings+doclen, band postings, winnow postings):
@@ -123,7 +148,19 @@ def _run_batchwise_ingest(
     stream drains, then ``after_sweep(spark)`` runs (the text index's
     stats refresh). One implementation so a fix to the idempotence /
     sweep contract lands in all four lifecycles at once. Blocks until
-    drained."""
+    drained.
+
+    ``compact_past_batches``: a long-lived stream appends one batch
+    partition per micro-batch, forever — unbounded partition
+    proliferation unless someone compacts. With this set, after the
+    stream drains the newest N batches are left intact (they stay
+    individually replayable — a same-checkpoint restart replays recent
+    batches, so the replay window must survive compaction) and
+    everything older is finalized into one partition via the family's
+    ``compactor(spark, upto_batch)`` (head-only: the kept tail is
+    renamed, never rewritten). Serving results are invariant; only
+    replay of the compacted (pre-window) batches is finalized — the
+    compact_index_history contract, wired into the stream lifecycle."""
     from doc2dataset_spark.streaming.util import sweep_stale_batches
 
     ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
@@ -146,6 +183,10 @@ def _run_batchwise_ingest(
             sweep_stale_batches(path, max(fired) + 1)
         if after_sweep is not None:
             after_sweep(docs_stream.sparkSession)
+    if compact_past_batches is not None and compactor is not None and fired:
+        upto = max(fired) + 1 - compact_past_batches
+        if upto >= 1:  # nothing worth merging below batch 1
+            compactor(docs_stream.sparkSession, upto)
     return q
 
 
@@ -153,6 +194,7 @@ def run_minhash_index_ingest(
     docs_stream: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
+    compact_past_batches: int | None = None,
 ):
     """Streaming MinHash band-index ingest: micro-batches of
     (doc_id, text) land as ``batch_id=<n>/band=<k>`` posting partitions
@@ -167,6 +209,10 @@ def run_minhash_index_ingest(
         append_minhash_batch,
     )
 
+    from doc2dataset_spark.operators.index_maintenance import (
+        compact_index_history,
+    )
+
     return _run_batchwise_ingest(
         docs_stream,
         checkpoint_dir,
@@ -174,6 +220,10 @@ def run_minhash_index_ingest(
             spark, df, index_dir, batch_id=bid
         ),
         [_bands_path(index_dir)],
+        compact_past_batches=compact_past_batches,
+        compactor=lambda spark, upto: compact_index_history(
+            spark, _bands_path(index_dir), upto, partition_cols=("band",)
+        ),
     )
 
 
@@ -181,6 +231,7 @@ def run_winnow_index_ingest(
     docs_stream: DataFrame,
     index_dir: str,
     checkpoint_dir: str,
+    compact_past_batches: int | None = None,
 ):
     """Streaming winnowed-fingerprint index ingest: micro-batches of
     (doc_id, text) land as ``batch_id=<n>`` posting partitions via
@@ -196,6 +247,10 @@ def run_winnow_index_ingest(
     )
     from doc2dataset_spark.operators.winnow_index import append_winnow_batch
 
+    from doc2dataset_spark.operators.index_maintenance import (
+        compact_index_history,
+    )
+
     return _run_batchwise_ingest(
         docs_stream,
         checkpoint_dir,
@@ -203,6 +258,10 @@ def run_winnow_index_ingest(
             spark, df, index_dir, batch_id=bid
         ),
         [_winnow_postings(index_dir)],
+        compact_past_batches=compact_past_batches,
+        compactor=lambda spark, upto: compact_index_history(
+            spark, _winnow_postings(index_dir), upto
+        ),
     )
 
 
@@ -211,6 +270,7 @@ def run_cluster_ingest(
     index_dir: str,
     state_dir: str,
     checkpoint_dir: str,
+    compact_past_batches: int | None = None,
 ):
     """Streaming near-dup CLUSTER maintenance: per micro-batch of
     (doc_id, text), land the batch's band postings
@@ -246,9 +306,25 @@ def run_cluster_ingest(
             spark, state_dir, pairs, df.select("doc_id"), batch_id=bid
         )
 
+    from doc2dataset_spark.operators.cluster_state import compact_labels
+    from doc2dataset_spark.operators.index_maintenance import (
+        compact_index_history,
+    )
+
+    def _compact(spark, upto):
+        # shared batch clock -> shared compaction horizon: the band
+        # index relabels losslessly, the label log collapses to its
+        # latest-wins state (each family's own verb)
+        compact_index_history(
+            spark, _bands_path(index_dir), upto, partition_cols=("band",)
+        )
+        compact_labels(spark, state_dir, upto_batch=upto)
+
     return _run_batchwise_ingest(
         docs_stream,
         checkpoint_dir,
         step,
         [_bands_path(index_dir), _labels_path(state_dir)],
+        compact_past_batches=compact_past_batches,
+        compactor=_compact,
     )

@@ -574,6 +574,335 @@ def run_scored_gate(spark) -> None:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_maintenance(spark) -> None:
+    """Price the maintenance verbs at sf1 (round-11 verdict, Next round
+    #3/#7): per index family, delete 0.1%/1%/10% key fractions and record
+    partitions rewritten vs total (the O(affected-partitions) claim as
+    numbers); forget docs from cluster state with the member-scoped
+    relabel; apply a mixed upsert/delete CDC changelog; and measure
+    serve_labels wall at 10/50/100-batch log depths pre/post compaction.
+    Falls back to sf0.1 when the sf1 twin isn't built."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from doc2dataset_spark.operators.cluster_state import (
+        apply_batch,
+        compact_labels,
+        forget_docs,
+        member_pairs_minhash,
+        serve_labels,
+        _labels_path,
+    )
+    from doc2dataset_spark.operators.index_maintenance import (
+        compact_index_history,
+        delete_docs_minhash,
+        delete_docs_text,
+        delete_docs_winnow,
+        delete_vecs_ivf,
+        sync_minhash_index_cdc,
+        sync_text_index_cdc,
+    )
+    from doc2dataset_spark.operators.minhash_index import (
+        _bands_path,
+        build_minhash_index,
+        candidates_from_index,
+    )
+    from doc2dataset_spark.operators.text_index import (
+        _postings_path as _tx_path,
+        build_text_index,
+    )
+    from doc2dataset_spark.operators.vector_index import (
+        _postings_path as _ivf_path,
+        build_ivf_index,
+    )
+    from doc2dataset_spark.operators.winnow_index import (
+        _postings_path as _wn_path,
+        build_winnow_index,
+    )
+
+    def leaf_partitions(root: str) -> int:
+        # hive leaf dirs that actually hold parquet files
+        leaves = set()
+        for d, _, files in os.walk(root):
+            if any(f.endswith(".parquet") for f in files):
+                leaves.add(d)
+        return len(leaves)
+
+    sf_dir = BIG1_DIR if os.path.exists(BIG1_DIR) else SHIPPED[-1]
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    out = {"sf_dir": sf_dir, "corpus_docs": n_docs}
+    root = tempfile.mkdtemp(prefix="maint_bench_")
+    try:
+        # ---- one-time builds (not the number under test, but recorded)
+        idx = {}
+        for kind, build, path_of in (
+            ("minhash", build_minhash_index, _bands_path),
+            ("winnow", build_winnow_index, _wn_path),
+            ("text", build_text_index, _tx_path),
+            ("ivf", build_ivf_index, _ivf_path),
+        ):
+            d = os.path.join(root, kind)
+            t0 = time.time()
+            build(spark, sf_dir, d)
+            idx[kind] = {"dir": d, "postings": path_of(d),
+                         "build_sec": round(time.time() - t0, 2)}
+            print(f"# built {kind} in {idx[kind]['build_sec']}s",
+                  file=sys.stderr)
+
+        # ---- cluster state from the band index (forget_docs target)
+        state = os.path.join(root, "state")
+        pairs = candidates_from_index(spark, idx["minhash"]["dir"]).select(
+            "da", "db"
+        )
+        t0 = time.time()
+        apply_batch(spark, state, pairs, docs.select("doc_id"), batch_id=0)
+        out["state_build_sec"] = round(time.time() - t0, 2)
+
+        # ---- forget_docs: RTBF with member-scoped relabel (possible
+        # splits). Victims = ~0.1% of doc_ids; band-index deletion first
+        # (the provider contract), then the state relabel.
+        victims = [
+            r[0]
+            for r in docs.filter(F.col("doc_id") % 1009 == 7)
+            .select("doc_id")
+            .collect()
+        ]
+        t0 = time.time()
+        del_stats = delete_docs_minhash(spark, idx["minhash"]["dir"], victims)
+        fg = forget_docs(
+            spark,
+            state,
+            victims,
+            member_pairs_minhash(spark, idx["minhash"]["dir"]),
+            batch_id=1,
+        )
+        out["forget"] = {
+            "n_victims": len(victims),
+            "index_delete": del_stats,
+            "state_stats": fg,
+            "sec": round(time.time() - t0, 2),
+        }
+        print(f"# forget: {out['forget']}", file=sys.stderr)
+
+        # ---- per-family fraction deletes: disjoint key sets so each
+        # fraction measures a fresh deletion (the index shrinks by the
+        # prior fractions' rows — noted, second-order at these sizes)
+        fractions = ((0.001, 997, 3), (0.01, 101, 5), (0.1, 10, 1))
+        for kind, deleter, key_src in (
+            ("minhash", delete_docs_minhash, "doc"),
+            ("winnow", delete_docs_winnow, "doc"),
+            ("text", delete_docs_text, "doc"),
+            ("ivf", delete_vecs_ivf, "vec"),
+        ):
+            if key_src == "doc":
+                keys_frame = docs.select("doc_id")
+                col = "doc_id"
+            else:
+                keys_frame = load_table(spark, sf_dir, "embeddings").select(
+                    F.col("vec_id")
+                )
+                col = "vec_id"
+            total = leaf_partitions(idx[kind]["postings"])
+            rows = []
+            for frac, mod, residue in fractions:
+                ks = [
+                    r[0]
+                    for r in keys_frame.filter(
+                        F.col(col) % mod == residue
+                    ).collect()
+                ]
+                t0 = time.time()
+                st = deleter(spark, idx[kind]["dir"], ks)
+                sec = round(time.time() - t0, 2)
+                rows.append(
+                    {
+                        "fraction": frac,
+                        "n_keys": len(ks),
+                        "sec": sec,
+                        "partitions_total": total,
+                        **st,
+                    }
+                )
+                print(f"# delete {kind} {frac}: {rows[-1]}", file=sys.stderr)
+                total = leaf_partitions(idx[kind]["postings"])
+            out[f"delete_{kind}"] = rows
+
+        # ---- partition-scoping demonstrated: a 20-batch band index,
+        # then (a) forget one ingest batch's docs (the realistic RTBF
+        # shape: a crawl snapshot, one user's uploads) vs (b) the same
+        # key COUNT spread uniformly over all batches. (a) must rewrite
+        # ~1/20th of the partitions; (b) touches nearly all of them —
+        # the honest physics of posting deletion.
+        multi = os.path.join(root, "mh_multi")
+        from doc2dataset_spark.operators.minhash_index import (
+            append_minhash_batch,
+        )
+
+        for b in range(20):
+            append_minhash_batch(
+                spark,
+                docs.filter(F.col("doc_id") % 20 == b),
+                multi,
+                batch_id=b,
+            )
+        total = leaf_partitions(_bands_path(multi))
+        one_batch_keys = [
+            r[0]
+            # ≡ 13 (mod 40) ⇒ inside ingest batch 13, half its docs
+            for r in docs.filter(F.col("doc_id") % 40 == 13)
+            .select("doc_id")
+            .collect()
+        ]
+        t0 = time.time()
+        st = delete_docs_minhash(spark, multi, one_batch_keys)
+        clustered = {
+            "n_keys": len(one_batch_keys),
+            "sec": round(time.time() - t0, 2),
+            "partitions_total": total,
+            **st,
+        }
+        spread_keys = [
+            r[0]
+            # hash-based pick: decorrelated from doc_id % 20, so the
+            # same key COUNT lands across (nearly) all ingest batches
+            for r in docs.filter(F.hash("doc_id") % 40 == 3)
+            .select("doc_id")
+            .collect()
+        ]
+        t0 = time.time()
+        st = delete_docs_minhash(spark, multi, spread_keys)
+        spread = {
+            "n_keys": len(spread_keys),
+            "sec": round(time.time() - t0, 2),
+            "partitions_total": leaf_partitions(_bands_path(multi)),
+            **st,
+        }
+        out["delete_scoping_20batch"] = {
+            "clustered_one_batch": clustered,
+            "spread_all_batches": spread,
+        }
+        print(
+            f"# delete_scoping_20batch: {out['delete_scoping_20batch']}",
+            file=sys.stderr,
+        )
+
+        # ---- CDC sync: mixed changelog, 1% upserts (rewritten text) +
+        # 0.5% deletes, with overlap so delete-wins precedence is on the
+        # measured path
+        up = (
+            docs.filter(F.col("doc_id") % 100 == 9)
+            .select(
+                "doc_id",
+                F.concat(F.lit("v2 "), F.col("text")).alias("text"),
+            )
+            .withColumn("op", F.lit("upsert"))
+        )
+        dl = (
+            docs.filter(F.col("doc_id") % 200 == 9)  # half overlap with up
+            .select("doc_id", F.lit(None).cast("string").alias("text"))
+            .withColumn("op", F.lit("delete"))
+        )
+        changelog = up.unionByName(dl)
+        n_change = changelog.count()
+        for kind, sync in (
+            ("text", sync_text_index_cdc),
+            ("minhash", sync_minhash_index_cdc),
+        ):
+            t0 = time.time()
+            st = sync(spark, idx[kind]["dir"], changelog, batch_id=7)
+            out[f"cdc_{kind}"] = {
+                "changelog_rows": n_change,
+                "sec": round(time.time() - t0, 2),
+                **st,
+            }
+            print(f"# cdc {kind}: {out[f'cdc_{kind}']}", file=sys.stderr)
+
+        # ---- index-history compaction: head-only claim as numbers —
+        # compact the first half of an 8-batch winnow index and record
+        # wall + files (tail batches are renamed, never rewritten)
+        hist = os.path.join(root, "wn_hist")
+        from doc2dataset_spark.operators.winnow_index import (
+            append_winnow_batch,
+        )
+
+        for b in range(8):
+            append_winnow_batch(
+                spark, docs.filter(F.col("doc_id") % 8 == b), hist, batch_id=b
+            )
+        t0 = time.time()
+        st = compact_index_history(spark, _wn_path(hist), upto_batch=3)
+        out["compact_history"] = {
+            "sec": round(time.time() - t0, 2),
+            **st,
+        }
+        print(f"# compact_history: {out['compact_history']}", file=sys.stderr)
+
+        # ---- serve_labels vs log depth, pre/post compaction: synthetic
+        # 100-batch upsert log (batch 0 = full corpus self-labels, each
+        # later batch upserts ~1% of docs), served through partition-
+        # pruned prefixes at depth 10/50/100 — the same aggregate
+        # serve_labels runs, reading only that many batch partitions
+        depth_state = os.path.join(root, "depth_state")
+        labels = _labels_path(depth_state)
+        base = (
+            docs.select("doc_id")
+            .withColumn("cluster_id", F.col("doc_id"))
+            .withColumn("batch_id", F.lit(0))
+        )
+        upserts = (
+            docs.select("doc_id")
+            .withColumn(
+                "cluster_id", F.col("doc_id") - (F.col("doc_id") % 2)
+            )
+            .withColumn(
+                "batch_id", (F.col("doc_id") % 99 + 1).cast("int")
+            )
+        )
+        (
+            base.unionByName(upserts)
+            .repartition("batch_id")
+            .write.partitionBy("batch_id")
+            .parquet(labels)
+        )
+        depths = {}
+        for depth in (10, 50, 100):
+            pruned = (
+                spark.read.parquet(labels)
+                .filter(F.col("batch_id") < depth)
+                .groupBy("doc_id")
+                .agg(
+                    F.expr("max_by(cluster_id, batch_id)").alias("cluster_id")
+                )
+                .filter(F.col("cluster_id").isNotNull())
+            )
+            t0 = time.time()
+            n = pruned.count()
+            depths[str(depth)] = {
+                "serve_sec": round(time.time() - t0, 2),
+                "rows": n,
+            }
+        t0 = time.time()
+        compact_labels(spark, depth_state, upto_batch=99)
+        compact_sec = round(time.time() - t0, 2)
+        t0 = time.time()
+        n = serve_labels(spark, depth_state).count()
+        out["serve_depth"] = {
+            "pre": depths,
+            "compact_sec": compact_sec,
+            "post_100": {
+                "serve_sec": round(time.time() - t0, 2),
+                "rows": n,
+            },
+        }
+        print(f"# serve_depth: {out['serve_depth']}", file=sys.stderr)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps(out))
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "curve"
     if mode == "make-big":
@@ -1023,6 +1352,8 @@ def main() -> None:
             run_set(spark, ROUND11_SET, sf_dir, with_duck=True)
         if os.path.exists(BIG1_DIR):
             run_set(spark, ROUND11_SF1_SET, BIG1_DIR, with_duck=False)
+    elif mode == "maintenance":
+        run_maintenance(spark)
     elif mode == "cluster-incremental":
         run_incremental_cluster(spark)
     elif mode == "scoredgate":

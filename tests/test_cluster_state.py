@@ -362,3 +362,50 @@ def test_forget_with_winnow_index_equals_never_ingested(
         )
     )
     assert got == want
+
+
+def test_streaming_cluster_ingest_auto_compaction_serves_same(
+    spark, sf_dir, tmp_path
+):
+    """run_cluster_ingest with compact_past_batches=1 must finalize the
+    pre-window batches in BOTH artifacts (band index + label log, on
+    their shared batch clock) and serve identical labels to the
+    uncompacted twin — compaction is invisible to every reader."""
+    import os
+
+    from doc2dataset_spark.operators.minhash_index import (
+        _bands_path,
+        candidates_from_index,
+    )
+    from doc2dataset_spark.streaming.index_ingest import run_cluster_ingest
+    from tests.test_winnow_index import _doc_stream_source_3
+
+    idx = str(tmp_path / "mh_stream_c")
+    state = str(tmp_path / "state_stream_c")
+    run_cluster_ingest(
+        _doc_stream_source_3(spark, sf_dir, tmp_path),
+        idx,
+        state,
+        str(tmp_path / "ck_c"),
+        compact_past_batches=1,
+    )
+
+    def _dirs(p):
+        return sorted(
+            d for d in os.listdir(p) if d.startswith("batch_id=")
+        )
+
+    assert _dirs(_bands_path(idx)) == ["batch_id=2", "batch_id=3"]
+    assert _dirs(str(tmp_path / "state_stream_c" / "labels")) == [
+        "batch_id=2",
+        "batch_id=3",
+    ]
+    got = _rows(serve_labels(spark, state))
+    full = cc_labels_from_pairs(candidates_from_index(spark, idx))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    want = _rows(
+        docs.join(full, "doc_id", "left").select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    assert got == want

@@ -147,3 +147,128 @@ def test_compaction_refuses_over_leftover_recovery_dir(
     os.makedirs(leftover)
     with pytest.raises(RuntimeError, match="interrupted compaction"):
         compact_index_history(spark, _winnow_postings(idx), upto_batch=0)
+
+
+def test_compaction_swap_failure_rolls_back_intact(spark, sf_dir, tmp_path):
+    """A Python-level failure mid-swap (here: injected on the final
+    tmp->root rename) must put every tail dir back and restore the
+    original root byte-for-byte, leaving no manifest/recovery debris —
+    so a retry after a transient fs error starts from a clean slate."""
+    import pytest
+
+    from doc2dataset_spark import fsio
+    from doc2dataset_spark.operators import index_maintenance as im
+    from doc2dataset_spark.session import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    idx = str(tmp_path / "wn_crash")
+    for i in range(3):
+        append_winnow_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), idx, batch_id=i
+        )
+    root = _winnow_postings(idx)
+    before = file_inventory(root)
+
+    class FlakyFS(fsio.LocalFS):
+        def mv(self, src, dst):
+            # fail exactly the final publish rename (tmp -> live root);
+            # the rollback's own old -> root restore must still work
+            if dst.rstrip("/") == root.rstrip("/") and "__compact_" in src:
+                raise OSError("injected: rename tmp -> root")
+            super().mv(src, dst)
+
+    real = fsio.url_to_fs
+    fsio.url_to_fs = lambda p: (FlakyFS(), p) if p == root else real(p)
+    try:
+        with pytest.raises(OSError, match="injected"):
+            im.compact_index_history(spark, root, upto_batch=1)
+    finally:
+        fsio.url_to_fs = real
+
+    assert file_inventory(root) == before
+    assert not os.path.exists(root.rstrip("/") + "__old_compact")
+    assert not os.path.exists(root.rstrip("/") + "__compact_manifest.json")
+    # and a retry with a healthy fs succeeds from the restored state
+    stats = im.compact_index_history(spark, root, upto_batch=1)
+    assert stats["batches_after"] == 2
+
+
+def test_recover_compaction_mid_swap_rolls_back(spark, sf_dir, tmp_path):
+    """Hand-built SIGKILL debris (manifest written, root renamed away,
+    one tail dir already migrated into tmp): recover_compaction must
+    reassemble the ORIGINAL tree byte-for-byte and clean the siblings,
+    after which a fresh compaction succeeds."""
+    import json
+    import shutil
+
+    from doc2dataset_spark.operators.index_maintenance import (
+        recover_compaction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "wn_k")
+    for i in range(3):
+        append_winnow_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), idx, batch_id=i
+        )
+    root = _winnow_postings(idx).rstrip("/")
+    before = file_inventory(root)
+
+    # simulate the crash: manifest + tmp-with-merged-head stand-in, root
+    # renamed to __old_compact, ONE tail dir migrated, then "SIGKILL"
+    tmp, old = root + "__compact_dead", root + "__old_compact"
+    os.makedirs(tmp)
+    with open(root + "__compact_manifest.json", "w") as fh:
+        json.dump(
+            {"tmp": tmp, "root": root, "tail_dirs": ["batch_id=2"]}, fh
+        )
+    os.replace(root, old)
+    os.replace(
+        os.path.join(old, "batch_id=2"), os.path.join(tmp, "batch_id=2")
+    )
+
+    assert recover_compaction(root) == {"action": "rolled_back"}
+    assert file_inventory(root) == before
+    assert not os.path.exists(old)
+    assert not os.path.exists(tmp)
+    assert not os.path.exists(root + "__compact_manifest.json")
+    # idempotent over a healthy tree, and compaction now runs clean
+    assert recover_compaction(root) == {"action": "none"}
+    stats = compact_index_history(spark, root, upto_batch=1)
+    assert stats["batches_after"] == 2
+    shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_recover_compaction_after_publish_finalizes(spark, sf_dir, tmp_path):
+    """Crash AFTER the new tree published but before cleanup: the old
+    dir holds only superseded head batches — recover must finalize
+    (remove debris) and serving stays on the compacted tree."""
+    import json
+
+    from doc2dataset_spark.operators.index_maintenance import (
+        recover_compaction,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "wn_f")
+    for i in range(3):
+        append_winnow_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), idx, batch_id=i
+        )
+    root = _winnow_postings(idx).rstrip("/")
+    before = _rows(pairs_from_postings(read_postings(spark, idx).cache()))
+    stats = compact_index_history(spark, root, upto_batch=1)
+    assert stats["batches_after"] == 2
+    # recreate post-publish debris: stale old dir + the manifest
+    os.makedirs(root + "__old_compact/batch_id=0")
+    with open(root + "__compact_manifest.json", "w") as fh:
+        json.dump(
+            {"tmp": root + "__gone", "root": root,
+             "tail_dirs": ["batch_id=2"]}, fh
+        )
+    assert recover_compaction(root) == {"action": "finalized"}
+    assert not os.path.exists(root + "__old_compact")
+    assert (
+        _rows(pairs_from_postings(read_postings(spark, idx).cache()))
+        == before
+    )

@@ -158,3 +158,50 @@ def test_streaming_text_ingest_matches_batch_build(
         )
         == want
     )
+
+
+def test_streaming_text_ingest_auto_compacts_both_artifacts(
+    spark, sf_dir, tmp_path, text_index_dir
+):
+    """compact_past_batches on the text ingest must compact postings AND
+    doclen on the same horizon (both are batch-partitioned), keep the
+    newest batch replayable, and leave BM25 probes identical — n/avgdl
+    need no refresh because doclen CONTENT is preserved."""
+    import os
+
+    from doc2dataset_spark.operators.text_index import _doclen_path
+    from doc2dataset_spark.streaming.index_ingest import (
+        run_text_index_ingest,
+    )
+    from tests.test_winnow_index import _doc_stream_source_3
+
+    stream_dir = str(tmp_path / "stream_tix_c")
+    run_text_index_ingest(
+        _doc_stream_source_3(spark, sf_dir, tmp_path).select(
+            "doc_id", "text"
+        ),
+        stream_dir,
+        (tmp_path / "ck_tix_c").as_posix(),
+        compact_past_batches=1,
+    )
+
+    def _dirs(p):
+        return sorted(
+            d for d in os.listdir(p) if d.startswith("batch_id=")
+        )
+
+    assert _dirs(_postings_path(stream_dir)) == ["batch_id=2", "batch_id=3"]
+    assert _dirs(_doclen_path(stream_dir)) == ["batch_id=2", "batch_id=3"]
+    want = _rows(
+        probe_text_index(
+            spark, text_index_dir, list(QUERY_TERMS), topk=BM25_TOPK
+        )
+    )
+    assert (
+        _rows(
+            probe_text_index(
+                spark, stream_dir, list(QUERY_TERMS), topk=BM25_TOPK
+            )
+        )
+        == want
+    )

@@ -223,3 +223,57 @@ def test_new_batch_read_is_partition_pruned(spark, sf_dir, tmp_path):
         .count()
         == 2
     )
+
+
+def _doc_stream_source_3(spark, sf_dir, tmp_path):
+    """documents split into THREE arrival files (one micro-batch each)."""
+    import os
+    import time as _time
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    src = tmp_path / "doc_src3"
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        f = (src / f"b{i}.parquet").as_posix()
+        docs.filter(F.col("doc_id") % 3 == i).toPandas().to_parquet(f)
+        os.utime(f, (_time.time() + 2 * i, _time.time() + 2 * i))
+    return (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+
+
+def test_streaming_ingest_auto_compacts_past_replay_window(
+    spark, sf_dir, tmp_path
+):
+    """compact_past_batches=1 on a 3-micro-batch stream must finalize
+    batches 1-2 into one partition, keep the newest batch intact (it
+    stays individually replayable), and serve the identical pair set."""
+    import os
+
+    from doc2dataset_spark.streaming.index_ingest import (
+        run_winnow_index_ingest,
+    )
+    from doc2dataset_spark.operators.winnow_index import (
+        _postings_path as _wp,
+    )
+
+    sidx = str(tmp_path / "wn_stream_c")
+    run_winnow_index_ingest(
+        _doc_stream_source_3(spark, sf_dir, tmp_path),
+        sidx,
+        str(tmp_path / "wn_ck_c"),
+        compact_past_batches=1,
+    )
+    dirs = sorted(
+        d for d in os.listdir(_wp(sidx)) if d.startswith("batch_id=")
+    )
+    assert dirs == ["batch_id=2", "batch_id=3"]
+    full = str(tmp_path / "wn_batch_c")
+    build_winnow_index(spark, sf_dir, full)
+    assert _rows(
+        pairs_from_postings(read_postings(spark, sidx).cache())
+    ) == _rows(pairs_from_postings(read_postings(spark, full).cache()))
