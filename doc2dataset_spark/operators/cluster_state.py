@@ -207,6 +207,8 @@ def compact_labels(
 
     from doc2dataset_spark import fsio
     from doc2dataset_spark.operators.index_maintenance import (
+        _batch_of,
+        _write_horizon,
         check_no_leftover_compaction,
         list_batch_dirs,
         swap_in_compacted,
@@ -215,9 +217,7 @@ def compact_labels(
     fs, p = fsio.url_to_fs(_labels_path(state_dir))
     check_no_leftover_compaction(fs, p)
     tail_dirs = [
-        d
-        for d in list_batch_dirs(fs, p)
-        if int(d.split("=", 1)[1]) > upto_batch
+        d for d in list_batch_dirs(fs, p) if _batch_of(d) > upto_batch
     ]
     head = (
         spark.read.parquet(_labels_path(state_dir))
@@ -240,6 +240,7 @@ def compact_labels(
         .parquet(tmp)
     )
     swap_in_compacted(fs, p, tmp, tail_dirs)
+    _write_horizon(fs, p, upto_batch)
 
 
 def _has_labels(state_dir: str) -> bool:

@@ -37,10 +37,13 @@ of silently serving a truncated index). Any failure before the first
 rename leaves the index untouched; a Python-level failure inside the
 swap rolls the tail moves back and restores the original root; a hard
 crash (SIGKILL) leaves the ``__old_compact`` sibling plus a
-``__compact_manifest.json`` recording tmp path / upto_batch / tail
-dirs, and the next compaction attempt refuses to run until the
-operator reassembles from those two (the manifest says exactly which
-dirs belong where).
+``__compact_manifest.json`` recording tmp path / tail dirs, the next
+compaction attempt refuses to run over the debris, and
+``recover_compaction`` reassembles from the manifest in one call
+(rolling back or finalizing, whichever the crash point requires).
+Successful compactions persist a ``__compaction_horizon`` sidecar so
+the streaming ingests can refuse the one replay shape compaction
+forecloses (fresh-checkpoint replay of finalized batches).
 
 ``delete_from_postings`` (+ the per-family ``delete_docs_*`` wrappers)
 is the other maintenance verb: right-to-be-forgotten removal of
@@ -88,6 +91,37 @@ def check_no_leftover_compaction(fs, root: str) -> None:
             "__compact_manifest.json sibling and finishes or rolls back "
             "the swap) before compacting again"
         )
+    # benign debris (crash between the manifest write and the first
+    # rename): the live root is intact — reclaim the orphaned tmp copy
+    # instead of silently overwriting the manifest and leaking it
+    manifest = f"{root.rstrip('/')}__compact_manifest.json"
+    if fs.exists(manifest):
+        with fs.open(manifest, "rb") as fh:
+            m = json.loads(fh.read().decode())
+        if fs.exists(m["tmp"]):
+            fs.rm(m["tmp"], recursive=True)
+        fs.rm(manifest)
+
+
+def compaction_horizon(fs, root: str) -> int | None:
+    """The highest batch_id ever finalized by compaction under root
+    (None if never compacted). Persisted as a ``__compaction_horizon``
+    sidecar so STREAMING ingests can detect that a fresh-checkpoint
+    replay is no longer safe: pre-horizon batches are finalized — a
+    replay would re-land their documents under renumbered batch ids and
+    the stale-batch sweep would delete the compacted history itself."""
+    marker = f"{root.rstrip('/')}__compaction_horizon.json"
+    if not fs.exists(marker):
+        return None
+    with fs.open(marker, "rb") as fh:
+        return int(json.loads(fh.read().decode())["upto"])
+
+
+def _write_horizon(fs, root: str, upto: int) -> None:
+    prev = compaction_horizon(fs, root)
+    marker = f"{root.rstrip('/')}__compaction_horizon.json"
+    with fs.open(marker, "wb") as fh:
+        fh.write(json.dumps({"upto": max(upto, prev or upto)}).encode())
 
 
 def recover_compaction(root: str) -> dict:
@@ -175,12 +209,16 @@ def swap_in_compacted(fs, root: str, tmp: str, tail_dirs: list[str]) -> None:
             fs.mv(fsio.join(old, d), fsio.join(tmp, d))
         fs.mv(tmp, root)
     except BaseException:
-        # roll back: return any moved tail dirs, restore the original root
+        # roll back: return any moved tail dirs, restore the original
+        # root, and reclaim the tmp copy (a retry rebuilds it — leaving
+        # it would leak one head-sized directory per failed attempt)
         for d in tail_dirs:
             src = fsio.join(tmp, d)
             if fs.exists(src) and not fs.exists(fsio.join(old, d)):
                 fs.mv(src, fsio.join(old, d))
         fs.mv(old, root)
+        if fs.exists(tmp):
+            fs.rm(tmp, recursive=True)
         fs.rm(manifest)
         raise
     fs.rm(old, recursive=True)
@@ -235,6 +273,7 @@ def compact_index_history(
         .parquet(tmp)
     )
     swap_in_compacted(fs, p, tmp, tail_dirs)
+    _write_horizon(fs, p, upto_batch)
 
     return {
         "batches_before": len(batch_dirs),
@@ -284,19 +323,24 @@ def delete_from_postings(
     fs, p = fsio.url_to_fs(postings_path)
     parts = ["batch_id", *partition_cols]
     if isinstance(keys, DataFrame):
+        # size unknown (could be a 10M-row changelog): no broadcast
+        # hint — AQE picks broadcast for small key sets and falls back
+        # to a shuffle join instead of OOMing the driver on big ones
         ids = keys.select(
             F.col(key_col).cast("bigint").alias(key_col)
         ).distinct()
+        ids_hinted = ids
     else:
         ids = spark.createDataFrame(
             [(int(k),) for k in keys], f"{key_col} bigint"
         )
+        ids_hinted = F.broadcast(ids)
     posts = spark.read.parquet(postings_path)
 
     # bounded collect: one row per affected hive partition
     affected = [
         tuple(r)
-        for r in posts.join(F.broadcast(ids), key_col, "left_semi")
+        for r in posts.join(ids_hinted, key_col, "left_semi")
         .select(*parts)
         .distinct()
         .collect()
@@ -319,7 +363,7 @@ def delete_from_postings(
 
     scoped = posts.filter(combo_pred)
     n_before = scoped.count()
-    survivors = scoped.join(F.broadcast(ids), key_col, "left_anti")
+    survivors = scoped.join(ids_hinted, key_col, "left_anti")
     # cut lineage so the overwrite below cannot race its own source scan
     survivors = survivors.localCheckpoint()
     n_after = survivors.count()

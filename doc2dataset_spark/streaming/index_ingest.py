@@ -161,10 +161,37 @@ def _run_batchwise_ingest(
     renamed, never rewritten). Serving results are invariant; only
     replay of the compacted (pre-window) batches is finalized — the
     compact_index_history contract, wired into the stream lifecycle."""
+    from doc2dataset_spark.operators.index_maintenance import (
+        _batch_of,
+        compaction_horizon,
+        list_batch_dirs,
+    )
     from doc2dataset_spark.streaming.util import sweep_stale_batches
 
+    if compact_past_batches is not None and compact_past_batches < 1:
+        raise ValueError(
+            "compact_past_batches must be >= 1: the newest batch must "
+            "stay individually replayable for same-checkpoint restarts"
+        )
     ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
     fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
+    if fresh_checkpoint:
+        # a COMPACTED index cannot absorb a fresh-checkpoint replay:
+        # pre-horizon batches are finalized, the replay would re-land
+        # their documents under renumbered batch ids (duplicates dynamic
+        # overwrite cannot collapse), and the stale-batch sweep below
+        # would delete the compacted history itself. Refuse up front,
+        # before the stream lands anything.
+        for path in sweep_paths:
+            fs, pp = fsio.url_to_fs(path)
+            if fs.exists(pp) and compaction_horizon(fs, pp) is not None:
+                raise RuntimeError(
+                    f"{path!r} has a compaction horizon (batches were "
+                    "finalized by compact_past_batches or a manual "
+                    "compaction) — a fresh-checkpoint replay is not "
+                    "supported on a compacted index; keep the original "
+                    "checkpoint or rebuild the index from the source"
+                )
     fired: list[int] = []
 
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -186,7 +213,21 @@ def _run_batchwise_ingest(
     if compact_past_batches is not None and compactor is not None and fired:
         upto = max(fired) + 1 - compact_past_batches
         if upto >= 1:  # nothing worth merging below batch 1
-            compactor(docs_stream.sparkSession, upto)
+            # no-op guard: if everything <= upto is already one merged
+            # partition, skip — recompacting would re-read and rewrite
+            # the corpus-sized head for zero change on every drain
+            fs0, p0 = fsio.url_to_fs(sweep_paths[0])
+            head_dirs = (
+                [
+                    d
+                    for d in list_batch_dirs(fs0, p0)
+                    if _batch_of(d) <= upto
+                ]
+                if fs0.exists(p0)
+                else []
+            )
+            if head_dirs and head_dirs != [f"batch_id={upto}"]:
+                compactor(docs_stream.sparkSession, upto)
     return q
 
 

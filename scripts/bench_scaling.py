@@ -768,7 +768,7 @@ def run_maintenance(spark) -> None:
             r[0]
             # hash-based pick: decorrelated from doc_id % 20, so the
             # same key COUNT lands across (nearly) all ingest batches
-            for r in docs.filter(F.hash("doc_id") % 40 == 3)
+            for r in docs.filter(F.pmod(F.hash("doc_id"), F.lit(40)) == 3)
             .select("doc_id")
             .collect()
         ]

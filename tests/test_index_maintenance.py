@@ -188,6 +188,11 @@ def test_compaction_swap_failure_rolls_back_intact(spark, sf_dir, tmp_path):
     assert file_inventory(root) == before
     assert not os.path.exists(root.rstrip("/") + "__old_compact")
     assert not os.path.exists(root.rstrip("/") + "__compact_manifest.json")
+    # the rollback reclaimed the tmp copy (no head-sized leak per retry)
+    parent = os.path.dirname(root.rstrip("/"))
+    assert not [
+        d for d in os.listdir(parent) if "__compact_" in d
+    ]
     # and a retry with a healthy fs succeeds from the restored state
     stats = im.compact_index_history(spark, root, upto_batch=1)
     assert stats["batches_after"] == 2

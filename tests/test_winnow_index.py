@@ -277,3 +277,44 @@ def test_streaming_ingest_auto_compacts_past_replay_window(
     assert _rows(
         pairs_from_postings(read_postings(spark, sidx).cache())
     ) == _rows(pairs_from_postings(read_postings(spark, full).cache()))
+
+
+def test_fresh_checkpoint_replay_refused_on_compacted_index(
+    spark, sf_dir, tmp_path
+):
+    """A compacted index finalized its pre-window batches; a replay
+    from a NEW checkpoint would re-land those docs under renumbered
+    batch ids and the stale-batch sweep would delete the compacted
+    history — the ingest must refuse up front, before landing anything."""
+    import pytest
+
+    from doc2dataset_spark.operators.winnow_index import (
+        _postings_path as _wp,
+    )
+    from doc2dataset_spark.streaming.index_ingest import (
+        run_winnow_index_ingest,
+    )
+    from tests.test_index_maintenance import file_inventory
+
+    sidx = str(tmp_path / "wn_stream_r")
+    run_winnow_index_ingest(
+        _doc_stream_source_3(spark, sf_dir, tmp_path),
+        sidx,
+        str(tmp_path / "wn_ck_r"),
+        compact_past_batches=1,
+    )
+    before = file_inventory(_wp(sidx))
+    replay = (
+        spark.readStream.schema(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "text")
+            .schema
+        )
+        .parquet((tmp_path / "doc_src3").as_posix())
+    )
+    with pytest.raises(RuntimeError, match="compaction horizon"):
+        run_winnow_index_ingest(
+            replay, sidx, str(tmp_path / "wn_ck_r2")
+        )
+    # refused BEFORE landing anything: the index is byte-untouched
+    assert file_inventory(_wp(sidx)) == before
