@@ -116,6 +116,10 @@ HEADLINE = [
     "embedding_mrl_recall",      # truncated-dim ANN recall vs full-dim
     "ann_pca_recall",            # trained 32-dim compressor vs prefix
     "dedup_keep_best_incremental",  # manifest served from cluster state
+    # round-12 ops
+    "events_asof_join",          # linear-state AS-OF carry (vs q32's range join)
+    "events_asof_tolerance",     # as-of + tolerance attribution report
+    "layout_zorder",             # Morton layout keys (map-side bit folds)
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

@@ -1,0 +1,116 @@
+"""Snapshot (as-of batch) reads over the persisted batch-partitioned logs.
+
+Every persisted lifecycle in this engine — the four posting indexes
+(IVF, text, MinHash bands, winnow fingerprints) and the cluster-label
+upsert log — appends one ``batch_id=<n>`` hive partition per ingest
+batch. That log IS a commit history, so Iceberg/Delta-style time travel
+falls out of the layout for free: reading the state "as of batch N" is
+a partition-pruned ``batch_id <= N`` scan — no extra metadata, no
+snapshot files, no rewrite.
+
+Semantics and their boundaries (each deliberate, each tested in
+``tests/test_time_travel.py``):
+
+- ``read_postings_asof``    postings exactly as they stood after batch N
+                            landed — equal to an index freshly built on
+                            the first N batches' corpus (the equality
+                            contract). Works identically for all four
+                            families because they share the append seam.
+- ``serve_labels_asof``     cluster labels as of batch N: the same
+                            latest-wins ``max_by`` fold as ``serve_labels``
+                            restricted to ``batch_id <= N``; NULL
+                            tombstones that landed at or before N still
+                            shadow earlier labels (a forgotten doc stays
+                            forgotten in the snapshot it was forgotten in).
+- **Compaction finalizes history.** ``compact_index_history`` /
+  ``compact_labels`` collapse batches ``<= upto`` into one partition, so
+  snapshots STRICTLY BEFORE the persisted ``__compaction_horizon`` are
+  no longer reconstructable — ``as_of_batch < horizon`` raises instead
+  of silently serving the merged (post-horizon) content. ``as_of ==
+  horizon`` and later remain exact: the merged head carries the
+  horizon's own batch id. This is precisely Delta's VACUUM /
+  Iceberg's expire-snapshots trade, surfaced as an explicit error.
+- **Deletion is retroactive by design.** ``delete_from_postings`` (the
+  right-to-be-forgotten verb) rewrites history in place, so EVERY
+  snapshot — past ones included — serves the post-deletion view. Time
+  travel must never resurrect a forgotten document; the test pins it.
+
+Scale shape: ``batch_id`` is the leading hive partition column in every
+family, so the ``<= N`` predicate prunes at the directory listing — an
+as-of read of a 100 TB index costs exactly what reading those batches'
+partitions costs, and current-state serving is unchanged. The horizon
+check is one sidecar-file read.
+
+Reference parity: the reference pipeline has no persisted index surface
+at all (its incremental seam is re-running the downloader); this
+extends the engine's own index lifecycle per the training-data-pipeline
+mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doc2dataset_spark import fsio
+from doc2dataset_spark.operators.index_maintenance import (
+    compaction_horizon,
+    list_batch_dirs,
+)
+
+
+def _check_horizon(root: str, as_of_batch: int) -> None:
+    fs, p = fsio.url_to_fs(root)
+    horizon = compaction_horizon(fs, p)
+    if horizon is not None and as_of_batch < horizon:
+        raise ValueError(
+            f"as_of_batch={as_of_batch} predates the compaction horizon "
+            f"({horizon}) of {root!r}: batches <= {horizon} were finalized "
+            "into one partition, so earlier snapshots are no longer "
+            "reconstructable (compact only past your time-travel window)"
+        )
+
+
+def latest_batch(root: str) -> int | None:
+    """Highest landed batch_id under a batch-partitioned root (None if
+    the log is empty) — the 'current snapshot' id, from a directory
+    listing only."""
+    fs, p = fsio.url_to_fs(root)
+    if not fs.exists(p):
+        return None
+    dirs = list_batch_dirs(fs, p)
+    return int(dirs[-1].split("=", 1)[1]) if dirs else None
+
+
+def read_postings_asof(
+    spark: SparkSession, root: str, as_of_batch: int
+) -> DataFrame:
+    """The batch-partitioned parquet log under ``root`` as it stood
+    after ``as_of_batch`` landed: a partition-pruned ``batch_id <= N``
+    read. Equal (as rows) to an index freshly built over the first N
+    batches' corpus — minus any later right-to-be-forgotten deletions,
+    which rewrite history on purpose. Raises when N predates the
+    compaction horizon (that history is finalized)."""
+    _check_horizon(root, as_of_batch)
+    return spark.read.parquet(root).filter(
+        F.col("batch_id") <= F.lit(as_of_batch)
+    )
+
+
+def serve_labels_asof(
+    spark: SparkSession, state_dir: str, as_of_batch: int
+) -> DataFrame:
+    """Cluster labels as of batch N: latest-wins ``max_by(cluster_id,
+    batch_id)`` over the upsert log restricted to ``batch_id <= N``,
+    tombstones (NULL labels) dropped after the fold — the exact
+    ``serve_labels`` contract at an earlier point of the log."""
+    root = fsio.join(state_dir, "labels")
+    _check_horizon(root, as_of_batch)
+    log = spark.read.parquet(root).filter(
+        F.col("batch_id") <= F.lit(as_of_batch)
+    )
+    return (
+        log.groupBy("doc_id")
+        .agg(F.expr("max_by(cluster_id, batch_id)").alias("cluster_id"))
+        .filter(F.col("cluster_id").isNotNull())
+    )

@@ -337,6 +337,11 @@ gate_swap(
     ],
 )
 
+# round-12 tail: as-of joins (backward attribution + tolerance report,
+# oracle = DuckDB's native ASOF LEFT JOIN) and Z-order layout keys —
+# post-gate, oracle-backed
+from doc2dataset_spark.queries import round12_extras  # noqa: E402
+
 # Gate rotation #10 (round 12): driver-record the round-11 second wave —
 # the warm state-served retention manifest (shares the keep_best oracle
 # VERBATIM, so the gate now proves warm == cold externally), the
@@ -359,6 +364,35 @@ gate_swap(
         "curate_corpus",
         "q45_tpch_q3",
         "text_lm_perplexity",
+    ],
+)
+
+# Gate rotation #11 (round 12, second rotation this round): driver-record
+# the round-12 operators in THIS round's snapshot — the linear-state
+# AS-OF carry judged against DuckDB's NATIVE ASOF LEFT JOIN (the one
+# oracle that is itself a real ASOF engine), the as-of + tolerance
+# attribution report on the same carry, and the Morton layout keys (the
+# OPTIMIZE ZORDER primitive, oracle-backed since round 5 but never
+# driver-recorded; its file-skipping claim is measured by
+# tests/test_pipeline_extras.py on real layouts) — over
+# events_ewma (the events family upgrades its slot to the as-of pair;
+# the EWMA fold stays pytest-pinned by its reference-fold identities),
+# q37_recursive_cte (the recursive-CTE oracle shape stays gated inside
+# dedup_cluster_cc and the cluster family's closure oracles), and
+# profile_documents (corpus profiling is gate-represented by
+# dedup_cluster_stats' per-source health report). All demoted rows stay
+# hash-checked by the degated-parity pytest sweep and
+# scripts/driver_mirror.py.
+gate_swap(
+    promote=[
+        "events_asof_join",
+        "events_asof_tolerance",
+        "layout_zorder",
+    ],
+    demote=[
+        "events_ewma",
+        "q37_recursive_cte",
+        "profile_documents",
     ],
 )
 

@@ -37,6 +37,17 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: register a declared query with its optional DuckDB oracle."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # A duplicate name would SILENTLY shadow the earlier query (dict
+        # overwrite) — its oracle, docstring, and gate slot would then
+        # belong to different code than COVERAGE.md claims. Round 12
+        # nearly shipped exactly that (a second `layout_zorder`); fail
+        # at import time instead.
+        if name in REGISTRY:
+            raise ValueError(
+                f"query {name!r} is already registered "
+                f"(by {REGISTRY[name].builder.__module__}); "
+                "pick a distinct name or extend the existing query"
+            )
         REGISTRY[name] = QuerySpec(name, fn, oracle, fn.__doc__ or "", tags)
         return fn
 

@@ -67,6 +67,19 @@ Rotation log (why the current 50 are the current 50):
   join-heaviest gated shapes: Q21, Q2, Q5, Q8), and text_lm_perplexity
   (its bigram-LM NLL scoring is embedded end-to-end in
   curate_ccnet_buckets' gated oracle).
+- r12 #11 (same round): promoted the round-12 operators —
+  events_asof_join (the linear-state AS-OF carry judged against DuckDB's
+  NATIVE ASOF LEFT JOIN — the one oracle that is itself a real ASOF
+  engine), events_asof_tolerance (as-of + tolerance attribution report
+  on the same carry), layout_zorder (Morton layout keys, the OPTIMIZE
+  ZORDER primitive) — over events_ewma (the events family UPGRADES its
+  gate slot to the as-of pair; ewma stays pytest-pinned by its
+  reference-fold identities), q37_recursive_cte (the recursive-CTE
+  oracle shape stays gated inside dedup_cluster_cc / the cluster
+  family's closure oracles), and profile_documents (corpus profiling is
+  gate-represented by dedup_cluster_stats' per-source health report).
+  All demoted rows stay hash-checked by the degated-parity pytest sweep
+  and scripts/driver_mirror.py.
 """
 
 from __future__ import annotations
@@ -93,21 +106,21 @@ FROZEN_GATE = [
     "agg_salted_two_phase",
     "q12b_bucketed_range_join",
     "q69_tpch_q21",
-    "q37_recursive_cte",
+    "events_asof_tolerance",
     "text_tfidf_topk",
     "q64_tpch_q2",
     "join_cbo_reordered",
     "quality_psi_drift",
     "curate_ccnet_buckets",
     "q74_higher_order_fns",
-    "events_ewma",
+    "events_asof_join",
     "dedup_prefix_stats",
     "dedup_simhash_recall",
     "dedup_cluster_incremental",
     "sim_ann_hyperplane_multi",
     "graph_kcore",
     "dedup_cluster_keep_best",
-    "profile_documents",
+    "layout_zorder",
     "ml_kmeans_lite",
     "q36_pandas_udf",
     "q36_apply_in_pandas",

@@ -1,0 +1,250 @@
+"""Round-12 queries: the AS-OF join family.
+
+The one canonical "Spark lacks this, compose it" operator the engine
+was still missing:
+
+- ``events_asof_join``       backward AS-OF join (attribution): for each
+                             purchase, the same user's most recent view
+                             at-or-before the purchase instant. Spark has
+                             no ASOF JOIN; the scalable rewrite is
+                             union-tag + one per-key ordered window with
+                             a last-non-null carry — one shuffle, no
+                             range explosion (the Flink temporal-join /
+                             pandas merge_asof shape). The oracle is
+                             DuckDB's native ``ASOF LEFT JOIN``, so the
+                             rewrite's equality to a real ASOF engine IS
+                             the test. This is the LINEAR-STATE twin of
+                             ``q32_asof_join`` (windows.py), which keeps
+                             the naive range-join + row_number=1 plan: at
+                             100 TB, q32 materializes every (purchase ×
+                             all prior views) candidate before discarding
+                             all but one, where the carry touches each
+                             event exactly once; q32 is also INNER (drops
+                             view-less purchases) — this one is LEFT.
+- ``events_asof_tolerance``  the attribution report built on the same
+                             carry: per-user purchase counts, matches,
+                             matches within a 3-day tolerance window
+                             (ASOF + tolerance, pandas ``merge_asof
+                             (tolerance=...)`` semantics), and the mean
+                             attributed view→purchase gap.
+(The round also gate-promotes ``layout_zorder`` — pipeline_extras' Morton
+layout keys, the OPTIMIZE ZORDER primitive — which was oracle-backed but
+never driver-recorded; see gate rotation #11 in queries/__init__.py.)
+
+Reference parity: the reference pipeline (doc2dataset) has no join or
+layout surface at all (its one join-adjacent op is a URL
+``dropDuplicates``, /root/reference/examples/get_pdf_links_from_cc.py:126);
+these extend the declared query families per SURVEY §2.3's growth rule.
+
+Scale shape notes:
+- The as-of carry is ONE window partitioned by ``user_id`` ordered by
+  ``(ts, side, id)`` — per-key sequential state, massively parallel
+  across keys, and the only shuffle is the hash partition by key. No
+  inequality join, no per-row range scan, no candidate explosion. A
+  severely hot key (one user with millions of events) would call for
+  the time-bucketed two-phase variant; event keys here are users, whose
+  per-key volume is organically bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import query
+from doc2dataset_spark.session import load_table
+
+# ---------------------------------------------------------------------------
+# events_asof_join — backward as-of (attribution) via union + ordered carry
+# ---------------------------------------------------------------------------
+
+# Right side deduped to one row per (user_id, ts): DuckDB's ASOF picks
+# *a* row at the winning timestamp but does not define which when the
+# right side has duplicate (key, ts); collapsing ties with an integer
+# argmax (max event_id) makes both engines deterministic on any corpus.
+_VIEWS_DUCK = """
+  SELECT user_id, ts, max_by(value, event_id) AS v_value
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+"""
+
+_ASOF_DETAIL_DUCK = f"""
+WITH v AS ({_VIEWS_DUCK}),
+p AS (
+  SELECT event_id, user_id, ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts AS p_ts, p.value AS purchase_value,
+       v.ts AS v_ts, v.v_value AS last_view_value,
+       (epoch_us(p.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def _asof_carried(spark, sf_dir):
+    """Purchases annotated with the last at-or-before view (ts, value)
+    and the view→purchase gap in exact integer microseconds.
+
+    The rewrite: tag views side=0 and purchases side=1, union, then one
+    window per user ordered by (ts, side, id) carries the last non-null
+    view forward with ``last(..., ignorenulls=True)``. side=0 before
+    side=1 at equal ts implements the ASOF ``>=`` (a view at the exact
+    purchase instant matches). Purchase rows carry NULL view columns, so
+    intervening purchases never reset the carry."""
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("v_value"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    r = views.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "v_value",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast("double").alias("purchase_value"),
+    )
+    left = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("v_value"),
+        "event_id",
+        "purchase_value",
+    )
+    u = r.unionByName(left)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", F.coalesce("event_id", F.lit(-1)))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = u.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "side",
+        "purchase_value",
+        F.last("v_value", ignorenulls=True).over(w).alias("last_view_value"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("v_ts"),
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id",
+        "user_id",
+        "p_ts",
+        "purchase_value",
+        "v_ts",
+        "last_view_value",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
+@query(
+    "events_asof_join",
+    oracle=f"""
+    SELECT event_id, user_id,
+           strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           purchase_value,
+           strftime(v_ts, '%Y-%m-%d %H:%M:%S') AS last_view_ts,
+           last_view_value, gap_us
+    FROM ({_ASOF_DETAIL_DUCK})
+    """,
+    tags=("events", "join", "asof"),
+)
+def events_asof_join(spark, sf_dir):
+    """Backward AS-OF LEFT join: each purchase picks the same user's
+    most recent view at-or-before the purchase instant (ties at the
+    exact instant match, per ASOF ``>=``); purchases with no prior view
+    survive with NULLs. The oracle is DuckDB's native ASOF LEFT JOIN —
+    the union+carry rewrite must reproduce a real ASOF engine exactly,
+    including the NULL extension and integer-microsecond gaps."""
+    c = _asof_carried(spark, sf_dir)
+    return c.select(
+        "event_id",
+        "user_id",
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "purchase_value",
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
+        "last_view_value",
+        "gap_us",
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_asof_tolerance — per-user attribution report with a 3-day window
+# ---------------------------------------------------------------------------
+
+ASOF_TOL_US = 3 * 24 * 3600 * 1_000_000  # 3-day attribution tolerance
+
+
+@query(
+    "events_asof_tolerance",
+    oracle=f"""
+    WITH d AS ({_ASOF_DETAIL_DUCK})
+    SELECT user_id,
+           count(*)::BIGINT AS n_purchases,
+           SUM(CASE WHEN gap_us IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+             AS n_matched,
+           SUM(CASE WHEN gap_us IS NOT NULL AND gap_us <= {ASOF_TOL_US}
+                    THEN 1 ELSE 0 END)::BIGINT AS n_attributed,
+           CASE WHEN SUM(CASE WHEN gap_us IS NOT NULL
+                              AND gap_us <= {ASOF_TOL_US}
+                         THEN 1 ELSE 0 END) > 0
+                THEN round(
+                  (SUM(CASE WHEN gap_us IS NOT NULL
+                            AND gap_us <= {ASOF_TOL_US}
+                       THEN gap_us END)::BIGINT)::DOUBLE
+                  / SUM(CASE WHEN gap_us IS NOT NULL
+                             AND gap_us <= {ASOF_TOL_US}
+                        THEN 1 ELSE 0 END)
+                  / 1000000.0, 4)
+           END AS avg_gap_seconds
+    FROM d GROUP BY user_id
+    """,
+    tags=("events", "join", "asof", "stats"),
+)
+def events_asof_tolerance(spark, sf_dir):
+    """AS-OF with tolerance (pandas ``merge_asof(tolerance=...)``
+    semantics), aggregated into the attribution report: per user — how
+    many purchases, how many had ANY prior view, how many had one within
+    3 days, and the mean attributed view→purchase gap in seconds. The
+    gap mean is exact-integer-summed (microsecond bigints) before the
+    one identically-ordered double division, so both engines agree
+    bit-for-bit."""
+    attributed = F.col("gap_us").isNotNull() & (
+        F.col("gap_us") <= F.lit(ASOF_TOL_US)
+    )
+    c = _asof_carried(spark, sf_dir)
+    g = c.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum(F.col("gap_us").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(attributed.cast("int")).cast("bigint").alias("n_attributed"),
+        F.sum(F.when(attributed, F.col("gap_us")))
+        .cast("bigint")
+        .alias("sum_gap_us"),
+    )
+    return g.select(
+        "user_id",
+        "n_purchases",
+        "n_matched",
+        "n_attributed",
+        F.when(
+            F.col("n_attributed") > 0,
+            F.round(
+                F.col("sum_gap_us").cast("double")
+                / F.col("n_attributed")
+                / F.lit(1000000.0),
+                4,
+            ),
+        ).alias("avg_gap_seconds"),
+    )

@@ -1,0 +1,147 @@
+"""Time travel (operators/time_travel.py): as-of batch reads must equal
+a fresh build on the prefix corpus, compaction must foreclose exactly
+the finalized snapshots (loudly), right-to-be-forgotten must stay
+forgotten in EVERY snapshot, and the label log's upsert/tombstone
+semantics must replay at any point of the log."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.operators.cluster_state import (
+    apply_batch,
+    forget_docs,
+    serve_labels,
+)
+from doc2dataset_spark.operators.index_maintenance import (
+    compact_index_history,
+    delete_docs_minhash,
+)
+from doc2dataset_spark.operators.minhash_index import (
+    _bands_path,
+    append_minhash_batch,
+)
+from doc2dataset_spark.operators.time_travel import (
+    latest_batch,
+    read_postings_asof,
+    serve_labels_asof,
+)
+from doc2dataset_spark.session import load_table
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _three_batch_index(spark, sf_dir, path) -> str:
+    docs = load_table(spark, sf_dir, "documents")
+    for i in range(3):
+        append_minhash_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), path, batch_id=i
+        )
+    return path
+
+
+def _prefix_index(spark, sf_dir, path) -> str:
+    docs = load_table(spark, sf_dir, "documents")
+    for i in range(2):
+        append_minhash_batch(
+            spark, docs.filter(F.col("doc_id") % 3 == i), path, batch_id=i
+        )
+    return path
+
+
+def test_postings_asof_equals_prefix_build(spark, sf_dir, tmp_path):
+    full = _three_batch_index(spark, sf_dir, str(tmp_path / "full"))
+    prefix = _prefix_index(spark, sf_dir, str(tmp_path / "prefix"))
+    root = _bands_path(full)
+    assert latest_batch(root) == 2
+    asof = read_postings_asof(spark, root, 1)
+    want = spark.read.parquet(_bands_path(prefix))
+    assert _rows(asof) == _rows(want)
+    # as-of the head batch == the current state
+    assert _rows(read_postings_asof(spark, root, 2)) == _rows(
+        spark.read.parquet(root)
+    )
+
+
+def test_compaction_forecloses_only_pre_horizon_snapshots(
+    spark, sf_dir, tmp_path
+):
+    full = _three_batch_index(spark, sf_dir, str(tmp_path / "full"))
+    prefix = _prefix_index(spark, sf_dir, str(tmp_path / "prefix"))
+    root = _bands_path(full)
+    compact_index_history(spark, root, upto_batch=1, partition_cols=("band",))
+    # snapshots at/after the horizon survive compaction content-exact
+    # (old rows now carry the merged head's batch id — compare content)
+    asof = read_postings_asof(spark, root, 1).drop("batch_id")
+    want = spark.read.parquet(_bands_path(prefix)).drop("batch_id")
+    assert _rows(asof) == _rows(want)
+    # snapshots strictly before the horizon are finalized: loud error
+    with pytest.raises(ValueError, match="compaction horizon"):
+        read_postings_asof(spark, root, 0)
+
+
+def test_deletion_is_retroactive_across_snapshots(spark, sf_dir, tmp_path):
+    full = _three_batch_index(spark, sf_dir, str(tmp_path / "full"))
+    root = _bands_path(full)
+    victim = int(
+        read_postings_asof(spark, root, 0).agg(F.min("doc_id")).first()[0]
+    )
+    delete_docs_minhash(spark, full, [victim])
+    # RTBF rewrites history: no snapshot may resurrect the doc
+    for n in range(3):
+        got = read_postings_asof(spark, root, n)
+        assert got.filter(F.col("doc_id") == victim).count() == 0
+    assert (
+        read_postings_asof(spark, root, 2)
+        .filter(F.col("doc_id") != victim)
+        .count()
+        > 0
+    )
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows or [], "da long, db long")
+
+
+def _ids(spark, rows):
+    return spark.createDataFrame([(i,) for i in rows], "doc_id long")
+
+
+def test_labels_asof_replays_the_upsert_log(spark, tmp_path):
+    state = str(tmp_path / "state")
+    solo = str(tmp_path / "solo")
+    apply_batch(spark, state, _pairs(spark, [(1, 2)]), _ids(spark, [1, 2, 3]),
+                batch_id=0)
+    apply_batch(spark, state, _pairs(spark, [(3, 4)]), _ids(spark, [4]),
+                batch_id=1)
+    apply_batch(spark, solo, _pairs(spark, [(1, 2)]), _ids(spark, [1, 2, 3]),
+                batch_id=0)
+    # as-of batch 0 == a state that only ever saw batch 0
+    assert _rows(serve_labels_asof(spark, state, 0)) == _rows(
+        serve_labels(spark, solo)
+    )
+    # as-of the head == current serving
+    assert _rows(serve_labels_asof(spark, state, 1)) == _rows(
+        serve_labels(spark, state)
+    )
+
+
+def test_labels_asof_respects_tombstones(spark, tmp_path):
+    state = str(tmp_path / "state")
+    apply_batch(spark, state, _pairs(spark, [(1, 2)]), _ids(spark, [1, 2, 3]),
+                batch_id=0)
+    apply_batch(spark, state, _pairs(spark, [(3, 4)]), _ids(spark, [4]),
+                batch_id=1)
+
+    def no_pairs(members):
+        return _pairs(members.sparkSession, [])
+
+    forget_docs(spark, state, [4], no_pairs, batch_id=2)
+    before = {r.doc_id for r in serve_labels_asof(spark, state, 1).collect()}
+    after = {r.doc_id for r in serve_labels_asof(spark, state, 2).collect()}
+    assert 4 in before  # the upsert log still replays pre-forget state
+    assert 4 not in after  # the tombstone shadows from its batch onward
+    assert after == {1, 2, 3}
