@@ -119,6 +119,7 @@ HEADLINE = [
     # round-12 ops
     "events_asof_join",          # linear-state AS-OF carry (vs q32's range join)
     "events_asof_tolerance",     # as-of + tolerance attribution report
+    "events_asof_nearest",       # two-sided nearest as-of (dual carry)
     "layout_zorder",             # Morton layout keys (map-side bit folds)
 ]
 

@@ -1,0 +1,365 @@
+"""General AS-OF join for Spark DataFrames (pandas ``merge_asof`` parity).
+
+Spark has no ASOF JOIN. The standard workaround — a non-equi range join
+followed by ``row_number() = 1`` — materializes every (left row × all
+its in-range right rows) candidate before discarding all but one; at
+100 TB that candidate space, not the data, is the cost. This operator
+implements the LINEAR-STATE rewrite instead: tag both inputs, union,
+and run ONE per-key ordered window whose last/first-non-null carry
+picks each left row's match. Every input row is touched exactly once;
+the only shuffle is the hash partition by key; per-key state is a
+single struct.
+
+Semantics follow ``pandas.merge_asof`` (the de-facto contract for
+as-of joins, and the reference twin the property tests run against):
+
+- ``direction='backward'``   match the latest right row with
+                             ``right.on <= left.on`` (exact matches
+                             allowed, as pandas' default
+                             ``allow_exact_matches=True``);
+- ``direction='forward'``    the earliest right row with
+                             ``right.on >= left.on``;
+- ``direction='nearest'``    whichever of the two is closer in absolute
+                             distance; an exact tie prefers BACKWARD
+                             (deterministic; pandas leaves ties to
+                             internal order).
+- ``tolerance``              drop matches farther than this (µs when
+                             ``on`` is a timestamp, the column's own
+                             units otherwise);
+- ``how='left' | 'inner'``   keep unmatched left rows with NULLs, or
+                             drop them.
+
+Contract: the right side must be unique per ``(by, on)`` — collapse
+ties upstream with an ``max_by`` argmax (as the registered
+``events_asof_join`` does) so the match is well-defined on any engine.
+Left-side duplicates are fine (they receive identical matches).
+
+Scale shape: one ``hashpartitioning(by)`` Exchange; 'backward'/'forward'
+sort once within partitions, 'nearest' twice (two window orders over the
+same exchange). No inequality join, no candidate explosion, no driver
+state. A pathologically hot key would call for the time-bucketed
+two-phase variant — keys here are users/entities whose per-key volume
+is organically bounded.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, IntegralType, TimestampNTZType, TimestampType
+
+_RT = "__rt"  # right on-value (comparable bigint) inside the match struct
+_RON = "__ron"  # right on-value in its original type
+
+
+def _comparable(df: DataFrame, on: str) -> Column:
+    """The ordering value as an EXACT bigint: integral columns as
+    themselves, timestamps as integer microseconds, dates as days.
+    Fractional types are refused rather than silently truncated — a
+    float cast to bigint reorders rows that differ only in the fraction
+    (left 1.5 would 'exactly match' right 1.9), which corrupts matches
+    and gaps; scale a fractional on-column to an integer unit first."""
+    dt = df.schema[on].dataType
+    if isinstance(dt, IntegralType):
+        return F.col(on).cast("bigint")
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(F.col(on).cast("timestamp"))
+    if isinstance(dt, DateType):
+        return F.datediff(F.col(on), F.lit("1970-01-01")).cast("bigint")
+    raise ValueError(
+        f"asof_join on-column {on!r} has type {dt.simpleString()}; only "
+        "integral, timestamp, and date columns are supported (cast a "
+        "fractional column to an exact integer unit first — truncating "
+        "it here would silently corrupt matches)"
+    )
+
+
+def _check_names(
+    lcols: list[str], rpayload: list[str], on: str, suffix: str
+) -> None:
+    """Reject reserved struct-field names and output collisions: a
+    suffixed right column equal to a left column would emit a duplicate
+    column name, which Spark accepts silently and breaks the first
+    downstream select-by-name."""
+    if any(c in (_RT, _RON) for c in rpayload):
+        raise ValueError(
+            f"right payload may not use reserved names {_RT}/{_RON}"
+        )
+    out_right = [f"{suffix}{on}", *[f"{suffix}{c}" for c in rpayload]]
+    clash = set(lcols) & ({*out_right, "asof_gap"})
+    if clash:
+        raise ValueError(
+            f"output name collision {sorted(clash)}: left columns clash "
+            "with the suffixed right columns (or asof_gap) — pick a "
+            "different suffix or rename the left columns"
+        )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: Sequence[str] = ("user_id",),
+    direction: str = "backward",
+    tolerance: int | None = None,
+    how: str = "left",
+    suffix: str = "r_",
+    bucket: int | None = None,
+) -> DataFrame:
+    """AS-OF join ``left`` to ``right`` on time column ``on`` within key
+    groups ``by``. Returns every left column, plus for the matched right
+    row: ``{suffix}{on}`` (its on-value, original type), ``{suffix}{c}``
+    for each right payload column, and ``asof_gap`` = left.on − right.on
+    as an exact integer (µs for timestamps; ≥0 backward, ≤0 forward,
+    either sign nearest; NULL when unmatched).
+
+    ``bucket`` (backward direction only): the hot-key escape hatch. The
+    plain carry sorts each key's FULL history in one window partition —
+    correct until one key holds a large fraction of the data (a default
+    tenant id, a bot user), where that partition becomes one task. With
+    ``bucket=<span in the comparable units — µs for timestamps>``, the
+    carry runs in TWO phases: (1) per-(key, bucket) summaries (one
+    map-side-combinable argmax per bucket) are carried across buckets —
+    a window over summary rows, #buckets per key of them, not raw rows;
+    (2) each bucket's rows sort only within their own (key, bucket)
+    partition, seeded with phase 1's state at the bucket boundary. Every
+    partition is bounded by per-bucket volume regardless of key skew.
+    Result-identical to the plain carry (pinned by equality tests)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"unknown how {how!r}")
+    if bucket is not None:
+        if direction != "backward":
+            raise NotImplementedError(
+                "bucketed two-phase carry is implemented for "
+                "direction='backward' only"
+            )
+        if bucket <= 0:
+            raise ValueError("bucket span must be positive")
+        return _asof_backward_bucketed(
+            left, right, on, list(by), int(bucket), tolerance, how, suffix
+        )
+    by = list(by)
+    lcols = list(left.columns)
+    rpayload = [c for c in right.columns if c not in by and c != on]
+    _check_names(lcols, rpayload, on, suffix)
+
+    rv = F.struct(
+        _comparable(right, on).alias(_RT),
+        F.col(on).alias(_RON),
+        *[F.col(c) for c in rpayload],
+    )
+    rv_type = right.select(rv.alias("__rv")).schema["__rv"].dataType
+    lrow = F.struct(*[F.col(c) for c in lcols])
+    lrow_type = left.select(lrow.alias("__lrow")).schema["__lrow"].dataType
+
+    rside = right.select(
+        *by,
+        _comparable(right, on).alias("__t"),
+        F.lit(0).alias("__side"),
+        rv.alias("__rv"),
+        F.lit(None).cast(lrow_type).alias("__lrow"),
+    )
+    lside = left.select(
+        *by,
+        _comparable(left, on).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(rv_type).alias("__rv"),
+        lrow.alias("__lrow"),
+    )
+    u = rside.unionByName(lside)
+
+    part = W.partitionBy(*by)
+    # backward: rights sort BEFORE lefts at equal t (side 0 < 1), so the
+    # trailing window's last-non-null sees exact matches; forward flips
+    # the side order so the leading window's first-non-null does too.
+    w_back = part.orderBy(F.col("__t").asc(), F.col("__side").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_fwd = part.orderBy(F.col("__t").asc(), F.col("__side").desc()).rowsBetween(
+        W.currentRow, W.unboundedFollowing
+    )
+
+    def _gated(match: Column, gap: Column) -> Column:
+        if tolerance is not None:
+            return F.when(gap <= F.lit(int(tolerance)), match)
+        return match
+
+    cols = [F.col("__t"), F.col("__side"), F.col("__lrow")]
+    if direction in ("backward", "nearest"):
+        b = F.last("__rv", ignorenulls=True).over(w_back)
+        cols.append(_gated(b, F.col("__t") - b[_RT]).alias("__b"))
+    if direction in ("forward", "nearest"):
+        f = F.first("__rv", ignorenulls=True).over(w_fwd)
+        cols.append(_gated(f, f[_RT] - F.col("__t")).alias("__f"))
+    carried = u.select(*cols).filter(F.col("__side") == 1)
+
+    if direction == "backward":
+        match = F.col("__b")
+    elif direction == "forward":
+        match = F.col("__f")
+    else:
+        gb = F.col("__t") - F.col("__b")[_RT]
+        gf = F.col("__f")[_RT] - F.col("__t")
+        match = (
+            F.when(F.col("__b").isNull(), F.col("__f"))
+            .when(F.col("__f").isNull(), F.col("__b"))
+            .when(gb <= gf, F.col("__b"))  # exact tie prefers backward
+            .otherwise(F.col("__f"))
+        )
+    carried = carried.withColumn("__m", match)
+    if how == "inner":
+        carried = carried.filter(F.col("__m").isNotNull())
+
+    return carried.select(
+        *[F.col("__lrow")[c].alias(c) for c in lcols],
+        F.col("__m")[_RON].alias(f"{suffix}{on}"),
+        *[F.col("__m")[c].alias(f"{suffix}{c}") for c in rpayload],
+        (F.col("__t") - F.col("__m")[_RT]).cast("bigint").alias("asof_gap"),
+    )
+
+
+def _asof_backward_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    bucket: int,
+    tolerance: int | None,
+    how: str,
+    suffix: str,
+) -> DataFrame:
+    """Two-phase backward carry for skewed keys (see asof_join's
+    ``bucket`` doc). Phase 1 carries per-bucket right summaries across
+    buckets to get each (key, bucket)'s seed = the last right row in any
+    STRICTLY earlier bucket; phase 2 unions seed + in-bucket rights +
+    in-bucket lefts and runs the ordinary carry partitioned by
+    (key, bucket) — in-bucket rights at-or-before the left row win over
+    the seed by window order, exactly as later views win in the plain
+    carry."""
+    lcols = list(left.columns)
+    rpayload = [c for c in right.columns if c not in by and c != on]
+    _check_names(lcols, rpayload, on, suffix)
+
+    rv = F.struct(
+        _comparable(right, on).alias(_RT),
+        F.col(on).alias(_RON),
+        *[F.col(c) for c in rpayload],
+    )
+    rv_type = right.select(rv.alias("__rv")).schema["__rv"].dataType
+    lrow = F.struct(*[F.col(c) for c in lcols])
+    lrow_type = left.select(lrow.alias("__lrow")).schema["__lrow"].dataType
+    # exact integer bucket floor (pmod keeps negatives correct; the
+    # subtraction makes __t an exact multiple, so `div` is exact)
+    bkt = F.expr(f"(__t - pmod(__t, {bucket})) div {bucket}")
+
+    rside = right.select(
+        *by,
+        _comparable(right, on).alias("__t"),
+        rv.alias("__rv"),
+    ).withColumn("__bk", bkt.cast("bigint"))
+    lside = left.select(
+        *by,
+        _comparable(left, on).alias("__t"),
+        lrow.alias("__lrow"),
+    ).withColumn("__bk", bkt.cast("bigint"))
+
+    # Phase 1: per-(key, bucket) last right row — map-side-combinable —
+    # then the seed for every bucket the LEFT side occupies: the last
+    # summary from a strictly earlier bucket. The union-tag trick again,
+    # one level up: summaries (side 1) sort AFTER left-bucket markers
+    # (side 0) at the same bucket, so the trailing carry at a marker sees
+    # only earlier buckets' summaries.
+    summaries = rside.groupBy(*by, "__bk").agg(
+        F.expr(f"max_by(__rv, __t)").alias("__rv")
+    )
+    lbuckets = lside.select(*by, "__bk").distinct()
+    seed_u = summaries.select(
+        *by, "__bk", F.lit(1).alias("__side"), "__rv"
+    ).unionByName(
+        lbuckets.select(
+            *by,
+            "__bk",
+            F.lit(0).alias("__side"),
+            F.lit(None).cast(rv_type).alias("__rv"),
+        )
+    )
+    w_seed = (
+        W.partitionBy(*by)
+        .orderBy(F.col("__bk").asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    seeds = (
+        seed_u.select(
+            *by,
+            "__bk",
+            "__side",
+            F.last("__rv", ignorenulls=True).over(w_seed).alias("__seed"),
+        )
+        .filter(F.col("__side") == 0)
+        .filter(F.col("__seed").isNotNull())
+    )
+
+    # Phase 2: the ordinary carry, partitioned by (key, bucket). The
+    # seed enters as a side=-1 row at the bucket floor so any in-bucket
+    # right (side 0) at-or-after it overrides; its __rv already holds
+    # the true right timestamp, so gaps and tolerance are exact.
+    u = (
+        seeds.select(
+            *by,
+            "__bk",
+            (F.col("__bk") * bucket).alias("__t"),
+            F.lit(-1).alias("__side"),
+            F.col("__seed").alias("__rv"),
+            F.lit(None).cast(lrow_type).alias("__lrow"),
+        )
+        .unionByName(
+            rside.select(
+                *by,
+                "__bk",
+                "__t",
+                F.lit(0).alias("__side"),
+                "__rv",
+                F.lit(None).cast(lrow_type).alias("__lrow"),
+            )
+        )
+        .unionByName(
+            lside.select(
+                *by,
+                "__bk",
+                "__t",
+                F.lit(1).alias("__side"),
+                F.lit(None).cast(rv_type).alias("__rv"),
+                "__lrow",
+            )
+        )
+    )
+    w_local = (
+        W.partitionBy(*by, "__bk")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    b = F.last("__rv", ignorenulls=True).over(w_local)
+    gap = F.col("__t") - b[_RT]
+    match = F.when(gap <= F.lit(int(tolerance)), b) if tolerance is not None else b
+    carried = (
+        u.select(
+            F.col("__t"),
+            F.col("__side"),
+            F.col("__lrow"),
+            match.alias("__m"),
+        )
+        .filter(F.col("__side") == 1)
+    )
+    if how == "inner":
+        carried = carried.filter(F.col("__m").isNotNull())
+    return carried.select(
+        *[F.col("__lrow")[c].alias(c) for c in lcols],
+        F.col("__m")[_RON].alias(f"{suffix}{on}"),
+        *[F.col("__m")[c].alias(f"{suffix}{c}") for c in rpayload],
+        (F.col("__t") - F.col("__m")[_RT]).cast("bigint").alias("asof_gap"),
+    )

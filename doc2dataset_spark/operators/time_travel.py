@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from doc2dataset_spark import fsio
 from doc2dataset_spark.operators.index_maintenance import (
+    _batch_of,
     compaction_horizon,
     list_batch_dirs,
 )
@@ -79,7 +80,7 @@ def latest_batch(root: str) -> int | None:
     if not fs.exists(p):
         return None
     dirs = list_batch_dirs(fs, p)
-    return int(dirs[-1].split("=", 1)[1]) if dirs else None
+    return _batch_of(dirs[-1]) if dirs else None
 
 
 def read_postings_asof(

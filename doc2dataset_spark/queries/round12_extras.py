@@ -48,9 +48,9 @@ Scale shape notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from doc2dataset_spark.operators.asof import asof_join
 from doc2dataset_spark.queries.core import query
 from doc2dataset_spark.session import load_table
 
@@ -82,14 +82,12 @@ FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
 
 def _asof_carried(spark, sf_dir):
     """Purchases annotated with the last at-or-before view (ts, value)
-    and the view→purchase gap in exact integer microseconds.
-
-    The rewrite: tag views side=0 and purchases side=1, union, then one
-    window per user ordered by (ts, side, id) carries the last non-null
-    view forward with ``last(..., ignorenulls=True)``. side=0 before
-    side=1 at equal ts implements the ASOF ``>=`` (a view at the exact
-    purchase instant matches). Purchase rows carry NULL view columns, so
-    intervening purchases never reset the carry."""
+    and the view→purchase gap in exact integer microseconds — the
+    general ``operators/asof.asof_join`` (union-tag + per-key ordered
+    carry; see that module for the full semantics and the pandas
+    merge_asof parity tests) instantiated for attribution. Views are
+    pre-collapsed per (user, ts) by integer argmax, the operator's
+    uniqueness contract."""
     e = load_table(spark, sf_dir, "events")
     views = (
         e.filter(F.col("event_type") == "view")
@@ -99,51 +97,23 @@ def _asof_carried(spark, sf_dir):
     purchases = e.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
     )
-    r = views.select(
-        "user_id",
-        "ts",
-        F.lit(0).alias("side"),
-        "v_value",
-        F.lit(None).cast("bigint").alias("event_id"),
-        F.lit(None).cast("double").alias("purchase_value"),
+    j = asof_join(
+        purchases,
+        views,
+        on="ts",
+        by=("user_id",),
+        direction="backward",
+        how="left",
+        suffix="v_",
     )
-    left = purchases.select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("side"),
-        F.lit(None).cast("double").alias("v_value"),
-        "event_id",
-        "purchase_value",
-    )
-    u = r.unionByName(left)
-    w = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "side", F.coalesce("event_id", F.lit(-1)))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    carried = u.select(
+    return j.select(
         "event_id",
         "user_id",
         F.col("ts").alias("p_ts"),
-        "side",
         "purchase_value",
-        F.last("v_value", ignorenulls=True).over(w).alias("last_view_value"),
-        F.last(
-            F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
-        )
-        .over(w)
-        .alias("v_ts"),
-    )
-    return carried.filter(F.col("side") == 1).select(
-        "event_id",
-        "user_id",
-        "p_ts",
-        "purchase_value",
-        "v_ts",
-        "last_view_value",
-        (F.unix_micros("p_ts") - F.unix_micros("v_ts"))
-        .cast("bigint")
-        .alias("gap_us"),
+        F.col("v_ts"),
+        F.col("v_v_value").alias("last_view_value"),
+        F.col("asof_gap").alias("gap_us"),
     )
 
 
@@ -247,4 +217,89 @@ def events_asof_tolerance(spark, sf_dir):
                 4,
             ),
         ).alias("avg_gap_seconds"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_asof_nearest — nearest-direction as-of (two-sided match)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_nearest",
+    oracle=f"""
+    WITH v AS ({_VIEWS_DUCK}),
+    p AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT p.event_id, v.ts AS m_ts, v.v_value AS m_val
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    ),
+    f AS (
+      SELECT p.event_id, v.ts AS m_ts, v.v_value AS m_val
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(CASE
+             WHEN b.m_ts IS NULL THEN f.m_ts
+             WHEN f.m_ts IS NULL THEN b.m_ts
+             WHEN epoch_us(p.ts) - epoch_us(b.m_ts)
+                  <= epoch_us(f.m_ts) - epoch_us(p.ts) THEN b.m_ts
+             ELSE f.m_ts END, '%Y-%m-%d %H:%M:%S') AS near_view_ts,
+           CASE
+             WHEN b.m_ts IS NULL THEN f.m_val
+             WHEN f.m_ts IS NULL THEN b.m_val
+             WHEN epoch_us(p.ts) - epoch_us(b.m_ts)
+                  <= epoch_us(f.m_ts) - epoch_us(p.ts) THEN b.m_val
+             ELSE f.m_val END AS near_view_value,
+           (epoch_us(p.ts) - epoch_us(CASE
+             WHEN b.m_ts IS NULL THEN f.m_ts
+             WHEN f.m_ts IS NULL THEN b.m_ts
+             WHEN epoch_us(p.ts) - epoch_us(b.m_ts)
+                  <= epoch_us(f.m_ts) - epoch_us(p.ts) THEN b.m_ts
+             ELSE f.m_ts END))::BIGINT AS gap_us
+    FROM p LEFT JOIN b ON b.event_id = p.event_id
+           LEFT JOIN f ON f.event_id = p.event_id
+    """,
+    tags=("events", "join", "asof"),
+)
+def events_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of: each purchase picks the view closest in
+    absolute time, either side, exact ties preferring backward (the
+    pandas merge_asof rule, pinned in tests/test_asof_operator.py). The
+    Spark side is ONE operator call (asof_join direction='nearest' —
+    both carries over the same single exchange); DuckDB has no nearest
+    ASOF, so the oracle composes it from its native backward and forward
+    ASOF joins plus the tie CASE — the two engines reach the same rows
+    by structurally different routes, which is exactly what makes the
+    hash equality evidential. gap_us is signed: positive = matched view
+    precedes the purchase, negative = it follows."""
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("v_value"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        purchases,
+        views,
+        on="ts",
+        by=("user_id",),
+        direction="nearest",
+        how="left",
+        suffix="v_",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("near_view_ts"),
+        F.col("v_v_value").alias("near_view_value"),
+        F.col("asof_gap").alias("gap_us"),
     )

@@ -128,6 +128,22 @@ def cdc_compact(spark: SparkSession, out_dir: str) -> dict:
     import shutil
     import uuid
 
+    from doc2dataset_spark import fsio
+    from doc2dataset_spark.operators.index_maintenance import (
+        _batch_of,
+        _write_horizon,
+        list_batch_dirs,
+    )
+
+    fs, root = fsio.url_to_fs(out_dir)
+    dirs = list_batch_dirs(fs, root)
+    if not dirs:
+        raise ValueError(
+            f"no batch_id=<n> partitions under {out_dir!r} — nothing to "
+            "compact (empty or swept changelog)"
+        )
+    # highest batch the snapshot absorbs — the time-travel horizon
+    folded = max(_batch_of(d) for d in dirs)
     served = cdc_serve(spark, out_dir)
     payload = [c for c in served.columns if c != "doc_id"]
     snapshot = served.select(
@@ -148,4 +164,49 @@ def cdc_compact(spark: SparkSession, out_dir: str) -> dict:
         os.rename(old, out_dir)  # rollback: the old log returns
         raise
     shutil.rmtree(old)
-    return {"rows": n}
+    _write_horizon(fs, root, folded)
+    return {"rows": n, "horizon": folded}
+
+
+def cdc_serve_asof(
+    spark: SparkSession, out_dir: str, as_of_batch: int
+) -> DataFrame:
+    """The table as it stood after changelog batch N — ``cdc_serve``'s
+    latest-wins fold restricted to ``batch_id <= N`` (partition-pruned).
+    Completes the time-travel surface (operators/time_travel.py) for the
+    third persisted log family. ``cdc_compact`` finalizes history into a
+    ``batch_id=0`` snapshot: snapshots strictly before its recorded
+    horizon raise (the same loud refusal as the index families — never
+    silently serve post-compaction content as the past); at-or-after the
+    horizon, the snapshot plus later batches reconstruct the state
+    exactly."""
+    from doc2dataset_spark import fsio
+    from doc2dataset_spark.operators.index_maintenance import (
+        compaction_horizon,
+    )
+
+    fs, root = fsio.url_to_fs(out_dir)
+    horizon = compaction_horizon(fs, root)
+    if horizon is not None and as_of_batch < horizon:
+        raise ValueError(
+            f"as_of_batch={as_of_batch} predates the compaction horizon "
+            f"({horizon}) of {out_dir!r}: cdc_compact folded those "
+            "batches into the snapshot, so earlier snapshots are no "
+            "longer reconstructable"
+        )
+    changes = spark.read.parquet(out_dir).filter(
+        F.col("batch_id") <= F.lit(as_of_batch)
+    )
+    payload = [
+        c for c in changes.columns if c not in ("doc_id", "batch_id", "seq")
+    ]
+    winner = changes.groupBy("doc_id").agg(
+        F.expr(
+            f"max_by(struct({', '.join(payload)}), struct(batch_id, seq))"
+        ).alias("w")
+    )
+    return (
+        winner.filter(F.col("w.op") != DELETE_OP)
+        .select("doc_id", *[F.col(f"w.{c}").alias(c) for c in payload])
+        .drop("op")
+    )

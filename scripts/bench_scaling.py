@@ -903,8 +903,118 @@ def run_maintenance(spark) -> None:
     print(json.dumps(out))
 
 
+def run_asof(
+    spark, sf_dir: str, hot_keys: int | None = None,
+    include_naive: bool = True,
+) -> None:
+    """Price the AS-OF rewrite (round 12): the linear-state carry
+    (operators/asof.asof_join — union + one per-key ordered window)
+    against the naive range-join + row_number plan (the q32 shape) on
+    the SAME attribution semantics, matched-pairs equality asserted.
+
+    ``hot_keys``: collapse user_id to this many keys (pmod) to expose
+    the asymptotic difference — the naive plan's candidate count is
+    sum_k(purchases_k x preceding_views_k), quadratic in per-key volume,
+    while the carry touches each event exactly once. With natural keys
+    the per-key volume is constant across SFs (make_big replicates
+    users), so both scale linearly and only the constant factor and the
+    candidate multiplier show; the hot variant is where the naive plan
+    dies."""
+    from pyspark.sql import Window as W  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from doc2dataset_spark.operators.asof import asof_join  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        (
+            F.pmod("user_id", F.lit(hot_keys)) if hot_keys else F.col("user_id")
+        ).alias("user_id"),
+        "event_type",
+        "value",
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("v_value"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+    t0 = time.time()
+    carry = asof_join(
+        purchases, views, on="ts", by=("user_id",), direction="backward"
+    )
+    n_carry_matched = carry.filter(F.col("r_ts").isNotNull()).count()
+    carry_sec = time.time() - t0
+
+    # the hot-key escape hatch: same semantics, every window partition
+    # bounded by one day's per-key volume (span in µs)
+    t0 = time.time()
+    bucketed = asof_join(
+        purchases, views, on="ts", by=("user_id",), direction="backward",
+        bucket=86_400_000_000,
+    )
+    n_bucketed_matched = bucketed.filter(F.col("r_ts").isNotNull()).count()
+    bucketed_sec = time.time() - t0
+    assert n_bucketed_matched == n_carry_matched
+
+    n_naive_matched = n_carry_matched
+    naive_sec = None
+    n_candidates = None
+    t0 = time.time()
+    p = purchases.alias("p")
+    v = views.alias("v")
+    joined = p.join(
+        v,
+        (F.col("p.user_id") == F.col("v.user_id"))
+        & (F.col("v.ts") <= F.col("p.ts")),
+    )
+    w = W.partitionBy("p.event_id").orderBy(F.col("v.ts").desc())
+    naive = joined.select(
+        F.col("p.event_id").alias("event_id"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    if include_naive:
+        n_naive_matched = naive.count()
+        naive_sec = round(time.time() - t0, 2)
+        n_candidates = joined.count()
+
+    assert n_carry_matched == n_naive_matched, (
+        n_carry_matched,
+        n_naive_matched,
+    )
+    out = {
+        "mode": "asof",
+        "sf_dir": sf_dir,
+        "hot_keys": hot_keys,
+        "n_events": e.count(),
+        "n_purchases": purchases.count(),
+        "n_matched": n_carry_matched,
+        "n_candidates_naive": n_candidates,
+        "carry_sec": round(carry_sec, 2),
+        "bucketed_carry_sec": round(bucketed_sec, 2),
+        "naive_sec": naive_sec,
+    }
+    print(json.dumps(out))
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "curve"
+    if mode == "asof":
+        # --skip-naive: drop the range-join timing (the sf1 hot-key
+        # naive plan alone takes ~270 s; the carries finish in ~1.5 s)
+        include_naive = "--skip-naive" not in sys.argv[2:]
+        spark = get_spark(app_name="bench_scaling_asof")
+        for sf_dir in ["/root/testdata/sf0.01", "/root/testdata/sf0.1", BIG1_DIR]:
+            if os.path.exists(sf_dir):
+                run_asof(spark, sf_dir, include_naive=include_naive)
+                run_asof(
+                    spark, sf_dir, hot_keys=15, include_naive=include_naive
+                )
+        return
     if mode == "make-big":
         make_big()
         return

@@ -1,0 +1,263 @@
+"""operators/asof.asof_join vs pandas.merge_asof — the reference engine.
+
+pandas' merge_asof is the de-facto contract for as-of semantics
+(backward/forward/nearest, tolerance, exact matches, left extension);
+the Spark operator must reproduce it row-for-row on randomized data.
+DuckDB's native ASOF JOIN already judges the backward direction through
+the registered events_asof_join oracle; these tests cover the whole
+parameter surface plus the plan-shape claim (one hash Exchange, no
+join node at all).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from doc2dataset_spark.operators.asof import asof_join
+
+
+def _data():
+    rng = np.random.RandomState(7)
+    nl, nr = 300, 200
+    left = pd.DataFrame(
+        {
+            "key": rng.randint(0, 5, nl).astype("int64"),
+            "ts": rng.randint(0, 500, nl).astype("int64"),
+            "lv": rng.randn(nl).round(3),
+            "lid": np.arange(nl, dtype="int64"),
+        }
+    )
+    right = (
+        pd.DataFrame(
+            {
+                "key": rng.randint(0, 5, nr).astype("int64"),
+                "ts": rng.randint(0, 500, nr).astype("int64"),
+                "rv": rng.randn(nr).round(3),
+            }
+        )
+        .drop_duplicates(["key", "ts"])  # the operator's uniqueness contract
+        .reset_index(drop=True)
+    )
+    return left, right
+
+
+def _spark_result(spark, left, right, **kw):
+    out = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="ts",
+        by=("key",),
+        suffix="r_",
+        **kw,
+    ).toPandas()
+    return out.sort_values("lid").reset_index(drop=True)
+
+
+def _pandas_result(left, right, direction, tolerance=None):
+    out = pd.merge_asof(
+        left.sort_values(["ts", "lid"]),
+        right.sort_values("ts"),
+        on="ts",
+        by="key",
+        direction=direction,
+        tolerance=tolerance,
+        suffixes=("", "_r"),
+    )
+    return out.sort_values("lid").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tolerance", [None, 40])
+def test_asof_matches_pandas(spark, direction, tolerance):
+    left, right = _data()
+    got = _spark_result(
+        spark, left, right, direction=direction, tolerance=tolerance
+    )
+    want = _pandas_result(left, right, direction, tolerance)
+    assert len(got) == len(left)
+    pd.testing.assert_series_equal(
+        got["r_rv"], want["rv"], check_names=False
+    )
+    # null pattern equals pandas'; the gap column is exactly ts - r_ts
+    assert got["r_ts"].isna().equals(want["rv"].isna())
+    m = got["r_ts"].notna()
+    assert (
+        (got.loc[m, "ts"] - got.loc[m, "r_ts"]).astype("int64")
+        == got.loc[m, "asof_gap"].astype("int64")
+    ).all()
+
+
+def test_asof_exact_match_and_inner(spark):
+    left = pd.DataFrame(
+        {"key": [1, 1, 2], "ts": [10, 5, 10], "lid": [0, 1, 2]}
+    ).astype("int64")
+    right = pd.DataFrame({"key": [1, 2], "ts": [10, 99], "rv": [7, 8]}).astype(
+        "int64"
+    )
+    back = _spark_result(spark, left, right, direction="backward")
+    # exact match allowed: left (1,10) matches right (1,10) with gap 0
+    assert back.loc[0, "r_rv"] == 7 and back.loc[0, "asof_gap"] == 0
+    assert pd.isna(back.loc[1, "r_rv"])  # ts=5 has no earlier right
+    assert pd.isna(back.loc[2, "r_rv"])  # key 2's right is in the future
+    inner = _spark_result(
+        spark, left, right, direction="backward", how="inner"
+    )
+    assert list(inner["lid"]) == [0]
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = pd.DataFrame({"key": [1], "ts": [5], "lid": [0]}).astype("int64")
+    right = pd.DataFrame({"key": [1, 1], "ts": [2, 8], "rv": [100, 200]}).astype(
+        "int64"
+    )
+    got = _spark_result(spark, left, right, direction="nearest")
+    # |5-2| == |8-5|: backward wins (pandas-verified behavior)
+    assert got.loc[0, "r_rv"] == 100 and got.loc[0, "asof_gap"] == 3
+
+
+def test_asof_plan_has_no_join_and_one_exchange(spark):
+    left, right = _data()
+    df = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="ts",
+        by=("key",),
+        direction="nearest",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # the rewrite IS the point: no join node
+    assert plan.count("Exchange") == 1  # one hash partition by key
+
+
+# ---------------------------------------------------------------------------
+# bucketed two-phase carry (the hot-key path)
+# ---------------------------------------------------------------------------
+
+
+def _hot_data():
+    """One key holds 60% of the rows — the skew the bucketed path
+    exists for — plus negative timestamps to exercise the floor."""
+    rng = np.random.RandomState(11)
+    nl, nr = 400, 300
+    hot = rng.rand(nl) < 0.6
+    left = pd.DataFrame(
+        {
+            "key": np.where(hot, 0, rng.randint(1, 6, nl)).astype("int64"),
+            "ts": (rng.randint(-300, 700, nl)).astype("int64"),
+            "lid": np.arange(nl, dtype="int64"),
+        }
+    )
+    hot_r = rng.rand(nr) < 0.6
+    right = (
+        pd.DataFrame(
+            {
+                "key": np.where(hot_r, 0, rng.randint(1, 6, nr)).astype(
+                    "int64"
+                ),
+                "ts": (rng.randint(-300, 700, nr)).astype("int64"),
+                "rv": rng.randn(nr).round(3),
+            }
+        )
+        .drop_duplicates(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("bucket", [1, 7, 100, 10_000])
+@pytest.mark.parametrize("tolerance", [None, 40])
+def test_bucketed_carry_equals_plain(spark, bucket, tolerance):
+    """Result-identical to the plain carry for any bucket span — span 1
+    (every row its own bucket, all matches via seeds), a span smaller
+    than typical gaps, a mid span, and one so large everything shares a
+    bucket (pure local path)."""
+    left, right = _hot_data()
+    plain = _spark_result(
+        spark, left, right, direction="backward", tolerance=tolerance
+    )
+    bucketed = _spark_result(
+        spark,
+        left,
+        right,
+        direction="backward",
+        tolerance=tolerance,
+        bucket=bucket,
+    )
+    pd.testing.assert_frame_equal(plain, bucketed)
+
+
+def test_bucketed_carry_matches_pandas_and_inner(spark):
+    left, right = _hot_data()
+    got = _spark_result(
+        spark, left, right, direction="backward", bucket=50
+    )
+    want = _pandas_result(left, right, "backward")
+    pd.testing.assert_series_equal(got["r_rv"], want["rv"], check_names=False)
+    inner = _spark_result(
+        spark, left, right, direction="backward", bucket=50, how="inner"
+    )
+    assert len(inner) == int(got["r_ts"].notna().sum())
+
+
+def test_bucketed_local_windows_partition_by_key_and_bucket(spark):
+    """The scale claim the bucketed path makes: NO window in the plan
+    partitions by the bare key over raw rows — the raw-row window's
+    partition spec includes the bucket column, and the key-only window
+    runs over bucket summaries (its input is an Aggregate)."""
+    left, right = _hot_data()
+    df = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="ts",
+        by=("key",),
+        direction="backward",
+        bucket=50,
+    )
+    import re
+
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", opt)
+    assert specs, opt
+    # the raw-row carry partitions by (key, __bk); the only key-only
+    # window is the cross-bucket seed carry over SUMMARY rows
+    with_bk = [s for s in specs if "__bk" in s]
+    key_only = [s for s in specs if "__bk" not in s]
+    assert with_bk, specs
+    assert len(key_only) <= 1, specs
+    if key_only:
+        # the seed window's subtree aggregates before windowing — its
+        # input is bucket summaries, never raw rows
+        assert "Aggregate" in opt
+
+
+def test_bucket_rejects_other_directions(spark):
+    left, right = _hot_data()
+    l, r = spark.createDataFrame(left), spark.createDataFrame(right)
+    with pytest.raises(NotImplementedError):
+        asof_join(l, r, on="ts", by=("key",), direction="nearest", bucket=10)
+
+
+def test_asof_refuses_fractional_on(spark):
+    left = pd.DataFrame({"key": [1], "ts": [1.5], "lid": [0]})
+    right = pd.DataFrame({"key": [1], "ts": [1.9], "rv": [1]})
+    with pytest.raises(ValueError, match="fractional"):
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by=("key",),
+        )
+
+
+def test_asof_refuses_output_name_collision(spark):
+    left = pd.DataFrame({"key": [1], "ts": [1], "r_ts": [9], "lid": [0]})
+    right = pd.DataFrame({"key": [1], "ts": [1], "rv": [1]})
+    with pytest.raises(ValueError, match="collision"):
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by=("key",),
+        )

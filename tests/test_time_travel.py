@@ -145,3 +145,60 @@ def test_labels_asof_respects_tombstones(spark, tmp_path):
     assert 4 in before  # the upsert log still replays pre-forget state
     assert 4 not in after  # the tombstone shadows from its batch onward
     assert after == {1, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# CDC log time travel (streaming/cdc.cdc_serve_asof)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_serve_asof_replays_and_compaction_forecloses(spark, tmp_path):
+    """The third persisted family: as-of over the CDC changelog equals
+    the fold of the batch prefix (tombstones included); cdc_compact
+    records its horizon and pre-horizon snapshots raise, while
+    at-horizon and current snapshots survive the compaction exactly."""
+    from pyspark.sql import functions as SF
+
+    from doc2dataset_spark.streaming.cdc import (
+        cdc_compact,
+        cdc_serve,
+        cdc_serve_asof,
+    )
+
+    out = (tmp_path / "cdc").as_posix()
+
+    def land(rows, batch_id):
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, op string, seq int, text string"
+        ).withColumn("batch_id", SF.lit(batch_id))
+        df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("batch_id").parquet(out)
+
+    land([(1, "upsert", 0, "a"), (2, "upsert", 0, "b")], 0)
+    land([(2, "upsert", 0, "B"), (3, "upsert", 0, "c")], 1)
+    land([(1, "delete", 0, None)], 2)
+
+    def rows(df):
+        return sorted((r.doc_id, r.text) for r in df.collect())
+
+    assert rows(cdc_serve_asof(spark, out, 0)) == [(1, "a"), (2, "b")]
+    assert rows(cdc_serve_asof(spark, out, 1)) == [
+        (1, "a"),
+        (2, "B"),
+        (3, "c"),
+    ]
+    assert rows(cdc_serve_asof(spark, out, 2)) == rows(cdc_serve(spark, out))
+
+    stats = cdc_compact(spark, out)
+    assert stats["horizon"] == 2
+    # at/after the horizon: still exact
+    assert rows(cdc_serve_asof(spark, out, 2)) == [(2, "B"), (3, "c")]
+    # before it: loud refusal, not silently-served snapshot content
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compaction horizon"):
+        cdc_serve_asof(spark, out, 1)
+    # the log keeps working past compaction: a later batch still wins
+    land([(3, "upsert", 0, "C")], 5)
+    assert rows(cdc_serve_asof(spark, out, 5)) == [(2, "B"), (3, "C")]
