@@ -303,3 +303,63 @@ def events_asof_nearest(spark, sf_dir):
         F.col("v_v_value").alias("near_view_value"),
         F.col("asof_gap").alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_asof_forward — forward-direction as-of (next-view latency)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_asof_forward",
+    oracle=f"""
+    WITH v AS ({_VIEWS_DUCK}),
+    p AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS next_view_ts,
+           v.v_value AS next_view_value,
+           (epoch_us(p.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+    tags=("events", "join", "asof"),
+)
+def events_asof_forward(spark, sf_dir):
+    """FORWARD-direction as-of: each purchase picks the same user's
+    EARLIEST view at-or-after it (post-purchase re-engagement latency —
+    the other temporal direction product analytics asks for). One
+    operator call exercising asof_join's forward carry (leading window,
+    first-non-null); the oracle is DuckDB's native forward ASOF LEFT
+    JOIN (``p.ts <= v.ts``), completing the trio of externally-judged
+    directions: backward and forward against a real ASOF engine, nearest
+    against their composition. gap_us keeps the operator's left-minus-
+    right sign convention, so forward matches are <= 0."""
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("v_value"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join(
+        purchases,
+        views,
+        on="ts",
+        by=("user_id",),
+        direction="forward",
+        how="left",
+        suffix="v_",
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("next_view_ts"),
+        F.col("v_v_value").alias("next_view_value"),
+        F.col("asof_gap").alias("gap_us"),
+    )

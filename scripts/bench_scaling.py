@@ -1001,6 +1001,99 @@ def run_asof(
     print(json.dumps(out))
 
 
+def run_asof_stream(spark, sf_dir: str, n_batches: int = 10) -> None:
+    """Price the streaming as-of attribution (round 12): drive the
+    watermarked late-data variant over ``n_batches`` event-time slices
+    of the events table through the REAL file-stream path
+    (maxFilesPerTrigger=1), then price the end-of-stream drain and the
+    view-log compaction. Reports total/per-batch wall, pending/view-log
+    sizes, and the compacted log's row count — the numbers behind the
+    'state is the price of lateness, compaction reclaims it' claim."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from doc2dataset_spark.streaming.asof import (  # noqa: PLC0415
+        compact_view_state,
+        finalize_asof_attribution,
+        run_asof_attribution_late,
+    )
+
+    lateness_us = 2 * 24 * 3600 * 1_000_000  # 2 days
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    qs = [i / n_batches for i in range(1, n_batches)]
+    cuts = e.select(
+        F.expr(
+            f"percentile(unix_micros(ts), array({', '.join(map(str, qs))}))"
+        )
+    ).first()[0]
+    bounds = [int(c) for c in cuts]
+    root = tempfile.mkdtemp(prefix="sg_asof_stream_")
+    src = os.path.join(root, "stream")
+    os.makedirs(src)
+    try:
+        lowers = [None, *bounds]
+        uppers = [*bounds, None]
+        for i, (lo, hi) in enumerate(zip(lowers, uppers)):
+            f = e
+            if lo is not None:
+                f = f.filter(F.unix_micros("ts") > lo)
+            if hi is not None:
+                f = f.filter(F.unix_micros("ts") <= hi)
+            d = os.path.join(root, f"slice_{i}")
+            f.coalesce(1).write.parquet(d)
+            import glob as _glob
+            import shutil as _shutil
+
+            part = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{i:03d}.parquet")
+            _shutil.copy(part, dst)
+            os.utime(dst, (time.time() + 2 * i, time.time() + 2 * i))
+        out = os.path.join(root, "out")
+        ckpt = os.path.join(root, "ckpt")
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        t0 = time.time()
+        run_asof_attribution_late(spark, stream, out, ckpt, lateness_us)
+        stream_sec = time.time() - t0
+        sealed = spark.read.parquet(os.path.join(out, "attributed")).count()
+        t0 = time.time()
+        final = finalize_asof_attribution(spark, out).count()
+        finalize_sec = time.time() - t0
+        t0 = time.time()
+        cstats = compact_view_state(spark, out)
+        compact_sec = time.time() - t0
+        print(
+            json.dumps(
+                {
+                    "mode": "asof-stream",
+                    "sf_dir": sf_dir,
+                    "n_batches": n_batches,
+                    "lateness_days": 2,
+                    "stream_sec": round(stream_sec, 2),
+                    "per_batch_sec": round(stream_sec / n_batches, 2),
+                    "sealed": sealed,
+                    "finalized_total": final,
+                    "finalize_sec": round(finalize_sec, 2),
+                    "views_before": cstats["views_before"],
+                    "views_after": cstats["views_after"],
+                    "compact_sec": round(compact_sec, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     mode = sys.argv[1] if len(sys.argv) > 1 else "curve"
     if mode == "asof":
@@ -1014,6 +1107,10 @@ def main() -> None:
                 run_asof(
                     spark, sf_dir, hot_keys=15, include_naive=include_naive
                 )
+        return
+    if mode == "asof-stream":
+        spark = get_spark(app_name="bench_scaling_asof_stream")
+        run_asof_stream(spark, "/root/testdata/sf0.1")
         return
     if mode == "make-big":
         make_big()
