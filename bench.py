@@ -121,6 +121,7 @@ HEADLINE = [
     "events_asof_tolerance",     # as-of + tolerance attribution report
     "events_asof_nearest",       # two-sided nearest as-of (dual carry)
     "layout_zorder",             # Morton layout keys (map-side bit folds)
+    "events_hypertable_rollup",  # cagg: hourly partials -> day -> month
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

@@ -363,3 +363,82 @@ def events_asof_forward(spark, sf_dir):
         F.col("v_v_value").alias("next_view_value"),
         F.col("asof_gap").alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_hypertable_rollup — multi-granularity continuous aggregate
+# ---------------------------------------------------------------------------
+
+_HT_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _ht_level(df, src_bucket: str, granularity: str):
+    """Re-aggregate finer partials into one coarser granularity —
+    exact-decimal sums, so the fold is algebraically lossless."""
+    return (
+        df.groupBy(
+            F.date_trunc(granularity, F.col(src_bucket)).alias("bucket")
+        )
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("dec_total").cast("decimal(38,6)").alias("dec_total"),
+        )
+    )
+
+
+def _ht_emit(df, granularity: str):
+    return df.select(
+        F.lit(granularity).alias("granularity"),
+        F.date_format("bucket", _HT_FMT).alias("bucket"),
+        "n_events",
+        F.round(F.col("dec_total"), 4).cast("double").alias("total"),
+    )
+
+
+_HT_DUCK_LEVEL = """
+  SELECT '{g}' AS granularity,
+         strftime(date_trunc('{g}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*)::BIGINT AS n_events,
+         round(SUM(CAST(value AS DECIMAL(38,6))), 4)::DOUBLE AS total
+  FROM events GROUP BY 2
+"""
+
+
+@query(
+    "events_hypertable_rollup",
+    oracle=" UNION ALL ".join(
+        _HT_DUCK_LEVEL.format(g=g) for g in ("hour", "day", "month")
+    ),
+    tags=("events", "rollup", "timeseries"),
+)
+def events_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate (TimescaleDB's cagg /
+    materialized rollup shape): ONE pass computes hourly partials
+    (count + exact-decimal sum, map-side combinable), then day and
+    month are served by RE-AGGREGATING the finer level — hour → day →
+    month, each fold algebraically lossless because the partials stay
+    DECIMAL(38,6) until the final round. The oracle computes every
+    granularity DIRECTLY from raw events, so the hash equality proves
+    the re-aggregation chain loses nothing — the contract that lets a
+    100 TB deployment persist only hourly partials and serve any
+    coarser granularity without touching raw data again. The hourly
+    frame is localCheckpoint'd (modeling the materialized partial
+    store) so the three-level union reads raw events once."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("decimal(38,6)")
+            .alias("dec_total"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    daily = _ht_level(hourly, "bucket", "day").localCheckpoint(eager=False)
+    monthly = _ht_level(daily, "bucket", "month")
+    return (
+        _ht_emit(hourly, "hour")
+        .unionByName(_ht_emit(daily, "day"))
+        .unionByName(_ht_emit(monthly, "month"))
+    )

@@ -80,3 +80,40 @@ def test_asof_tolerance_report_closes_over_detail(spark):
     assert r.avg_gap_seconds == round(
         float(att.gap_us.sum()) / len(att) / 1e6, 4
     )
+
+
+def test_hypertable_reaggregation_is_lossless(spark):
+    """The cagg contract pinned Spark-side too (the oracle proves it
+    cross-engine): day rows served by re-aggregating hourly partials ==
+    day rows computed directly from raw events, bit for bit, and the
+    three granularities nest (n_events conservation)."""
+    from pyspark.sql import functions as F
+
+    from doc2dataset_spark.session import load_table
+
+    out = (
+        REGISTRY["events_hypertable_rollup"].builder(spark, SF).toPandas()
+    )
+    e = load_table(spark, SF, "events")
+    direct_day = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("b"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")), 4
+            )
+            .cast("double")
+            .alias("total"),
+        )
+        .toPandas()
+    )
+    got_day = out[out.granularity == "day"].sort_values("bucket")
+    assert len(got_day) == len(direct_day)
+    assert got_day.n_events.sum() == 1000
+    want = {
+        str(r.b): (r.n_events, r.total) for _, r in direct_day.iterrows()
+    }
+    for _, r in got_day.iterrows():
+        assert want[r.bucket] == (r.n_events, r.total)
+    for g in ("hour", "month"):
+        assert out[out.granularity == g].n_events.sum() == 1000
