@@ -120,6 +120,7 @@ HEADLINE = [
     "events_asof_join",          # linear-state AS-OF carry (vs q32's range join)
     "events_asof_tolerance",     # as-of + tolerance attribution report
     "events_asof_nearest",       # two-sided nearest as-of (dual carry)
+    "events_asof_forward",       # forward carry (next-event attribution)
     "layout_zorder",             # Morton layout keys (map-side bit folds)
     "events_hypertable_rollup",  # cagg: hourly partials -> day -> month
 ]
@@ -325,18 +326,39 @@ def main() -> None:
     # Output contract (round-9 verdict, What's wrong #1): the full payload
     # grew past the driver's stdout tail-capture window once per-query
     # calibration landed (68 queries x 3 maps), so BENCH_r09.json recorded
-    # parsed:null. The full record goes to BENCH_detail.json + one human
+    # parsed:null. The full record goes to a detail file + one human
     # line; the LAST stdout line is a compact (<1 KB) summary so any tail
     # window ends with parseable JSON.
+    #
+    # History contract (round-12 verdict, What's wrong #1): a single
+    # BENCH_detail.json overwritten every run destroyed prior rounds'
+    # per-query walls, and bench_compare.py resolved BOTH of its arguments
+    # to that one file — a perfect self-comparison. The detail file is now
+    # ROUND-STAMPED (BENCH_detail_r{N}.json, N inferred as 1 + the highest
+    # committed BENCH_r*.json, since the driver lands BENCH_r{N}.json only
+    # at round close) and the compact summary names the stamped file.
+    # The unstamped BENCH_detail.json is still written as a latest-run
+    # convenience pointer for humans; comparisons must use stamped files.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo_dir)
+        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    detail_name = f"BENCH_detail_r{(max(rounds) + 1) if rounds else 0:02d}.json"
+    detail_written = detail_name
     try:
-        detail_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_detail.json"
-        )
-        with open(detail_path, "w") as fh:
+        with open(os.path.join(repo_dir, detail_name), "w") as fh:
+            json.dump(full, fh, indent=1)
+            fh.write("\n")
+        with open(os.path.join(repo_dir, "BENCH_detail.json"), "w") as fh:
             json.dump(full, fh, indent=1)
             fh.write("\n")
     except OSError as exc:  # read-only checkout: keep benching
-        print(f"# BENCH_detail.json not written: {exc}", file=sys.stderr)
+        print(f"# {detail_name} not written: {exc}", file=sys.stderr)
+        detail_written = None
     print(json.dumps(full))
     compact = {
         "metric": full["metric"],
@@ -350,7 +372,7 @@ def main() -> None:
         "loadavg_start": full["loadavg_start"],
         "steal_pct": steal_pct,
         "contended": contended,
-        "detail": "BENCH_detail.json",
+        "detail": detail_written,
     }
     line = json.dumps(compact)
     if len(line) > 1000:  # pragma: no cover - contract guard

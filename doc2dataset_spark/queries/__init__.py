@@ -396,6 +396,34 @@ gate_swap(
     ],
 )
 
+# Gate rotation #12 (round 13, VERDICT r12 Next-round #1): driver-record
+# the round-12 flagships that were mirror-green but absent from the
+# frozen 50 — the two-sided nearest as-of, the forward as-of (next-event
+# attribution), and the hypertable continuous aggregate (hour→day→month
+# re-aggregation proven lossless against direct-from-raw oracles) — over
+# three rows whose families keep stronger gate representation:
+# dedup_winnow_recall (the detector-evaluation family keeps
+# dedup_simhash_recall + dedup_embedding_cell_recall gated; winnowing
+# keeps dedup_winnow + dedup_winnow_indexed), sim_ann_pq (ANN keeps
+# sim_ann_hyperplane, sim_ann_ivf, sim_ann_hyperplane_multi gated; PQ
+# stays in the bench HEADLINE and the mirror), rollup_incremental_merge
+# (the rollup family UPGRADES its slot to the hypertable cagg, which
+# embeds the same partial-merge refresh across three granularities).
+# All demoted rows stay hash-checked by the degated-parity pytest sweep
+# and scripts/driver_mirror.py.
+gate_swap(
+    promote=[
+        "events_asof_nearest",
+        "events_asof_forward",
+        "events_hypertable_rollup",
+    ],
+    demote=[
+        "dedup_winnow_recall",
+        "sim_ann_pq",
+        "rollup_incremental_merge",
+    ],
+)
+
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the
 # pytest pin so any drift crashes every entry point, not just the suite.

@@ -80,6 +80,17 @@ Rotation log (why the current 50 are the current 50):
   gate-represented by dedup_cluster_stats' per-source health report).
   All demoted rows stay hash-checked by the degated-parity pytest sweep
   and scripts/driver_mirror.py.
+- r13 #12: promoted the round-12 flagships that were mirror-green but
+  absent from the frozen 50 (r12 verdict, Next round #1) —
+  events_asof_nearest (two-sided nearest as-of, dual carry),
+  events_asof_forward (next-event attribution; also added to the bench
+  HEADLINE), events_hypertable_rollup (hour→day→month cagg) — over
+  dedup_winnow_recall (detector-eval keeps simhash_recall +
+  embedding_cell_recall; winnowing keeps dedup_winnow +
+  dedup_winnow_indexed), sim_ann_pq (ANN keeps hyperplane/ivf/
+  hyperplane_multi gated), and rollup_incremental_merge (the rollup
+  family upgrades its slot to the hypertable cagg, which embeds the
+  same partial-merge refresh across three granularities).
 """
 
 from __future__ import annotations
@@ -100,7 +111,7 @@ FROZEN_GATE = [
     "dedup_embedding_cell",
     "dedup_cluster_cc",
     "dedup_winnow",
-    "dedup_winnow_recall",
+    "events_asof_nearest",
     "sim_ann_hyperplane",
     "sim_ann_ivf",
     "agg_salted_two_phase",
@@ -134,13 +145,13 @@ FROZEN_GATE = [
     "dedup_embedding_cell_recall",
     "search_bm25_topk",
     "dedup_substring_rewrite",
-    "sim_ann_pq",
+    "events_asof_forward",
     "dedup_keep_best_incremental",
     "dedup_winnow_indexed",
     "q56_tpch_q8",
     "join_bucketed_colocated",
     "merge_cdc_apply",
-    "rollup_incremental_merge",
+    "events_hypertable_rollup",
 ]
 
 # Queries that MUST keep a driver-recorded correctness row (round-2

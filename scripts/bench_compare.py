@@ -16,12 +16,18 @@ import json
 import sys
 
 
-def load(path: str) -> dict:
+def load(path: str) -> tuple[dict, str]:
     """Accept bench.py's stdout (since round 10: the full-record line
     followed by a compact summary line — prefer the line that carries
-    per-query data), the BENCH_detail.json full record, or the round
+    per-query data), a BENCH_detail*.json full record, or the round
     driver's BENCH_r{N}.json wrapper (whose `parsed` field may hold
-    either form)."""
+    either form). Returns (record, resolved_source_path) so the caller
+    can refuse a self-comparison (round-12 verdict, What's wrong #1:
+    two wrappers both pointing at one overwritten BENCH_detail.json
+    compared that file against itself and printed all-1.00 ratios)."""
+    import os
+
+    source = os.path.abspath(path)
     with open(path) as f:
         text = f.read()
     try:
@@ -50,26 +56,44 @@ def load(path: str) -> dict:
     if "queries" not in d and d.get("detail"):
         # compact summary line: the per-query map lives in the sibling
         # detail file it names
-        import os
-
+        if d["detail"] == "BENCH_detail.json":
+            # pre-round-13 wrapper: its detail pointer names the
+            # UNSTAMPED latest-run file, which has been overwritten by
+            # every bench run since — resolving it would compare against
+            # whatever ran last, not that round. Refuse loudly.
+            raise SystemExit(
+                f"{path}: its detail pointer names the unstamped "
+                "BENCH_detail.json, which is overwritten every run — "
+                "that round's per-query walls were not preserved. Use a "
+                "round-stamped BENCH_detail_r{N}.json record (written "
+                "since round 13) or a full stdout capture."
+            )
         detail = os.path.join(os.path.dirname(os.path.abspath(path)), d["detail"])
         if os.path.exists(detail):
             with open(detail) as f:
                 d = json.load(f)
+            source = os.path.abspath(detail)
     if "queries" not in d:
         raise SystemExit(
             f"{path}: no per-query data (compact summary only and its "
-            "detail file is absent) — pass BENCH_detail.json or the full "
-            "stdout capture"
+            "detail file is absent) — pass the BENCH_detail_r{N}.json "
+            "record or the full stdout capture"
         )
-    return d
+    return d, source
 
 
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    old, new = load(sys.argv[1]), load(sys.argv[2])
+    (old, old_src), (new, new_src) = load(sys.argv[1]), load(sys.argv[2])
+    if old_src == new_src:
+        raise SystemExit(
+            f"both arguments resolve to the same per-query record "
+            f"({old_src}) — this would be a self-comparison (every ratio "
+            "exactly 1.00), not a regression check. Pass two distinct "
+            "round-stamped BENCH_detail_r{N}.json records."
+        )
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     oq, nq = old["queries"], new["queries"]
     regressed = []
