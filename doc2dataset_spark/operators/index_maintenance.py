@@ -124,6 +124,20 @@ def _write_horizon(fs, root: str, upto: int) -> None:
         fh.write(json.dumps({"upto": max(upto, prev or upto)}).encode())
 
 
+def _restore_horizon(fs, root: str, prev: int | None) -> None:
+    """Roll the horizon sidecar back to its pre-compaction value — the
+    rollback twin of _write_horizon for compactions that persist the
+    horizon BEFORE publishing (so the refusal can never lag the
+    compaction it guards) and must undo it when the publish fails."""
+    marker = f"{root.rstrip('/')}__compaction_horizon.json"
+    if prev is None:
+        if fs.exists(marker):
+            fs.rm(marker)
+        return
+    with fs.open(marker, "wb") as fh:
+        fh.write(json.dumps({"upto": int(prev)}).encode())
+
+
 def recover_compaction(root: str) -> dict:
     """One-call recovery from a hard crash (SIGKILL, OOM) inside a
     compaction swap: read the ``__compact_manifest.json`` sibling, work

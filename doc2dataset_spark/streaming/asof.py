@@ -76,6 +76,10 @@ def _attributed_path(out_dir: str) -> str:
     return posixpath.join(out_dir, "attributed")
 
 
+def _maxts_path(out_dir: str) -> str:
+    return posixpath.join(out_dir, "maxts")
+
+
 def _read_batches(
     spark: SparkSession, root: str, schema: str
 ) -> DataFrame:
@@ -84,8 +88,27 @@ def _read_batches(
     Guards every log read against the zero-rows write behavior of
     dynamic overwrite: an empty micro-batch writes no partition (and no
     schema), so a bare spark.read.parquet would fail on 'unable to
-    infer schema' exactly when a batch happened to carry no rows."""
+    infer schema' exactly when a batch happened to carry no rows.
+
+    REFUSES over compaction debris (round-12 advice): a crashed
+    compact_view_state swap can leave root absent (or mid-publish) with
+    a ``__old_compact`` sibling + manifest behind. Treating the missing
+    dir as an empty log here would make subsequent sealing attribute
+    every purchase against ZERO views — silent all-NULL matches instead
+    of a loud failure. One recover_compaction() call reassembles."""
     fs, p = fsio.url_to_fs(root)
+    base = p.rstrip("/")
+    if fs.exists(f"{base}__old_compact") or fs.exists(
+        f"{base}__compact_manifest.json"
+    ):
+        raise RuntimeError(
+            f"{root!r} has compaction debris (__old_compact / "
+            "__compact_manifest.json sibling) from an interrupted "
+            "compact_view_state swap — run "
+            f"recover_compaction({root!r}) before reading; an empty or "
+            "partial log here would silently mis-attribute instead of "
+            "failing"
+        )
     if not fs.exists(p) or not list_batch_dirs(fs, p):
         return spark.createDataFrame([], schema + ", batch_id bigint")
     return spark.read.parquet(root)
@@ -146,6 +169,33 @@ def _land(frame: DataFrame, root: str, batch_id: int) -> None:
     )
 
 
+def _land_exact(frame: DataFrame, root: str, batch_id: int) -> int:
+    """_land, plus the zero-row replay guarantee (round-12 advice):
+    dynamic partition overwrite writes NOTHING for an empty frame, so a
+    fresh-checkpoint replay over an existing out_dir whose recomputed
+    batch is empty would leave the PRIOR run's ``batch_id=<n>``
+    partition in place and every cumulative read would serve those
+    stale rows. Materialize the frame once (localCheckpoint), and on
+    zero rows explicitly delete the existing partition dir instead of
+    writing — an emptied batch is now indistinguishable from an
+    unwritten one only when both are genuinely absent. Returns the row
+    count so callers can reuse it."""
+    frame = frame.localCheckpoint(eager=True)
+    n = frame.count()
+    if n:
+        _land(frame, root, batch_id)
+        return n
+    _rm_stale_partition(root, batch_id)
+    return 0
+
+
+def _rm_stale_partition(root: str, batch_id: int) -> None:
+    fs, p = fsio.url_to_fs(root)
+    stale = f"{p.rstrip('/')}/batch_id={batch_id}"
+    if fs.exists(stale):
+        fs.rm(stale, recursive=True)
+
+
 def serve_view_state(
     spark: SparkSession, out_dir: str, before_batch: int | None = None
 ) -> DataFrame:
@@ -167,6 +217,21 @@ def serve_view_state(
         F.col("w.v_value").alias("v_value"),
         F.col("w.ev").alias("ev"),
     )
+
+
+def _maxts_state(
+    spark: SparkSession, out_dir: str, before_batch: int | None
+) -> int | None:
+    """Max event ts (µs) across batches strictly before ``before_batch``
+    (None = all), from the per-batch maxts sidecar — or None before any
+    non-empty batch has landed. Each snapshot carries the running max,
+    so only the newest one is read."""
+    mdir = _maxts_path(out_dir)
+    k = _latest_snapshot_batch(mdir, before_batch)
+    if k is None:
+        return None
+    row = spark.read.parquet(posixpath.join(mdir, f"batch_id={k}")).first()
+    return int(row["max_ts_us"])
 
 
 def attribute_batch(
@@ -214,20 +279,58 @@ def run_asof_attribution(
     """Drive the attribution over a micro-batch stream of events
     (event_id, ts, user_id, event_type, value). Lands
     ``attributed/batch_id=<n>`` and ``views/batch_id=<n>`` per batch,
-    both idempotent under replay."""
+    both idempotent under replay (zero-row recomputations delete the
+    stale partition — _land_exact).
+
+    The event-time-ordered-arrival contract is ENFORCED, not just
+    documented (round-12 advice): each batch's max event ts is
+    persisted under ``maxts/batch_id=<n>`` (the replay-correct
+    snapshot-per-batch idiom), and a batch whose min ts precedes the
+    prior max RAISES instead of silently mis-attributing — the per-user
+    latest-view seed would hide the older view a late purchase needs,
+    and views arriving after a purchase's batch are never consulted.
+    Out-of-order feeds belong on run_asof_attribution_late."""
     ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
     fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
     fired: list[int] = []
     vdir = _views_path(out_dir)
     adir = _attributed_path(out_dir)
+    mdir = _maxts_path(out_dir)
 
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
         fired.append(batch_id)
         s = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        bounds = batch_df.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).first()
+        prior_max = _maxts_state(s, out_dir, before_batch=batch_id)
+        if (
+            bounds["lo"] is not None
+            and prior_max is not None
+            and int(bounds["lo"]) < prior_max
+        ):
+            raise RuntimeError(
+                f"batch {batch_id} violates the ordered-arrival "
+                f"contract: its min event ts ({int(bounds['lo'])} us) "
+                f"precedes the prior batches' max ({prior_max} us). "
+                "run_asof_attribution seals against per-user LATEST "
+                "views only, so out-of-order events would silently "
+                "mis-attribute — use run_asof_attribution_late with an "
+                "explicit lateness bound for this feed"
+            )
         seed = serve_view_state(s, out_dir, before_batch=batch_id)
         attributed, latest = attribute_batch(batch_df, seed)
-        _land(attributed, adir, batch_id)
-        _land(latest, vdir, batch_id)
+        _land_exact(attributed, adir, batch_id)
+        _land_exact(latest, vdir, batch_id)
+        if bounds["hi"] is not None:
+            new_max = max(int(bounds["hi"]), prior_max or 0)
+            _land(
+                s.createDataFrame([(new_max,)], "max_ts_us bigint"),
+                mdir,
+                batch_id,
+            )
 
     q = (
         events_stream.writeStream.foreachBatch(one_batch)
@@ -242,6 +345,7 @@ def run_asof_attribution(
 
         sweep_stale_batches(adir, max(fired))
         sweep_stale_batches(vdir, max(fired))
+        sweep_stale_batches(mdir, max(fired))
 
 
 def attributed_purchases(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -392,7 +496,7 @@ def run_asof_attribution_late(
         s = batch_df.sparkSession
         batch_df = batch_df.localCheckpoint(eager=True)
 
-        _land(_batch_views(batch_df), vdir, batch_id)
+        _land_exact(_batch_views(batch_df), vdir, batch_id)
 
         prior = _wm_state(s, out_dir, before_batch=batch_id)
         prev_max = prior[0] if prior is not None else None
@@ -422,9 +526,14 @@ def run_asof_attribution_late(
         ).localCheckpoint(eager=True)
         n_pending = pending.count()
 
-        _land(_attribute(sealed, _all_views(s, out_dir)), adir, batch_id)
+        _land_exact(_attribute(sealed, _all_views(s, out_dir)), adir, batch_id)
         if n_pending:
             _land(pending, pdir, batch_id)
+        else:
+            # the wm sidecar's n_pending=0 already makes an emptied
+            # pending set unreadable; removing the stale snapshot keeps
+            # the on-disk state consistent with it
+            _rm_stale_partition(pdir, batch_id)
         s.createDataFrame(
             [(int(max_ts), int(wm), int(n_pending))],
             "max_ts_us bigint, wm_us bigint, n_pending bigint",
@@ -471,15 +580,31 @@ def compact_view_state(spark: SparkSession, out_dir: str) -> dict:
     watermark never needs the second-newest view below it — ts ties
     resolved by ev, the same argmax as serving, so compaction keeps
     exactly the row serving would have picked). Rewrites the log as one
-    ``batch_id=<max>`` partition via a tmp sibling + rename swap, then
-    persists a compaction horizon so a fresh-checkpoint replay refuses
-    instead of sweeping the compacted log away."""
+    ``batch_id=<max>`` partition under the SAME transactional discipline
+    as compact_index_history (round-12 advice closed the gap this
+    module had): a ``__compact_manifest.json`` sidecar lands before the
+    first rename, the swap is swap_in_compacted's try/rollback (a
+    Python-level failure restores the original log byte-identically; a
+    hard crash leaves the manifest + ``__old_compact`` debris that
+    _read_batches refuses over and recover_compaction reassembles), and
+    the compaction HORIZON is persisted BEFORE the swap publishes — a
+    crash can leave a conservative horizon over an uncompacted log
+    (loud over-refusal of fresh-checkpoint replays) but never a
+    compacted log without its refusal marker (silent history loss).
+    The rollback path restores the prior horizon value."""
     import uuid as _uuid
 
-    from doc2dataset_spark.operators.index_maintenance import _write_horizon
+    from doc2dataset_spark.operators.index_maintenance import (
+        _restore_horizon,
+        _write_horizon,
+        check_no_leftover_compaction,
+        compaction_horizon,
+        swap_in_compacted,
+    )
 
     vdir = _allviews_path(out_dir)
     fs, vp = fsio.url_to_fs(vdir)
+    check_no_leftover_compaction(fs, vp)
     state = _wm_state(spark, out_dir, before_batch=None)
     if state is None:
         raise ValueError(f"no watermark snapshot under {out_dir!r} yet")
@@ -504,16 +629,20 @@ def compact_view_state(spark: SparkSession, out_dir: str) -> dict:
         )
     )
     kept = fresh.unionByName(older_latest)
-    tmp = f"{vdir.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
+    tmp = f"{vp.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
     (
         kept.withColumn("batch_id", F.lit(top))
         .write.partitionBy("batch_id")
         .parquet(tmp)
     )
     n_after = spark.read.parquet(tmp).count()  # count the written files
-    old = f"{vdir.rstrip('/')}__old"
-    fs.mv(vp, old)
-    fs.mv(tmp, vp)
-    fs.rm(old, recursive=True)
-    _write_horizon(fs, vp, top)
+    prev_horizon = compaction_horizon(fs, vp)
+    _write_horizon(fs, vp, top)  # refusal marker first, publish second
+    try:
+        swap_in_compacted(fs, vp, tmp, tail_dirs=[])
+    except BaseException:
+        # the swap rolled the log back to its pre-compaction tree;
+        # roll the horizon back with it so valid replays aren't refused
+        _restore_horizon(fs, vp, prev_horizon)
+        raise
     return {"views_before": n_before, "views_after": n_after, "wm_us": int(wm)}

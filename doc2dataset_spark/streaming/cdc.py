@@ -131,7 +131,9 @@ def cdc_compact(spark: SparkSession, out_dir: str) -> dict:
     from doc2dataset_spark import fsio
     from doc2dataset_spark.operators.index_maintenance import (
         _batch_of,
+        _restore_horizon,
         _write_horizon,
+        compaction_horizon,
         list_batch_dirs,
     )
 
@@ -157,14 +159,27 @@ def cdc_compact(spark: SparkSession, out_dir: str) -> dict:
     tmp = f"{out_dir.rstrip('/')}__compact_{uuid.uuid4().hex}"
     snapshot.write.partitionBy("batch_id").parquet(tmp)
     old = f"{out_dir.rstrip('/')}__old_compact"
-    os.rename(out_dir, old)
+    # Horizon BEFORE publish (round-12 advice): the old order wrote it
+    # only after shutil.rmtree(old), so a crash in that window left a
+    # compacted batch_id=0 snapshot with no horizon marker and
+    # cdc_serve_asof(pre-compaction N) silently served post-compaction
+    # merged content as the past. The sidecar is a SIBLING of out_dir
+    # (renames don't touch it), so writing it first means the refusal
+    # can never lag the compaction it guards; the rollback path restores
+    # the prior value so a failed publish doesn't refuse valid reads.
+    prev_horizon = compaction_horizon(fs, root)
+    _write_horizon(fs, root, folded)
     try:
-        os.rename(tmp, out_dir)
+        os.rename(out_dir, old)
+        try:
+            os.rename(tmp, out_dir)
+        except BaseException:
+            os.rename(old, out_dir)  # rollback: the old log returns
+            raise
     except BaseException:
-        os.rename(old, out_dir)  # rollback: the old log returns
+        _restore_horizon(fs, root, prev_horizon)
         raise
     shutil.rmtree(old)
-    _write_horizon(fs, root, folded)
     return {"rows": n, "horizon": folded}
 
 

@@ -249,13 +249,18 @@ def test_view_state_compaction_preserves_finalize(spark, tmp_path):
 import datetime as _dt
 
 
-def _synth_stream(spark, tmp_path):
+def _synth_stream(spark, tmp_path, ordered=False):
     """Hand-built batches covering the hazards the natural fixture never
     hits: batch 0 carries NO views (the view log must read as empty-
     with-schema, not crash on schema inference), and the pending set
     EMPTIES at batch 3 before a new purchase arrives at batch 4 (a
     reader that falls back to the newest non-empty pending snapshot
-    would re-seal purchase 2100 a second time)."""
+    would re-seal purchase 2100 a second time).
+
+    ``ordered=True`` shifts view 11 from t=100 to t=300 so every batch's
+    min ts is at-or-after the prior batch's max — the contract
+    run_asof_attribution now ENFORCES (the default disordered shape is
+    what its enforcement test feeds it)."""
     t0 = _dt.datetime(2024, 1, 1)
 
     def ev(eid, t, typ, val=1.0):
@@ -263,13 +268,14 @@ def _synth_stream(spark, tmp_path):
 
     batches = [
         [ev(10, 200, "purchase", 20.0)],
-        [ev(11, 100, "view", 1.0), ev(12, 950, "view", 9.5),
+        [ev(11, 300 if ordered else 100, "view", 1.0),
+         ev(12, 950, "view", 9.5),
          ev(13, 900, "purchase", 90.0)],
         [ev(14, 2000, "view", 2.0), ev(15, 2100, "purchase", 21.0)],
         [ev(16, 3000, "view", 3.0)],
         [ev(17, 5000, "purchase", 50.0)],
     ]
-    src = tmp_path / "synth_stream"
+    src = tmp_path / ("synth_stream_o" if ordered else "synth_stream")
     os.makedirs(src, exist_ok=True)
     for i, rows in enumerate(batches):
         d = tmp_path / f"sslice_{i}"
@@ -309,7 +315,7 @@ def test_late_synthetic_edges_no_crash_no_resurrection(spark, tmp_path):
 def test_ordered_stream_survives_viewless_first_batch(spark, tmp_path):
     """The ordered variant reads its view log before the first view has
     ever landed — must serve an empty seed, not crash."""
-    src = _synth_stream(spark, tmp_path)
+    src = _synth_stream(spark, tmp_path, ordered=True)
     out = (tmp_path / "ord_out").as_posix()
     ckpt = (tmp_path / "ord_ckpt").as_posix()
     stream = (
@@ -320,3 +326,136 @@ def test_ordered_stream_survives_viewless_first_batch(spark, tmp_path):
     run_asof_attribution(spark, stream, out, ckpt)
     got = attributed_purchases(spark, out)
     assert got.count() == 4  # all purchases attributed (batches ts-ordered)
+    # and correctly: purchase 13 (t=900) matches view 11 (t=300)
+    t0 = _dt.datetime(2024, 1, 1, tzinfo=_dt.timezone.utc).timestamp()
+    matches = {
+        r.event_id: (
+            None if r.v_ts is None else int(r.v_ts.timestamp() - t0)
+        )
+        for r in got.collect()
+    }
+    assert matches == {10: None, 13: 300, 15: 2000, 17: 3000}
+
+
+def test_ordered_variant_rejects_out_of_order_batch(spark, tmp_path):
+    """Round-12 advice: the ordered-arrival contract was documented but
+    never enforced — a single out-of-order batch silently mis-attributed
+    (here: view 11 at t=100 arrives AFTER purchase 10 at t=200 landed,
+    so the batch oracle matches purchase 10 to it but the stream never
+    would). The variant must now raise, pointing at the late variant."""
+    import pytest as _pytest
+
+    src = _synth_stream(spark, tmp_path)  # disordered by construction
+    out = (tmp_path / "ooo_out").as_posix()
+    ckpt = (tmp_path / "ooo_ckpt").as_posix()
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    with _pytest.raises(Exception, match="ordered-arrival"):
+        run_asof_attribution(spark, stream, out, ckpt)
+
+
+def test_ordered_variant_zero_row_replay_clears_stale_partition(
+    spark, tmp_path
+):
+    """Round-12 advice: dynamic overwrite writes nothing for a zero-row
+    frame, so a replay whose recomputed attributed set is empty used to
+    leave the prior run's partition in place. _land_exact must delete
+    it."""
+    from doc2dataset_spark.streaming.asof import _land_exact
+
+    adir = (tmp_path / "attributed").as_posix()
+    frame = spark.createDataFrame(
+        [(1, 1, _dt.datetime(2024, 1, 1), 1.0, None, None, None)],
+        "event_id bigint, user_id bigint, p_ts timestamp, "
+        "purchase_value double, v_ts timestamp, last_view_value double, "
+        "gap_us bigint",
+    )
+    assert _land_exact(frame, adir, 3) == 1
+    assert os.path.isdir(os.path.join(adir, "batch_id=3"))
+    # the replay recomputes batch 3 as EMPTY: the stale partition must go
+    assert _land_exact(frame.limit(0), adir, 3) == 0
+    assert not os.path.exists(os.path.join(adir, "batch_id=3"))
+
+
+def test_compact_view_state_failed_swap_rolls_back(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 advice (medium): compact_view_state's swap had no
+    rollback — a failure between its renames left NO live view log and
+    sealing silently attributed against zero views. It now uses
+    swap_in_compacted's try/rollback; a failed swap must leave the log
+    byte-intact, roll the pre-written horizon back, and a retry must
+    complete."""
+    import pytest as _pytest
+
+    import doc2dataset_spark.operators.index_maintenance as im
+    from doc2dataset_spark import fsio
+
+    out, go = _run_late(spark, tmp_path)
+    go()
+    want = _rows(finalize_asof_attribution(spark, out))
+
+    real_swap = im.swap_in_compacted
+
+    def boom(*a, **k):
+        raise RuntimeError("injected swap failure")
+
+    monkeypatch.setattr(im, "swap_in_compacted", boom)
+    with _pytest.raises(RuntimeError, match="injected swap"):
+        compact_view_state(spark, out)
+    monkeypatch.setattr(im, "swap_in_compacted", real_swap)
+
+    vdir = (tmp_path / "late_out/allviews").as_posix()
+    fs, vp = fsio.url_to_fs(vdir)
+    # horizon rolled back: a fresh-checkpoint replay of the (still
+    # uncompacted) log stays legal
+    assert im.compaction_horizon(fs, vp) is None
+    # the log is intact: the drained answer is unchanged
+    assert _rows(finalize_asof_attribution(spark, out)) == want
+    # a clean retry compacts for real and preserves the answer
+    stats = compact_view_state(spark, out)
+    assert stats["views_after"] < stats["views_before"]
+    assert im.compaction_horizon(fs, vp) is not None
+    assert _rows(finalize_asof_attribution(spark, out)) == want
+
+
+def test_compact_view_state_crash_debris_refused_then_recovered(
+    spark, tmp_path
+):
+    """A hard crash (SIGKILL) between the swap's two renames leaves the
+    view log ABSENT with __old_compact + manifest debris. _read_batches
+    must REFUSE (serving an empty log would attribute every purchase
+    against zero views — all-NULL matches), compact_view_state must
+    refuse to run over the debris, and recover_compaction must
+    reassemble the original log."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from doc2dataset_spark.operators.index_maintenance import (
+        recover_compaction,
+    )
+
+    out, go = _run_late(spark, tmp_path)
+    go()
+    want = _rows(finalize_asof_attribution(spark, out))
+
+    vdir = (tmp_path / "late_out/allviews").as_posix()
+    # simulate the crash window: manifest written, root renamed away,
+    # tmp never published
+    tmp = vdir + "__compact_deadbeef"
+    os.makedirs(tmp)
+    with open(vdir + "__compact_manifest.json", "w") as fh:
+        _json.dump({"tmp": tmp, "root": vdir, "tail_dirs": []}, fh)
+    os.rename(vdir, vdir + "__old_compact")
+
+    with _pytest.raises(RuntimeError, match="compaction debris"):
+        finalize_asof_attribution(spark, out)
+    with _pytest.raises(RuntimeError, match="recover_compaction"):
+        compact_view_state(spark, out)
+
+    assert recover_compaction(vdir)["action"] == "rolled_back"
+    assert _rows(finalize_asof_attribution(spark, out)) == want

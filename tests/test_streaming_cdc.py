@@ -167,3 +167,87 @@ def test_cdc_compact_preserves_served_state(spark, tmp_path):
     tail.write.mode("append").partitionBy("batch_id").parquet(out)
     after = {r[0]: r for r in _rows(cdc_serve(spark, out))}
     assert after[some_id][1] == "NEW TEXT"
+
+
+def _ingest(spark, tmp_path):
+    src = _write_stream_files(spark, tmp_path)
+    out = (tmp_path / "cdc_log").as_posix()
+    ckpt = (tmp_path / "cdc_ckpt").as_posix()
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    run_cdc_ingest(spark, stream, out, ckpt)
+    return out
+
+
+def test_cdc_compact_horizon_never_lags_publish(spark, tmp_path, monkeypatch):
+    """Round-12 advice: cdc_compact used to write the compaction horizon
+    only AFTER shutil.rmtree(old) — a crash in that window left a
+    compacted batch_id=0 snapshot with no horizon marker, so
+    cdc_serve_asof(pre-compaction N) silently served post-compaction
+    merged content as the past. The horizon now lands BEFORE the
+    publish: even with the cleanup crashed, the refusal holds."""
+    import shutil as _sh
+
+    import pytest as _pytest
+
+    from doc2dataset_spark.streaming.cdc import cdc_compact, cdc_serve_asof
+
+    out = _ingest(spark, tmp_path)
+    before = _rows(cdc_serve(spark, out))
+
+    def boom(path, *a, **k):
+        raise OSError(f"injected rmtree crash for {path}")
+
+    monkeypatch.setattr(_sh, "rmtree", boom)
+    with _pytest.raises(OSError, match="injected rmtree"):
+        cdc_compact(spark, out)
+    monkeypatch.undo()
+
+    # snapshot IS published (the crash hit only the old-dir cleanup)...
+    assert _rows(cdc_serve(spark, out)) == before
+    # ...and the pre-compaction past already REFUSES instead of serving
+    # post-compaction content as history
+    with _pytest.raises(ValueError, match="compaction horizon"):
+        cdc_serve_asof(spark, out, as_of_batch=0)
+
+
+def test_cdc_compact_failed_publish_rolls_horizon_back(
+    spark, tmp_path, monkeypatch
+):
+    """The rollback twin: when the PUBLISH rename fails, the old log is
+    restored and the pre-written horizon must be rolled back with it —
+    otherwise perfectly reconstructable as-of reads get refused."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from doc2dataset_spark.streaming.cdc import cdc_compact, cdc_serve_asof
+
+    out = _ingest(spark, tmp_path)
+    before = _rows(cdc_serve(spark, out))
+    asof0 = _rows(cdc_serve_asof(spark, out, as_of_batch=0))
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def flaky(a, b):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the tmp -> out_dir publish
+            raise OSError("injected publish crash")
+        real_rename(a, b)
+
+    monkeypatch.setattr(_os, "rename", flaky)
+    with _pytest.raises(OSError, match="injected publish"):
+        cdc_compact(spark, out)
+    monkeypatch.undo()
+
+    # the log rolled back intact and the as-of past still serves
+    assert _rows(cdc_serve(spark, out)) == before
+    assert _rows(cdc_serve_asof(spark, out, as_of_batch=0)) == asof0
+    # and a clean retry completes end-to-end
+    info = cdc_compact(spark, out)
+    assert _rows(cdc_serve(spark, out)) == before
+    assert info["rows"] == len(before)
