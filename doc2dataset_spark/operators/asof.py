@@ -14,15 +14,18 @@ Semantics follow ``pandas.merge_asof`` (the de-facto contract for
 as-of joins, and the reference twin the property tests run against):
 
 - ``direction='backward'``   match the latest right row with
-                             ``right.on <= left.on`` (exact matches
-                             allowed, as pandas' default
-                             ``allow_exact_matches=True``);
+                             ``right.on <= left.on``;
 - ``direction='forward'``    the earliest right row with
                              ``right.on >= left.on``;
 - ``direction='nearest'``    whichever of the two is closer in absolute
                              distance; an exact tie prefers BACKWARD
                              (deterministic; pandas leaves ties to
                              internal order).
+- ``allow_exact_matches``    pandas' flag, default True; False makes
+                             every comparison strict (``<`` / ``>``) —
+                             implemented purely by the within-window
+                             ORDER of same-timestamp rows, no extra
+                             pass (see _order_key);
 - ``tolerance``              drop matches farther than this (µs when
                              ``on`` is a timestamp, the column's own
                              units otherwise);
@@ -37,9 +40,12 @@ Left-side duplicates are fine (they receive identical matches).
 Scale shape: one ``hashpartitioning(by)`` Exchange; 'backward'/'forward'
 sort once within partitions, 'nearest' twice (two window orders over the
 same exchange). No inequality join, no candidate explosion, no driver
-state. A pathologically hot key would call for the time-bucketed
-two-phase variant — keys here are users/entities whose per-key volume
-is organically bounded.
+state. A pathologically hot key (a default tenant, a bot user) calls
+for ``bucket=<span>``: the two-phase carry whose window partitions are
+bounded by per-bucket volume regardless of skew — available for ALL
+three directions (backward and forward each get a cross-bucket seed
+carried from strictly earlier / strictly later buckets; nearest
+composes the two inside one plan).
 """
 
 from __future__ import annotations
@@ -98,6 +104,33 @@ def _check_names(
         )
 
 
+def _order_key(exact: bool, backward: bool) -> Column:
+    """The same-timestamp tiebreak that encodes allow_exact_matches with
+    ZERO extra passes. Sides: -1 backward-seed, 0 right, 1 left, 2
+    forward-seed (seeds exist only on the bucketed path; they never
+    share a __t with in-bucket rows, so their key values only need to
+    not collide). For the TRAILING (backward) carry at a left row, a
+    same-t right is an exact match: it must sort before the left to be
+    inside the frame (exact allowed) and after it to be excluded
+    (strict). The LEADING (forward) carry mirrors that."""
+    side = F.col("__side")
+    if backward:
+        right_key = 0 if exact else 2
+        return (
+            F.when(side == -1, F.lit(-2))
+            .when(side == 0, F.lit(right_key))
+            .when(side == 1, F.lit(1))
+            .otherwise(F.lit(3))
+        )
+    right_key = 2 if exact else 0
+    return (
+        F.when(side == 2, F.lit(3))
+        .when(side == 0, F.lit(right_key))
+        .when(side == 1, F.lit(1))
+        .otherwise(F.lit(-2))
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -108,6 +141,7 @@ def asof_join(
     how: str = "left",
     suffix: str = "r_",
     bucket: int | None = None,
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """AS-OF join ``left`` to ``right`` on time column ``on`` within key
     groups ``by``. Returns every left column, plus for the matched right
@@ -116,16 +150,19 @@ def asof_join(
     as an exact integer (µs for timestamps; ≥0 backward, ≤0 forward,
     either sign nearest; NULL when unmatched).
 
-    ``bucket`` (backward direction only): the hot-key escape hatch. The
+    ``bucket``: the hot-key escape hatch, all three directions. The
     plain carry sorts each key's FULL history in one window partition —
     correct until one key holds a large fraction of the data (a default
     tenant id, a bot user), where that partition becomes one task. With
     ``bucket=<span in the comparable units — µs for timestamps>``, the
     carry runs in TWO phases: (1) per-(key, bucket) summaries (one
-    map-side-combinable argmax per bucket) are carried across buckets —
-    a window over summary rows, #buckets per key of them, not raw rows;
-    (2) each bucket's rows sort only within their own (key, bucket)
-    partition, seeded with phase 1's state at the bucket boundary. Every
+    map-side-combinable argmax per bucket — the LAST right row for the
+    backward carry, the FIRST for the forward one) are carried across
+    buckets — a window over summary rows, #buckets per key of them, not
+    raw rows; (2) each bucket's rows sort only within their own
+    (key, bucket) partition, seeded with phase 1's state at the bucket
+    boundary (backward seed at the bucket floor, forward seed one past
+    the bucket end; 'nearest' carries both inside one plan). Every
     partition is bounded by per-bucket volume regardless of key skew.
     Result-identical to the plain carry (pinned by equality tests)."""
     if direction not in ("backward", "forward", "nearest"):
@@ -133,15 +170,11 @@ def asof_join(
     if how not in ("left", "inner"):
         raise ValueError(f"unknown how {how!r}")
     if bucket is not None:
-        if direction != "backward":
-            raise NotImplementedError(
-                "bucketed two-phase carry is implemented for "
-                "direction='backward' only"
-            )
         if bucket <= 0:
             raise ValueError("bucket span must be positive")
-        return _asof_backward_bucketed(
-            left, right, on, list(by), int(bucket), tolerance, how, suffix
+        return _asof_bucketed(
+            left, right, on, list(by), direction, int(bucket),
+            tolerance, how, suffix, allow_exact_matches,
         )
     by = list(by)
     lcols = list(left.columns)
@@ -174,15 +207,15 @@ def asof_join(
     u = rside.unionByName(lside)
 
     part = W.partitionBy(*by)
-    # backward: rights sort BEFORE lefts at equal t (side 0 < 1), so the
-    # trailing window's last-non-null sees exact matches; forward flips
-    # the side order so the leading window's first-non-null does too.
-    w_back = part.orderBy(F.col("__t").asc(), F.col("__side").asc()).rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    w_fwd = part.orderBy(F.col("__t").asc(), F.col("__side").desc()).rowsBetween(
-        W.currentRow, W.unboundedFollowing
-    )
+    # _order_key places same-t rights inside or outside each carry's
+    # frame per allow_exact_matches (see its doc).
+    exact = allow_exact_matches
+    w_back = part.orderBy(
+        F.col("__t").asc(), _order_key(exact, backward=True).asc()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_fwd = part.orderBy(
+        F.col("__t").asc(), _order_key(exact, backward=False).asc()
+    ).rowsBetween(W.currentRow, W.unboundedFollowing)
 
     def _gated(match: Column, gap: Column) -> Column:
         if tolerance is not None:
@@ -223,27 +256,35 @@ def asof_join(
     )
 
 
-def _asof_backward_bucketed(
+def _asof_bucketed(
     left: DataFrame,
     right: DataFrame,
     on: str,
     by: list[str],
+    direction: str,
     bucket: int,
     tolerance: int | None,
     how: str,
     suffix: str,
+    allow_exact_matches: bool,
 ) -> DataFrame:
-    """Two-phase backward carry for skewed keys (see asof_join's
-    ``bucket`` doc). Phase 1 carries per-bucket right summaries across
-    buckets to get each (key, bucket)'s seed = the last right row in any
-    STRICTLY earlier bucket; phase 2 unions seed + in-bucket rights +
-    in-bucket lefts and runs the ordinary carry partitioned by
-    (key, bucket) — in-bucket rights at-or-before the left row win over
-    the seed by window order, exactly as later views win in the plain
-    carry."""
+    """Two-phase carry for skewed keys, all three directions (see
+    asof_join's ``bucket`` doc). Phase 1 carries per-bucket right
+    summaries across buckets to get each (key, bucket)'s seeds: the
+    LAST right row in any STRICTLY earlier bucket (backward) and/or the
+    FIRST right row in any STRICTLY later bucket (forward). Phase 2
+    unions seeds + in-bucket rights + in-bucket lefts and runs the
+    ordinary carry partitioned by (key, bucket) — in-bucket rights
+    between the seed and the left row win by window order, exactly as
+    in the plain carry. Cross-bucket seeds are strict by construction
+    (buckets partition the time axis), so allow_exact_matches only
+    affects the in-bucket order keys — identical logic to the plain
+    path's _order_key."""
     lcols = list(left.columns)
     rpayload = [c for c in right.columns if c not in by and c != on]
     _check_names(lcols, rpayload, on, suffix)
+    need_b = direction in ("backward", "nearest")
+    need_f = direction in ("forward", "nearest")
 
     rv = F.struct(
         _comparable(right, on).alias(_RT),
@@ -268,93 +309,157 @@ def _asof_backward_bucketed(
         lrow.alias("__lrow"),
     ).withColumn("__bk", bkt.cast("bigint"))
 
-    # Phase 1: per-(key, bucket) last right row — map-side-combinable —
-    # then the seed for every bucket the LEFT side occupies: the last
-    # summary from a strictly earlier bucket. The union-tag trick again,
-    # one level up: summaries (side 1) sort AFTER left-bucket markers
-    # (side 0) at the same bucket, so the trailing carry at a marker sees
-    # only earlier buckets' summaries.
-    summaries = rside.groupBy(*by, "__bk").agg(
-        F.expr(f"max_by(__rv, __t)").alias("__rv")
-    )
+    # Phase 1: per-(key, bucket) boundary right rows — map-side-
+    # combinable argmaxes — then each left-occupied bucket's seeds. The
+    # union-tag trick one level up: summaries are side 1, left-bucket
+    # markers side 0. For the TRAILING backward seed carry, the order
+    # (bk asc, side asc) puts the same-bucket summary AFTER its marker
+    # (excluded — in-bucket rights belong to phase 2); for the LEADING
+    # forward carry, (bk asc, side desc) puts it BEFORE (excluded too).
+    aggs = []
+    if need_b:
+        aggs.append(F.expr("max_by(__rv, __t)").alias("__last"))
+    if need_f:
+        aggs.append(F.expr("min_by(__rv, __t)").alias("__first"))
+    summaries = rside.groupBy(*by, "__bk").agg(*aggs)
     lbuckets = lside.select(*by, "__bk").distinct()
     seed_u = summaries.select(
-        *by, "__bk", F.lit(1).alias("__side"), "__rv"
+        *by,
+        "__bk",
+        F.lit(1).alias("__side"),
+        *(["__last"] if need_b else []),
+        *(["__first"] if need_f else []),
     ).unionByName(
         lbuckets.select(
             *by,
             "__bk",
             F.lit(0).alias("__side"),
-            F.lit(None).cast(rv_type).alias("__rv"),
+            *(
+                [F.lit(None).cast(rv_type).alias("__last")]
+                if need_b
+                else []
+            ),
+            *(
+                [F.lit(None).cast(rv_type).alias("__first")]
+                if need_f
+                else []
+            ),
         )
     )
-    w_seed = (
+    w_seed_b = (
         W.partitionBy(*by)
         .orderBy(F.col("__bk").asc(), F.col("__side").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    seeds = (
-        seed_u.select(
-            *by,
-            "__bk",
-            "__side",
-            F.last("__rv", ignorenulls=True).over(w_seed).alias("__seed"),
-        )
-        .filter(F.col("__side") == 0)
-        .filter(F.col("__seed").isNotNull())
+    w_seed_f = (
+        W.partitionBy(*by)
+        .orderBy(F.col("__bk").asc(), F.col("__side").desc())
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
     )
+    seed_cols = [*by, "__bk", "__side"]
+    if need_b:
+        seed_cols.append(
+            F.last("__last", ignorenulls=True).over(w_seed_b).alias("__sb")
+        )
+    if need_f:
+        seed_cols.append(
+            F.first("__first", ignorenulls=True).over(w_seed_f).alias("__sf")
+        )
+    seeds = seed_u.select(*seed_cols).filter(F.col("__side") == 0)
 
-    # Phase 2: the ordinary carry, partitioned by (key, bucket). The
-    # seed enters as a side=-1 row at the bucket floor so any in-bucket
-    # right (side 0) at-or-after it overrides; its __rv already holds
-    # the true right timestamp, so gaps and tolerance are exact.
-    u = (
-        seeds.select(
+    # Phase 2: the ordinary carry, partitioned by (key, bucket). Seeds
+    # enter as boundary rows — the backward seed (side -1) at the bucket
+    # floor, the forward seed (side 2) one past the bucket end — so any
+    # in-bucket right between the seed and the left row overrides by
+    # window order; each seed's __rv holds the true right timestamp, so
+    # gaps and tolerance stay exact. Each seed populates only ITS
+    # direction's carry column (the other is NULL → ignorenulls skips).
+    null_rv = F.lit(None).cast(rv_type)
+    null_lrow = F.lit(None).cast(lrow_type)
+
+    def _row(src, side, t, rvb, rvf, lr):
+        return src.select(
             *by,
             "__bk",
-            (F.col("__bk") * bucket).alias("__t"),
-            F.lit(-1).alias("__side"),
-            F.col("__seed").alias("__rv"),
-            F.lit(None).cast(lrow_type).alias("__lrow"),
+            t.alias("__t"),
+            F.lit(side).alias("__side"),
+            rvb.alias("__rvb"),
+            rvf.alias("__rvf"),
+            lr.alias("__lrow"),
         )
-        .unionByName(
-            rside.select(
-                *by,
-                "__bk",
-                "__t",
-                F.lit(0).alias("__side"),
-                "__rv",
-                F.lit(None).cast(lrow_type).alias("__lrow"),
+
+    parts = [
+        _row(
+            rside, 0, F.col("__t"),
+            F.col("__rv") if need_b else null_rv,
+            F.col("__rv") if need_f else null_rv,
+            null_lrow,
+        ),
+        _row(lside, 1, F.col("__t"), null_rv, null_rv, F.col("__lrow")),
+    ]
+    if need_b:
+        parts.append(
+            _row(
+                seeds.filter(F.col("__sb").isNotNull()),
+                -1,
+                (F.col("__bk") * bucket).cast("bigint"),
+                F.col("__sb"),
+                null_rv,
+                null_lrow,
             )
         )
-        .unionByName(
-            lside.select(
-                *by,
-                "__bk",
-                "__t",
-                F.lit(1).alias("__side"),
-                F.lit(None).cast(rv_type).alias("__rv"),
-                "__lrow",
+    if need_f:
+        parts.append(
+            _row(
+                seeds.filter(F.col("__sf").isNotNull()),
+                2,
+                ((F.col("__bk") + 1) * bucket).cast("bigint"),
+                null_rv,
+                F.col("__sf"),
+                null_lrow,
             )
         )
-    )
-    w_local = (
-        W.partitionBy(*by, "__bk")
-        .orderBy(F.col("__t").asc(), F.col("__side").asc())
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    b = F.last("__rv", ignorenulls=True).over(w_local)
-    gap = F.col("__t") - b[_RT]
-    match = F.when(gap <= F.lit(int(tolerance)), b) if tolerance is not None else b
-    carried = (
-        u.select(
-            F.col("__t"),
-            F.col("__side"),
-            F.col("__lrow"),
-            match.alias("__m"),
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+
+    part_local = W.partitionBy(*by, "__bk")
+    exact = allow_exact_matches
+    w_back = part_local.orderBy(
+        F.col("__t").asc(), _order_key(exact, backward=True).asc()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_fwd = part_local.orderBy(
+        F.col("__t").asc(), _order_key(exact, backward=False).asc()
+    ).rowsBetween(W.currentRow, W.unboundedFollowing)
+
+    def _gated(match: Column, gap: Column) -> Column:
+        if tolerance is not None:
+            return F.when(gap <= F.lit(int(tolerance)), match)
+        return match
+
+    cols = [F.col("__t"), F.col("__side"), F.col("__lrow")]
+    if need_b:
+        b = F.last("__rvb", ignorenulls=True).over(w_back)
+        cols.append(_gated(b, F.col("__t") - b[_RT]).alias("__b"))
+    if need_f:
+        f = F.first("__rvf", ignorenulls=True).over(w_fwd)
+        cols.append(_gated(f, f[_RT] - F.col("__t")).alias("__f"))
+    carried = u.select(*cols).filter(F.col("__side") == 1)
+
+    if direction == "backward":
+        match = F.col("__b")
+    elif direction == "forward":
+        match = F.col("__f")
+    else:
+        gb = F.col("__t") - F.col("__b")[_RT]
+        gf = F.col("__f")[_RT] - F.col("__t")
+        match = (
+            F.when(F.col("__b").isNull(), F.col("__f"))
+            .when(F.col("__f").isNull(), F.col("__b"))
+            .when(gb <= gf, F.col("__b"))  # exact tie prefers backward
+            .otherwise(F.col("__f"))
         )
-        .filter(F.col("__side") == 1)
-    )
+    carried = carried.withColumn("__m", match)
     if how == "inner":
         carried = carried.filter(F.col("__m").isNotNull())
     return carried.select(
