@@ -396,6 +396,11 @@ gate_swap(
     ],
 )
 
+# round-13 tail: as-of contract completion (strict matches judged
+# against DuckDB's native strict ASOF; the bucketed forward carry
+# sharing the plain forward oracle verbatim) — post-gate, oracle-backed
+from doc2dataset_spark.queries import round13_extras  # noqa: E402
+
 # Gate rotation #12 (round 13, VERDICT r12 Next-round #1): driver-record
 # the round-12 flagships that were mirror-green but absent from the
 # frozen 50 — the two-sided nearest as-of, the forward as-of (next-event

@@ -1,0 +1,128 @@
+"""Incremental hypertable cagg (streaming/hypertable.py): the served
+hour/day/month rollup folded from per-micro-batch hourly partials must
+equal the batch recompute exactly, a same-checkpoint replay must not
+change the answer, and partial-log compaction must be invisible to
+readers while actually shrinking the log."""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil as _shutil
+import time as _time
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.round12_extras import events_hypertable_rollup
+from doc2dataset_spark.session import load_table
+from doc2dataset_spark.streaming.hypertable import (
+    compact_hypertable_partials,
+    run_hypertable_ingest,
+    serve_hypertable,
+)
+
+SF = "/root/testdata/sf0.001"
+COLS = ["event_id", "ts", "user_id", "event_type", "value"]
+
+
+def _split_stream(spark, tmp_path):
+    """Three event_id-mod slices (every hour overlaps every batch, so
+    the serve-side fold merges cross-batch partials for every row)."""
+    e = load_table(spark, SF, "events").select(*COLS)
+    src = tmp_path / "ht_stream"
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        d = tmp_path / f"htslice_{i}"
+        (
+            e.filter(F.pmod("event_id", F.lit(3)) == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(d.as_posix())
+        )
+        dst = (src / f"b{i}.parquet").as_posix()
+        _shutil.copy(_glob.glob((d / "part-*.parquet").as_posix())[0], dst)
+        os.utime(dst, (_time.time() + 2 * i, _time.time() + 2 * i))
+    return src
+
+
+def _run(spark, tmp_path):
+    src = _split_stream(spark, tmp_path)
+    out = (tmp_path / "ht_out").as_posix()
+    ckpt = (tmp_path / "ht_ckpt").as_posix()
+
+    def go():
+        stream = (
+            spark.readStream.schema(
+                load_table(spark, SF, "events").select(*COLS).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src.as_posix())
+        )
+        run_hypertable_ingest(spark, stream, out, ckpt)
+
+    return out, go
+
+
+def _rows(df):
+    return sorted(
+        (r["granularity"], r["bucket"], r["n_events"], r["total"])
+        for r in df.collect()
+    )
+
+
+def test_streaming_hypertable_equals_batch(spark, tmp_path):
+    out, go = _run(spark, tmp_path)
+    go()
+    partials = spark.read.parquet(os.path.join(out, "hourly"))
+    assert partials.select("batch_id").distinct().count() >= 2, (
+        "stream collapsed into one micro-batch — the fold is not real"
+    )
+    # cross-batch merge is real: some hour appears in several batches
+    assert (
+        partials.groupBy("bucket")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+        > 0
+    )
+    got = _rows(serve_hypertable(spark, out))
+    want = _rows(events_hypertable_rollup(spark, SF))
+    assert got == want
+
+
+def test_streaming_hypertable_replay_is_idempotent(spark, tmp_path):
+    out, go = _run(spark, tmp_path)
+    go()
+    first = _rows(serve_hypertable(spark, out))
+    go()  # same checkpoint: committed batches must not re-land
+    assert _rows(serve_hypertable(spark, out)) == first
+
+
+def test_hypertable_compaction_invisible_and_smaller(spark, tmp_path):
+    out, go = _run(spark, tmp_path)
+    go()
+    want = _rows(serve_hypertable(spark, out))
+    stats = compact_hypertable_partials(spark, out, upto_batch=1)
+    # head (batches 0-1) folded into one partition; batch 2 is the tail
+    assert stats["batches_before"] == 3 and stats["batches_after"] == 2
+    # the fold REDUCED rows (same hour's partials merged)
+    assert stats["rows_after"] < stats["rows_before"]
+    assert _rows(serve_hypertable(spark, out)) == want
+    # appends keep working after compaction: land a fake batch 3 with
+    # one extra event and the serve must reflect exactly it
+    from doc2dataset_spark.streaming.hypertable import hourly_partial
+
+    one = load_table(spark, SF, "events").select(*COLS).limit(1)
+    (
+        hourly_partial(one)
+        .withColumn("batch_id", F.lit(3))
+        .write.mode("append")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(out, "hourly"))
+    )
+    served = {
+        (r[0], r[1]): r[2] for r in _rows(serve_hypertable(spark, out))
+    }
+    base = {(r[0], r[1]): r[2] for r in want}
+    bumped = [k for k in served if served[k] != base.get(k)]
+    assert bumped and all(served[k] == base[k] + 1 for k in bumped)
