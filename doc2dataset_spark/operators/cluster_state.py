@@ -181,6 +181,9 @@ def apply_batch(
         .partitionBy("batch_id")
         .parquet(_labels_path(state_dir))
     )
+    from doc2dataset_spark.operators.time_travel import record_batch_time
+
+    record_batch_time(_labels_path(state_dir), batch_id)
     return {
         "n_new_pairs": n_new_pairs,
         "n_affected_members": n_members,
@@ -343,6 +346,9 @@ def forget_docs(
         .partitionBy("batch_id")
         .parquet(_labels_path(state_dir))
     )
+    from doc2dataset_spark.operators.time_travel import record_batch_time
+
+    record_batch_time(_labels_path(state_dir), batch_id)
     return {
         "n_forgotten": len(doc_ids),
         "n_affected_members": n_members,

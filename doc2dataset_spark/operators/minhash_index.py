@@ -129,6 +129,9 @@ def build_minhash_index(
         .partitionBy("batch_id", "band")
         .parquet(_bands_path(index_dir))
     )
+    from doc2dataset_spark.operators.time_travel import record_batch_time
+
+    record_batch_time(_bands_path(index_dir), 0)
 
 
 def append_minhash_batch(
@@ -158,6 +161,9 @@ def append_minhash_batch(
         .partitionBy("batch_id", "band")
         .parquet(_bands_path(index_dir))
     )
+    from doc2dataset_spark.operators.time_travel import record_batch_time
+
+    record_batch_time(_bands_path(index_dir), batch_id)
 
 
 def read_bands(spark: SparkSession, index_dir: str) -> DataFrame:

@@ -109,6 +109,12 @@ def _write_index(docs: DataFrame, index_dir: str, batch_id: int) -> None:
         .parquet(_doclen_path(index_dir))
     )
     refresh_index_stats(docs.sparkSession, index_dir)
+    # landing-time manifest for timestamp-addressed time travel; the
+    # postings root is the family's canonical log (doclen shares its
+    # batch ids)
+    from doc2dataset_spark.operators.time_travel import record_batch_time
+
+    record_batch_time(_postings_path(index_dir), batch_id)
 
 
 def refresh_index_stats(spark: SparkSession, index_dir: str) -> None:

@@ -98,6 +98,136 @@ def read_postings_asof(
     )
 
 
+# ---------------------------------------------------------------------------
+# time travel by TIMESTAMP (round-12 verdict, Next round #7)
+# ---------------------------------------------------------------------------
+# ``read_postings_asof`` takes a batch number; users think in wall time
+# ("the index as of last Tuesday 09:00"). Every append/ingest now
+# records its batch's landing time (or the caller's event-time stamp)
+# into a ``__batch_times.json`` sidecar beside the log root, and
+# ``resolve_asof_ts`` maps a timestamp to the LAST batch landed at or
+# before it — Delta's `TIMESTAMP AS OF` over the same commit-history
+# layout. Resolution composes with the compaction horizon exactly as
+# batch ids do: a timestamp that resolves to a finalized batch raises.
+
+
+def _times_marker(root: str) -> str:
+    return f"{root.rstrip('/')}__batch_times.json"
+
+
+def batch_times(root: str) -> dict[int, int]:
+    """batch_id → recorded landing/event time (µs since epoch) from the
+    manifest sidecar; {} if no batch ever recorded."""
+    import json
+
+    fs, p = fsio.url_to_fs(root)
+    marker = _times_marker(p)
+    if not fs.exists(marker):
+        return {}
+    with fs.open(marker, "rb") as fh:
+        raw = json.loads(fh.read().decode())["times"]
+    return {int(k): int(v) for k, v in raw.items()}
+
+
+def record_batch_time(
+    root: str, batch_id: int, ts_us: int | None = None
+) -> int:
+    """Record (once) when ``batch_id`` landed under ``root``.
+
+    ``ts_us``: the batch's timestamp in µs — the caller's event-time
+    high-water mark when it has one, else None for wall-clock landing
+    time. First landing wins: a same-checkpoint REPLAY of an already-
+    recorded batch is a no-op, so the manifest stays stable under the
+    replay discipline every log family shares. Monotonicity is enforced
+    by clamping up to the latest earlier-batch time (a later batch can
+    never appear to land before an earlier one — resolution stays
+    well-defined even if a caller's event clock stutters). Returns the
+    recorded time."""
+    import json
+    import time
+
+    fs, p = fsio.url_to_fs(root)
+    times = batch_times(root)
+    if batch_id in times:
+        return times[batch_id]
+    t = int(time.time() * 1_000_000) if ts_us is None else int(ts_us)
+    earlier = [v for k, v in times.items() if k < batch_id]
+    if earlier:
+        t = max(t, max(earlier))
+    times[batch_id] = t
+    with fs.open(_times_marker(p), "wb") as fh:
+        fh.write(
+            json.dumps(
+                {"times": {str(k): v for k, v in sorted(times.items())}}
+            ).encode()
+        )
+    return t
+
+
+def drop_batch_times_above(root: str, max_id: int) -> int:
+    """Forget manifest entries for swept batches (> max_id) — called by
+    the fresh-checkpoint stale sweep so a renumbered replay re-records
+    its own landing times instead of inheriting the dead incarnation's.
+    Returns the number of entries dropped."""
+    import json
+
+    fs, p = fsio.url_to_fs(root)
+    times = batch_times(root)
+    kept = {k: v for k, v in times.items() if k <= max_id}
+    dropped = len(times) - len(kept)
+    if dropped:
+        with fs.open(_times_marker(p), "wb") as fh:
+            fh.write(
+                json.dumps(
+                    {"times": {str(k): v for k, v in sorted(kept.items())}}
+                ).encode()
+            )
+    return dropped
+
+
+def resolve_asof_ts(root: str, as_of_ts_us: int) -> int:
+    """The batch id the log stood at as of ``as_of_ts_us``: the highest
+    batch recorded at-or-before it. Raises if the timestamp predates the
+    first recorded batch (there was no state then) or if no batch was
+    ever recorded. Compaction-horizon refusal happens downstream in the
+    as-of readers — a resolved batch inside the horizon raises there,
+    exactly as an explicit batch id would."""
+    times = batch_times(root)
+    if not times:
+        raise ValueError(
+            f"no batch landing times recorded under {root!r} — the log "
+            "was written by a pre-manifest version or never appended; "
+            "use explicit as_of_batch ids"
+        )
+    eligible = [k for k, v in times.items() if v <= int(as_of_ts_us)]
+    if not eligible:
+        first = min(times.values())
+        raise ValueError(
+            f"as_of_ts={as_of_ts_us} predates the first recorded batch "
+            f"(landed at {first}) of {root!r}: no state existed then"
+        )
+    return max(eligible)
+
+
+def read_postings_asof_ts(
+    spark: SparkSession, root: str, as_of_ts_us: int
+) -> DataFrame:
+    """``read_postings_asof`` addressed by wall/event time: resolve the
+    timestamp through the landing manifest, then the same partition-
+    pruned ``batch_id <= N`` read (horizon refusal included)."""
+    return read_postings_asof(spark, root, resolve_asof_ts(root, as_of_ts_us))
+
+
+def serve_labels_asof_ts(
+    spark: SparkSession, state_dir: str, as_of_ts_us: int
+) -> DataFrame:
+    """``serve_labels_asof`` addressed by wall/event time."""
+    root = fsio.join(state_dir, "labels")
+    return serve_labels_asof(
+        spark, state_dir, resolve_asof_ts(root, as_of_ts_us)
+    )
+
+
 def serve_labels_asof(
     spark: SparkSession, state_dir: str, as_of_batch: int
 ) -> DataFrame:

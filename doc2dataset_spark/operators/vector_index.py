@@ -96,6 +96,9 @@ def build_ivf_index(
         .partitionBy("batch_id", "cent_id")
         .parquet(_postings_path(index_dir))
     )
+    from doc2dataset_spark.operators.time_travel import record_batch_time
+
+    record_batch_time(_postings_path(index_dir), 0)
 
 
 def probe_ivf_index(
@@ -200,3 +203,6 @@ def append_to_ivf_index(
         .partitionBy("batch_id", "cent_id")
         .parquet(_postings_path(index_dir))
     )
+    from doc2dataset_spark.operators.time_travel import record_batch_time
+
+    record_batch_time(_postings_path(index_dir), batch_id)

@@ -109,6 +109,9 @@ def build_winnow_index(
         .partitionBy("batch_id")
         .parquet(_postings_path(index_dir))
     )
+    from doc2dataset_spark.operators.time_travel import record_batch_time
+
+    record_batch_time(_postings_path(index_dir), 0)
 
 
 def append_winnow_batch(
@@ -137,6 +140,9 @@ def append_winnow_batch(
         .partitionBy("batch_id")
         .parquet(_postings_path(index_dir))
     )
+    from doc2dataset_spark.operators.time_travel import record_batch_time
+
+    record_batch_time(_postings_path(index_dir), batch_id)
 
 
 def read_postings(spark: SparkSession, index_dir: str) -> DataFrame:

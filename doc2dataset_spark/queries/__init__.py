@@ -429,6 +429,32 @@ gate_swap(
     ],
 )
 
+# Gate rotation #13 (round 13, second rotation this round — the r11/r12
+# same-round-promotion precedent): driver-record the round-13 flagships
+# in THIS round's snapshot — the strict as-of judged against DuckDB's
+# native strict ASOF, the bucketed forward carry sharing the plain
+# forward oracle verbatim (gate proves bucketed == plain == real ASOF
+# engine), and the incremental hypertable cagg + its compacted log
+# (both sharing the direct-from-raw rollup oracle verbatim: fold ==
+# recompute, compaction invisible) — over four rows whose families keep
+# stronger gate representation (see gate.py rotation log r13 #13). All
+# demoted rows stay hash-checked by the degated-parity pytest sweep and
+# scripts/driver_mirror.py.
+gate_swap(
+    promote=[
+        "events_asof_strict",
+        "rollup_hypertable_incremental",
+        "events_asof_forward_bucketed",
+        "rollup_hypertable_compacted",
+    ],
+    demote=[
+        "events_asof_tolerance",
+        "dedup_substring_rewrite",
+        "quality_psi_drift",
+        "curate_split_leakage",
+    ],
+)
+
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the
 # pytest pin so any drift crashes every entry point, not just the suite.

@@ -91,6 +91,21 @@ Rotation log (why the current 50 are the current 50):
   hyperplane_multi gated), and rollup_incremental_merge (the rollup
   family upgrades its slot to the hypertable cagg, which embeds the
   same partial-merge refresh across three granularities).
+- r13 #13 (same round, the r11/r12 same-round-promotion precedent):
+  promoted the round-13 flagships — events_asof_strict (the strict
+  contract judged against DuckDB's NATIVE strict ASOF),
+  events_asof_forward_bucketed (shares events_asof_forward's oracle
+  VERBATIM: the gate externally proves bucketed == plain == a real
+  ASOF engine), rollup_hypertable_incremental +
+  rollup_hypertable_compacted (the incremental cagg and its compacted
+  log, both sharing events_hypertable_rollup's direct-from-raw oracle
+  VERBATIM: fold-of-partials == recompute, and compaction invisible,
+  both driver-recorded) — over events_asof_tolerance (the as-of family
+  keeps join/nearest/forward/strict/forward_bucketed gated; the
+  tolerance report stays mirror + pytest), dedup_substring_rewrite
+  (dedup keeps 13 gate rows), quality_psi_drift (quality keeps
+  dsir_weights + classifier_lr), and curate_split_leakage (curation
+  keeps corpus_scored + ccnet_buckets).
 """
 
 from __future__ import annotations
@@ -117,11 +132,11 @@ FROZEN_GATE = [
     "agg_salted_two_phase",
     "q12b_bucketed_range_join",
     "q69_tpch_q21",
-    "events_asof_tolerance",
+    "events_asof_strict",
     "text_tfidf_topk",
     "q64_tpch_q2",
     "join_cbo_reordered",
-    "quality_psi_drift",
+    "events_asof_forward_bucketed",
     "curate_ccnet_buckets",
     "q74_higher_order_fns",
     "events_asof_join",
@@ -141,10 +156,10 @@ FROZEN_GATE = [
     "embedding_mrl_recall",
     "dedup_cluster_stats",
     "q46_tpch_q5",
-    "curate_split_leakage",
+    "rollup_hypertable_compacted",
     "dedup_embedding_cell_recall",
     "search_bm25_topk",
-    "dedup_substring_rewrite",
+    "rollup_hypertable_incremental",
     "events_asof_forward",
     "dedup_keep_best_incremental",
     "dedup_winnow_indexed",

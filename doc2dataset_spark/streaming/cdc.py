@@ -60,6 +60,9 @@ def run_cdc_ingest(
             .partitionBy("batch_id")
             .parquet(out_dir)
         )
+        from doc2dataset_spark.operators.time_travel import record_batch_time
+
+        record_batch_time(out_dir, batch_id)
 
     q = (
         changes_stream.writeStream.foreachBatch(write_batch)
@@ -225,3 +228,15 @@ def cdc_serve_asof(
         .select("doc_id", *[F.col(f"w.{c}").alias(c) for c in payload])
         .drop("op")
     )
+
+
+def cdc_serve_asof_ts(
+    spark: SparkSession, out_dir: str, as_of_ts_us: int
+) -> DataFrame:
+    """``cdc_serve_asof`` addressed by wall time: resolve the timestamp
+    through the changelog's landing-time manifest (written per batch by
+    run_cdc_ingest), then the same partition-pruned latest-wins fold —
+    including the compaction-horizon refusal."""
+    from doc2dataset_spark.operators.time_travel import resolve_asof_ts
+
+    return cdc_serve_asof(spark, out_dir, resolve_asof_ts(out_dir, as_of_ts_us))

@@ -93,6 +93,9 @@ def run_hypertable_ingest(
             .partitionBy("batch_id")
             .parquet(hdir)
         )
+        from doc2dataset_spark.operators.time_travel import record_batch_time
+
+        record_batch_time(hdir, batch_id)
 
     q = (
         events_stream.writeStream.foreachBatch(write_batch)

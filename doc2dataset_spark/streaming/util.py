@@ -34,4 +34,12 @@ def sweep_stale_batches(
             if bid > max_id:
                 fs.rm(entry, recursive=True)
                 removed += 1
+    if removed and prefix == "batch_id=":
+        # the swept batches' landing times must go with them, or a
+        # renumbered replay would inherit the dead incarnation's clock
+        from doc2dataset_spark.operators.time_travel import (
+            drop_batch_times_above,
+        )
+
+        drop_batch_times_above(out_dir, max_id)
     return removed

@@ -1001,14 +1001,24 @@ def run_asof(
     print(json.dumps(out))
 
 
-def run_asof_stream(spark, sf_dir: str, n_batches: int = 10) -> None:
-    """Price the streaming as-of attribution (round 12): drive the
-    watermarked late-data variant over ``n_batches`` event-time slices
-    of the events table through the REAL file-stream path
-    (maxFilesPerTrigger=1), then price the end-of-stream drain and the
-    view-log compaction. Reports total/per-batch wall, pending/view-log
-    sizes, and the compacted log's row count — the numbers behind the
-    'state is the price of lateness, compaction reclaims it' claim."""
+def run_asof_stream(
+    spark,
+    sf_dir: str,
+    n_batches: int = 10,
+    compact_every: int | None = None,
+) -> None:
+    """Price the streaming as-of attribution (round 12; deepened in
+    round 13 per the verdict's Next-round #8): drive the watermarked
+    late-data variant over ``n_batches`` event-time slices of the events
+    table through the REAL file-stream path — ONE micro-batch per
+    driver call (add a file, run to drain, stop), which yields a true
+    PER-BATCH wall series rather than one averaged total, and lets
+    ``compact_every`` run compact_view_state mid-stream on the stopped
+    stream (its documented contract) the way a production deployment
+    would cron it. Reports the per-batch wall curve (first/median/last +
+    the full series), pending/view-log sizes, and compaction costs —
+    the numbers behind 'state is the price of lateness, periodic
+    compaction holds the per-batch wall flat as the log grows'."""
     import shutil
     import tempfile
 
@@ -1035,8 +1045,12 @@ def run_asof_stream(spark, sf_dir: str, n_batches: int = 10) -> None:
     src = os.path.join(root, "stream")
     os.makedirs(src)
     try:
+        import glob as _glob
+        import shutil as _shutil
+
         lowers = [None, *bounds]
         uppers = [*bounds, None]
+        slice_files = []
         for i, (lo, hi) in enumerate(zip(lowers, uppers)):
             f = e
             if lo is not None:
@@ -1045,26 +1059,42 @@ def run_asof_stream(spark, sf_dir: str, n_batches: int = 10) -> None:
                 f = f.filter(F.unix_micros("ts") <= hi)
             d = os.path.join(root, f"slice_{i}")
             f.coalesce(1).write.parquet(d)
-            import glob as _glob
-            import shutil as _shutil
+            slice_files.append(
+                _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+            )
+        out = os.path.join(root, "out")
+        ckpt = os.path.join(root, "ckpt")
+        schema = (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
 
-            part = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        def drain_new_files():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            run_asof_attribution_late(spark, stream, out, ckpt, lateness_us)
+
+        batch_walls, compact_walls, view_rows = [], [], []
+        for i, part in enumerate(slice_files):
             dst = os.path.join(src, f"b{i:03d}.parquet")
             _shutil.copy(part, dst)
             os.utime(dst, (time.time() + 2 * i, time.time() + 2 * i))
-        out = os.path.join(root, "out")
-        ckpt = os.path.join(root, "ckpt")
-        stream = (
-            spark.readStream.schema(
-                "event_id bigint, ts timestamp, user_id bigint, "
-                "event_type string, value double"
-            )
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        t0 = time.time()
-        run_asof_attribution_late(spark, stream, out, ckpt, lateness_us)
-        stream_sec = time.time() - t0
+            t0 = time.time()
+            drain_new_files()  # exactly this one new file = one batch
+            batch_walls.append(round(time.time() - t0, 2))
+            if compact_every and (i + 1) % compact_every == 0 and i + 1 < len(
+                slice_files
+            ):
+                t0 = time.time()
+                cst = compact_view_state(spark, out)
+                compact_walls.append(round(time.time() - t0, 2))
+                view_rows.append(
+                    (i, cst["views_before"], cst["views_after"])
+                )
+        stream_sec = sum(batch_walls)
         sealed = spark.read.parquet(os.path.join(out, "attributed")).count()
         t0 = time.time()
         final = finalize_asof_attribution(spark, out).count()
@@ -1072,6 +1102,7 @@ def run_asof_stream(spark, sf_dir: str, n_batches: int = 10) -> None:
         t0 = time.time()
         cstats = compact_view_state(spark, out)
         compact_sec = time.time() - t0
+        walls = sorted(batch_walls)
         print(
             json.dumps(
                 {
@@ -1079,8 +1110,15 @@ def run_asof_stream(spark, sf_dir: str, n_batches: int = 10) -> None:
                     "sf_dir": sf_dir,
                     "n_batches": n_batches,
                     "lateness_days": 2,
+                    "compact_every": compact_every,
                     "stream_sec": round(stream_sec, 2),
                     "per_batch_sec": round(stream_sec / n_batches, 2),
+                    "batch_wall_first5": batch_walls[:5],
+                    "batch_wall_last5": batch_walls[-5:],
+                    "batch_wall_median": walls[len(walls) // 2],
+                    "batch_walls": batch_walls,
+                    "mid_compactions": view_rows,
+                    "mid_compact_secs": compact_walls,
                     "sealed": sealed,
                     "finalized_total": final,
                     "finalize_sec": round(finalize_sec, 2),
@@ -1109,8 +1147,12 @@ def main() -> None:
                 )
         return
     if mode == "asof-stream":
+        # optional args: n_batches compact_every sf_dir
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+        ce = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+        sfd = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
         spark = get_spark(app_name="bench_scaling_asof_stream")
-        run_asof_stream(spark, "/root/testdata/sf0.1")
+        run_asof_stream(spark, sfd, n_batches=n, compact_every=ce or None)
         return
     if mode == "make-big":
         make_big()
