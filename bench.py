@@ -121,6 +121,11 @@ HEADLINE = [
     "events_asof_tolerance",     # as-of + tolerance attribution report
     "events_asof_nearest",       # two-sided nearest as-of (dual carry)
     "events_asof_forward",       # forward carry (next-event attribution)
+    # round-13 ops
+    "events_asof_strict",        # allow_exact_matches=False carry
+    "events_asof_forward_bucketed",  # two-phase skew-bounded forward carry
+    "rollup_hypertable_incremental",  # cagg served from the partial log
+    "rollup_hypertable_compacted",    # ...after partial-log compaction
     "layout_zorder",             # Morton layout keys (map-side bit folds)
     "events_hypertable_rollup",  # cagg: hourly partials -> day -> month
 ]

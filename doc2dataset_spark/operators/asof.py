@@ -131,6 +131,55 @@ def _order_key(exact: bool, backward: bool) -> Column:
     )
 
 
+def _gate(match: Column, gap: Column, tolerance: int | None) -> Column:
+    """NULL the match when its gap exceeds the tolerance."""
+    if tolerance is not None:
+        return F.when(gap <= F.lit(int(tolerance)), match)
+    return match
+
+
+def _combine_matches(direction: str) -> Column:
+    """The direction's final match from the carried __b/__f columns —
+    shared by the plain and bucketed paths so the tie-break rule
+    ('exact tie prefers backward', the pandas-verified behavior) can
+    never diverge between them."""
+    if direction == "backward":
+        return F.col("__b")
+    if direction == "forward":
+        return F.col("__f")
+    gb = F.col("__t") - F.col("__b")[_RT]
+    gf = F.col("__f")[_RT] - F.col("__t")
+    return (
+        F.when(F.col("__b").isNull(), F.col("__f"))
+        .when(F.col("__f").isNull(), F.col("__b"))
+        .when(gb <= gf, F.col("__b"))  # exact tie prefers backward
+        .otherwise(F.col("__f"))
+    )
+
+
+def _project_output(
+    carried: DataFrame,
+    direction: str,
+    how: str,
+    lcols: list[str],
+    rpayload: list[str],
+    on: str,
+    suffix: str,
+) -> DataFrame:
+    """Combine carries into the match and emit the operator's output
+    contract (left columns, suffixed right columns, asof_gap) — one
+    implementation for both the plain and bucketed paths."""
+    carried = carried.withColumn("__m", _combine_matches(direction))
+    if how == "inner":
+        carried = carried.filter(F.col("__m").isNotNull())
+    return carried.select(
+        *[F.col("__lrow")[c].alias(c) for c in lcols],
+        F.col("__m")[_RON].alias(f"{suffix}{on}"),
+        *[F.col("__m")[c].alias(f"{suffix}{c}") for c in rpayload],
+        (F.col("__t") - F.col("__m")[_RT]).cast("bigint").alias("asof_gap"),
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -217,43 +266,15 @@ def asof_join(
         F.col("__t").asc(), _order_key(exact, backward=False).asc()
     ).rowsBetween(W.currentRow, W.unboundedFollowing)
 
-    def _gated(match: Column, gap: Column) -> Column:
-        if tolerance is not None:
-            return F.when(gap <= F.lit(int(tolerance)), match)
-        return match
-
     cols = [F.col("__t"), F.col("__side"), F.col("__lrow")]
     if direction in ("backward", "nearest"):
         b = F.last("__rv", ignorenulls=True).over(w_back)
-        cols.append(_gated(b, F.col("__t") - b[_RT]).alias("__b"))
+        cols.append(_gate(b, F.col("__t") - b[_RT], tolerance).alias("__b"))
     if direction in ("forward", "nearest"):
         f = F.first("__rv", ignorenulls=True).over(w_fwd)
-        cols.append(_gated(f, f[_RT] - F.col("__t")).alias("__f"))
+        cols.append(_gate(f, f[_RT] - F.col("__t"), tolerance).alias("__f"))
     carried = u.select(*cols).filter(F.col("__side") == 1)
-
-    if direction == "backward":
-        match = F.col("__b")
-    elif direction == "forward":
-        match = F.col("__f")
-    else:
-        gb = F.col("__t") - F.col("__b")[_RT]
-        gf = F.col("__f")[_RT] - F.col("__t")
-        match = (
-            F.when(F.col("__b").isNull(), F.col("__f"))
-            .when(F.col("__f").isNull(), F.col("__b"))
-            .when(gb <= gf, F.col("__b"))  # exact tie prefers backward
-            .otherwise(F.col("__f"))
-        )
-    carried = carried.withColumn("__m", match)
-    if how == "inner":
-        carried = carried.filter(F.col("__m").isNotNull())
-
-    return carried.select(
-        *[F.col("__lrow")[c].alias(c) for c in lcols],
-        F.col("__m")[_RON].alias(f"{suffix}{on}"),
-        *[F.col("__m")[c].alias(f"{suffix}{c}") for c in rpayload],
-        (F.col("__t") - F.col("__m")[_RT]).cast("bigint").alias("asof_gap"),
-    )
+    return _project_output(carried, direction, how, lcols, rpayload, on, suffix)
 
 
 def _asof_bucketed(
@@ -432,39 +453,12 @@ def _asof_bucketed(
         F.col("__t").asc(), _order_key(exact, backward=False).asc()
     ).rowsBetween(W.currentRow, W.unboundedFollowing)
 
-    def _gated(match: Column, gap: Column) -> Column:
-        if tolerance is not None:
-            return F.when(gap <= F.lit(int(tolerance)), match)
-        return match
-
     cols = [F.col("__t"), F.col("__side"), F.col("__lrow")]
     if need_b:
         b = F.last("__rvb", ignorenulls=True).over(w_back)
-        cols.append(_gated(b, F.col("__t") - b[_RT]).alias("__b"))
+        cols.append(_gate(b, F.col("__t") - b[_RT], tolerance).alias("__b"))
     if need_f:
         f = F.first("__rvf", ignorenulls=True).over(w_fwd)
-        cols.append(_gated(f, f[_RT] - F.col("__t")).alias("__f"))
+        cols.append(_gate(f, f[_RT] - F.col("__t"), tolerance).alias("__f"))
     carried = u.select(*cols).filter(F.col("__side") == 1)
-
-    if direction == "backward":
-        match = F.col("__b")
-    elif direction == "forward":
-        match = F.col("__f")
-    else:
-        gb = F.col("__t") - F.col("__b")[_RT]
-        gf = F.col("__f")[_RT] - F.col("__t")
-        match = (
-            F.when(F.col("__b").isNull(), F.col("__f"))
-            .when(F.col("__f").isNull(), F.col("__b"))
-            .when(gb <= gf, F.col("__b"))  # exact tie prefers backward
-            .otherwise(F.col("__f"))
-        )
-    carried = carried.withColumn("__m", match)
-    if how == "inner":
-        carried = carried.filter(F.col("__m").isNotNull())
-    return carried.select(
-        *[F.col("__lrow")[c].alias(c) for c in lcols],
-        F.col("__m")[_RON].alias(f"{suffix}{on}"),
-        *[F.col("__m")[c].alias(f"{suffix}{c}") for c in rpayload],
-        (F.col("__t") - F.col("__m")[_RT]).cast("bigint").alias("asof_gap"),
-    )
+    return _project_output(carried, direction, how, lcols, rpayload, on, suffix)

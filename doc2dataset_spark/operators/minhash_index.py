@@ -129,8 +129,12 @@ def build_minhash_index(
         .partitionBy("batch_id", "band")
         .parquet(_bands_path(index_dir))
     )
-    from doc2dataset_spark.operators.time_travel import record_batch_time
+    from doc2dataset_spark.operators.time_travel import (
+        record_batch_time,
+        reset_batch_times,
+    )
 
+    reset_batch_times(_bands_path(index_dir))  # rebuild = fresh history
     record_batch_time(_bands_path(index_dir), 0)
 
 

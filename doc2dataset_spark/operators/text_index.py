@@ -78,6 +78,9 @@ def build_text_index(
     from doc2dataset_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from doc2dataset_spark.operators.time_travel import reset_batch_times
+
+    reset_batch_times(_postings_path(index_dir))  # rebuild = fresh history
     _write_index(docs, index_dir, batch_id=0)
 
 

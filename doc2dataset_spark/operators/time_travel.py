@@ -164,6 +164,21 @@ def record_batch_time(
     return t
 
 
+def reset_batch_times(root: str) -> None:
+    """Forget the whole landing-time manifest — called by the build_*
+    functions before their from-scratch ``batch_id=0`` overwrite. The
+    sidecar lives OUTSIDE the data dir (renames/deletes of the log don't
+    touch it), so without this a rebuilt index would inherit the dead
+    incarnation's landing times and first-landing-wins would silently
+    serve post-rebuild content as pre-rebuild history; after the reset,
+    a pre-rebuild timestamp correctly refuses with 'predates the first
+    recorded batch' (round-13 self-review)."""
+    fs, p = fsio.url_to_fs(root)
+    marker = _times_marker(p)
+    if fs.exists(marker):
+        fs.rm(marker)
+
+
 def drop_batch_times_above(root: str, max_id: int) -> int:
     """Forget manifest entries for swept batches (> max_id) — called by
     the fresh-checkpoint stale sweep so a renumbered replay re-records

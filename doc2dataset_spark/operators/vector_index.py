@@ -96,8 +96,12 @@ def build_ivf_index(
         .partitionBy("batch_id", "cent_id")
         .parquet(_postings_path(index_dir))
     )
-    from doc2dataset_spark.operators.time_travel import record_batch_time
+    from doc2dataset_spark.operators.time_travel import (
+        record_batch_time,
+        reset_batch_times,
+    )
 
+    reset_batch_times(_postings_path(index_dir))  # rebuild = fresh history
     record_batch_time(_postings_path(index_dir), 0)
 
 

@@ -159,41 +159,13 @@ def _attribute(purchases: DataFrame, views: DataFrame) -> DataFrame:
     )
 
 
-def _land(frame: DataFrame, root: str, batch_id: int) -> None:
-    (
-        frame.withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(root)
-    )
-
-
-def _land_exact(frame: DataFrame, root: str, batch_id: int) -> int:
-    """_land, plus the zero-row replay guarantee (round-12 advice):
-    dynamic partition overwrite writes NOTHING for an empty frame, so a
-    fresh-checkpoint replay over an existing out_dir whose recomputed
-    batch is empty would leave the PRIOR run's ``batch_id=<n>``
-    partition in place and every cumulative read would serve those
-    stale rows. Materialize the frame once (localCheckpoint), and on
-    zero rows explicitly delete the existing partition dir instead of
-    writing — an emptied batch is now indistinguishable from an
-    unwritten one only when both are genuinely absent. Returns the row
-    count so callers can reuse it."""
-    frame = frame.localCheckpoint(eager=True)
-    n = frame.count()
-    if n:
-        _land(frame, root, batch_id)
-        return n
-    _rm_stale_partition(root, batch_id)
-    return 0
-
-
-def _rm_stale_partition(root: str, batch_id: int) -> None:
-    fs, p = fsio.url_to_fs(root)
-    stale = f"{p.rstrip('/')}/batch_id={batch_id}"
-    if fs.exists(stale):
-        fs.rm(stale, recursive=True)
+# per-batch landing primitives shared by every streaming sink — the
+# zero-row replay guard (_land_exact) is round-12 advice #4's fix
+from doc2dataset_spark.streaming.util import (  # noqa: E402
+    land_batch as _land,
+    land_batch_exact as _land_exact,
+    rm_stale_partition as _rm_stale_partition,
+)
 
 
 def serve_view_state(
@@ -331,6 +303,11 @@ def run_asof_attribution(
                 mdir,
                 batch_id,
             )
+        else:
+            # empty recompute: a dead incarnation's maxts for this id
+            # would otherwise survive and raise spurious ordered-arrival
+            # errors against the NEW stream's (valid) timestamps
+            _rm_stale_partition(mdir, batch_id)
 
     q = (
         events_stream.writeStream.foreachBatch(one_batch)

@@ -76,23 +76,39 @@ def run_hypertable_ingest(
     checkpoint_dir: str,
 ) -> None:
     """Land one hourly-partials frame per micro-batch under
-    ``hourly/batch_id=<n>`` (idempotent dynamic overwrite;
-    fresh-checkpoint replays sweep stale higher-id partitions)."""
+    ``hourly/batch_id=<n>`` (idempotent dynamic overwrite; zero-row
+    recomputations delete the stale partition — land_batch_exact;
+    fresh-checkpoint replays sweep stale higher-id partitions).
+
+    A fresh-checkpoint replay over a COMPACTED partial log refuses up
+    front (round-13 self-review — the same hazard index ingest and the
+    as-of view log already refuse): the replay renumbers batches from 0
+    and its stale sweep would delete the folded ``batch_id=<horizon>``
+    partition, i.e. the entire pre-compaction history."""
     ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
     fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
     fired: list[int] = []
     hdir = _hourly_path(out_dir)
+    if fresh_checkpoint:
+        from doc2dataset_spark.operators.index_maintenance import (
+            compaction_horizon,
+        )
+
+        fs_h, hp = fsio.url_to_fs(hdir)
+        if fs_h.exists(hp) and compaction_horizon(fs_h, hp) is not None:
+            raise RuntimeError(
+                f"{hdir!r} has a compaction horizon "
+                "(compact_hypertable_partials ran) — a fresh-checkpoint "
+                "replay is not supported on a compacted partial log: its "
+                "stale-batch sweep would delete the folded history; keep "
+                "the original checkpoint or rebuild from the source"
+            )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         fired.append(batch_id)
-        (
-            hourly_partial(batch_df)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(hdir)
-        )
+        from doc2dataset_spark.streaming.util import land_batch_exact
+
+        land_batch_exact(hourly_partial(batch_df), hdir, batch_id)
         from doc2dataset_spark.operators.time_travel import record_batch_time
 
         record_batch_time(hdir, batch_id)

@@ -459,3 +459,46 @@ def test_compact_view_state_crash_debris_refused_then_recovered(
 
     assert recover_compaction(vdir)["action"] == "rolled_back"
     assert _rows(finalize_asof_attribution(spark, out)) == want
+
+
+def test_stale_maxts_cleared_on_empty_recompute(spark, tmp_path):
+    """Round-13 self-review: a dead incarnation's maxts partition for a
+    batch the replay recomputes as EMPTY must be deleted, or its max ts
+    raises spurious ordered-arrival errors against the new stream's
+    perfectly ordered (but earlier) timestamps."""
+    src = tmp_path / "mx_stream"
+    os.makedirs(src, exist_ok=True)
+    batches = [
+        [],  # batch 0: empty on this incarnation
+        [(20, _dt.datetime(2024, 1, 1, 0, 0, 10), 1, "view", 1.0),
+         (21, _dt.datetime(2024, 1, 1, 0, 0, 20), 1, "purchase", 2.0)],
+    ]
+    for i, rows in enumerate(batches):
+        d = tmp_path / f"mxslice_{i}"
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d.as_posix())
+        dst = (src / f"b{i}.parquet").as_posix()
+        _shutil.copy(_glob.glob((d / "part-*.parquet").as_posix())[0], dst)
+        os.utime(dst, (_time.time() + 2 * i, _time.time() + 2 * i))
+    out = (tmp_path / "mx_out").as_posix()
+    # the dead incarnation saw events far in the future at batch 0
+    far = 4_000_000_000_000_000  # ~2096 in µs
+    spark.createDataFrame([(far,)], "max_ts_us bigint").withColumn(
+        "batch_id", F.lit(0)
+    ).write.partitionBy("batch_id").parquet(os.path.join(out, "maxts"))
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    # without the stale-maxts cleanup this raised "ordered-arrival"
+    run_asof_attribution(spark, stream, out, (tmp_path / "mx_ckpt").as_posix())
+    got = attributed_purchases(spark, out)
+    assert got.count() == 1
+    assert not os.path.exists(os.path.join(out, "maxts", "batch_id=0")) or (
+        spark.read.parquet(os.path.join(out, "maxts"))
+        .agg(F.max("max_ts_us"))
+        .first()[0]
+        < far
+    )

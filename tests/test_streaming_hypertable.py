@@ -126,3 +126,61 @@ def test_hypertable_compaction_invisible_and_smaller(spark, tmp_path):
     base = {(r[0], r[1]): r[2] for r in want}
     bumped = [k for k in served if served[k] != base.get(k)]
     assert bumped and all(served[k] == base[k] + 1 for k in bumped)
+
+
+def test_fresh_checkpoint_on_compacted_log_refuses(spark, tmp_path):
+    """Round-13 self-review: a fresh-checkpoint replay renumbers batches
+    from 0 and its stale sweep would delete the folded batch_id=<horizon>
+    partition — the entire pre-compaction history. Must refuse up front,
+    like index ingest and the as-of view log."""
+    import pytest as _pytest
+
+    out, go = _run(spark, tmp_path)
+    go()
+    compact_hypertable_partials(spark, out, upto_batch=1)
+    _shutil.rmtree((tmp_path / "ht_ckpt").as_posix())
+    with _pytest.raises(RuntimeError, match="compaction horizon"):
+        go()
+
+
+def test_empty_batch_clears_stale_partial_partition(spark, tmp_path):
+    """Zero-row replay guard at the ingest level: a batch that computes
+    ZERO partials must delete a stale same-id partition rather than
+    leave the dead incarnation's partials double-counting."""
+    e = load_table(spark, SF, "events").select(*COLS)
+    src = tmp_path / "ht_stream2"
+    os.makedirs(src, exist_ok=True)
+    slices = [
+        e.filter(F.pmod("event_id", F.lit(2)) == 0),
+        e.limit(0),  # the empty batch
+        e.filter(F.pmod("event_id", F.lit(2)) == 1),
+    ]
+    for i, frame in enumerate(slices):
+        d = tmp_path / f"ht2slice_{i}"
+        frame.coalesce(1).write.mode("overwrite").parquet(d.as_posix())
+        dst = (src / f"b{i}.parquet").as_posix()
+        _shutil.copy(_glob.glob((d / "part-*.parquet").as_posix())[0], dst)
+        os.utime(dst, (_time.time() + 2 * i, _time.time() + 2 * i))
+    out = (tmp_path / "ht2_out").as_posix()
+    # plant a dead incarnation's partial under the id the empty batch
+    # will recompute
+    from doc2dataset_spark.streaming.hypertable import hourly_partial
+
+    (
+        hourly_partial(e.limit(5))
+        .withColumn("batch_id", F.lit(1))
+        .write.partitionBy("batch_id")
+        .parquet(os.path.join(out, "hourly"))
+    )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    run_hypertable_ingest(
+        spark, stream, out, (tmp_path / "ht2_ckpt").as_posix()
+    )
+    assert not os.path.exists(os.path.join(out, "hourly", "batch_id=1"))
+    got = _rows(serve_hypertable(spark, out))
+    want = _rows(events_hypertable_rollup(spark, SF))
+    assert got == want

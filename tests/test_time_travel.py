@@ -319,3 +319,45 @@ def test_sweep_drops_swept_batch_times(spark, tmp_path):
         record_batch_time(out, i, ts_us=1_000 * (i + 1))
     assert sweep_stale_batches(out, 0) == 2
     assert batch_times(out) == {0: 1_000}
+
+
+def test_sweep_drops_times_even_without_partitions(spark, tmp_path):
+    """Round-13 self-review: an empty micro-batch records a landing time
+    but writes no partition; the sweep must drop its manifest entry even
+    when it removed zero partitions."""
+    from doc2dataset_spark.streaming.util import sweep_stale_batches
+
+    out = (tmp_path / "log2").as_posix()
+    spark.createDataFrame([(1,)], "doc_id bigint").withColumn(
+        "batch_id", F.lit(0)
+    ).write.partitionBy("batch_id").parquet(out)
+    record_batch_time(out, 0, ts_us=1_000)
+    record_batch_time(out, 5, ts_us=6_000)  # empty batch: time, no dir
+    assert sweep_stale_batches(out, 0) == 0  # nothing on disk to remove
+    assert batch_times(out) == {0: 1_000}
+
+
+def test_rebuild_resets_landing_times(spark, sf_dir, tmp_path):
+    """Round-13 self-review: the manifest sidecar lives OUTSIDE the data
+    dir, so a from-scratch rebuild must reset it — otherwise
+    first-landing-wins would serve post-rebuild content as pre-rebuild
+    history instead of refusing."""
+    from doc2dataset_spark.operators.minhash_index import (
+        build_minhash_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_minhash_index(spark, sf_dir, idx)
+    root = _bands_path(idx)
+    docs = load_table(spark, sf_dir, "documents")
+    append_minhash_batch(
+        spark, docs.filter(F.col("doc_id") % 7 == 0), idx, batch_id=1
+    )
+    assert sorted(batch_times(root)) == [0, 1]
+    first_t0 = batch_times(root)[0]
+    build_minhash_index(spark, sf_dir, idx)  # rebuild from scratch
+    times = batch_times(root)
+    assert sorted(times) == [0]  # the old incarnation's entries are gone
+    assert times[0] >= first_t0
+    with pytest.raises(ValueError, match="predates the first"):
+        resolve_asof_ts(root, first_t0 - 1)
