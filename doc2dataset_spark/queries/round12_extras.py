@@ -331,8 +331,9 @@ def events_asof_forward(spark, sf_dir):
     """FORWARD-direction as-of: each purchase picks the same user's
     EARLIEST view at-or-after it (post-purchase re-engagement latency —
     the other temporal direction product analytics asks for). One
-    operator call exercising asof_join's forward carry (leading window,
-    first-non-null); the oracle is DuckDB's native forward ASOF LEFT
+    operator call exercising asof_join's forward carry (a trailing
+    last-non-null scan over DESCENDING time — the frame shape Spark
+    evaluates incrementally); the oracle is DuckDB's native forward ASOF LEFT
     JOIN (``p.ts <= v.ts``), completing the trio of externally-judged
     directions: backward and forward against a real ASOF engine, nearest
     against their composition. gap_us keeps the operator's left-minus-
