@@ -146,10 +146,14 @@ def events_resample_interp(spark, sf_dir):
         .orderBy("day")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # forward carry on DESCENDING day: trailing frames are evaluated
+    # incrementally, currentRow->unboundedFollowing frames re-aggregate
+    # per row — O(span²) per user on multi-year grids (the round-13
+    # as-of frame lesson, BASELINE.md "window-frame lesson")
     fwd = (
         W.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(W.currentRow, W.unboundedFollowing)
+        .orderBy(F.col("day").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = j.select(
         "user_id",
@@ -158,8 +162,8 @@ def events_resample_interp(spark, sf_dir):
         "observed",
         F.last("day_value", ignorenulls=True).over(back).alias("prv_val"),
         F.last("obs_day", ignorenulls=True).over(back).alias("prv_day"),
-        F.first("day_value", ignorenulls=True).over(fwd).alias("nxt_val"),
-        F.first("obs_day", ignorenulls=True).over(fwd).alias("nxt_day"),
+        F.last("day_value", ignorenulls=True).over(fwd).alias("nxt_val"),
+        F.last("obs_day", ignorenulls=True).over(fwd).alias("nxt_day"),
     )
     frac = F.datediff("day", "prv_day").cast("double") / F.datediff(
         "nxt_day", "prv_day"
