@@ -126,6 +126,7 @@ HEADLINE = [
     "events_asof_forward_bucketed",  # two-phase skew-bounded forward carry
     "rollup_hypertable_incremental",  # cagg served from the partial log
     "rollup_hypertable_compacted",    # ...after partial-log compaction
+    "rollup_hypertable_asof",         # cagg time travel (prefix fold)
     "layout_zorder",             # Morton layout keys (map-side bit folds)
     "events_hypertable_rollup",  # cagg: hourly partials -> day -> month
 ]

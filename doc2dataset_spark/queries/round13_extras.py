@@ -252,3 +252,36 @@ _REG["rollup_hypertable_incremental"].oracle = _REG[
 _REG["rollup_hypertable_compacted"].oracle = _REG[
     "events_hypertable_rollup"
 ].oracle
+
+
+_HT_ASOF_DUCK_LEVEL = """
+  SELECT '{g}' AS granularity,
+         strftime(date_trunc('{g}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*)::BIGINT AS n_events,
+         round(SUM(CAST(value AS DECIMAL(38,6))), 4)::DOUBLE AS total
+  FROM events WHERE event_id % 4 <= 2 GROUP BY 2
+"""
+
+
+@query(
+    "rollup_hypertable_asof",
+    oracle=" UNION ALL ".join(
+        _HT_ASOF_DUCK_LEVEL.format(g=g) for g in ("hour", "day", "month")
+    ),
+    tags=("events", "rollup", "timeseries", "time-travel"),
+)
+def rollup_hypertable_asof(spark, sf_dir):
+    """Cagg TIME TRAVEL: the rollup as it stood after partial batch 2
+    landed (of the 4-batch event_id-mod log) — a partition-pruned
+    ``batch_id <= 2`` prefix fold composing the incremental cagg with
+    the time-travel surface (horizon refusal included; tests pin the
+    post-compaction raise and the timestamp-addressed twin). The oracle
+    recomputes every granularity directly from the raw events of those
+    batches (``event_id % 4 <= 2``), so the hash proves an as-of read of
+    the partial log equals a from-scratch rollup over the prefix
+    corpus."""
+    from doc2dataset_spark.streaming.hypertable import serve_hypertable_asof
+
+    return serve_hypertable_asof(
+        spark, _cached_ht_log(spark, sf_dir, False), as_of_batch=2
+    )

@@ -209,3 +209,41 @@ def compact_hypertable_partials(
         "rows_before": rows_before,
         "rows_after": spark.read.parquet(hdir).count(),
     }
+
+
+def serve_hypertable_asof(
+    spark: SparkSession, out_dir: str, as_of_batch: int
+) -> DataFrame:
+    """The cagg as it stood after partial batch N landed: the same
+    hour/day/month fold restricted to ``batch_id <= N`` — a
+    partition-pruned prefix read of the hourly log, composing the
+    hypertable with the time-travel surface (operators/time_travel.py).
+    Refuses when N predates the compaction horizon (those partials were
+    folded; the finalized-history contract every log family shares)."""
+    from doc2dataset_spark.operators.time_travel import read_postings_asof
+
+    hourly = fold_hourly(
+        read_postings_asof(spark, _hourly_path(out_dir), as_of_batch).drop(
+            "batch_id"
+        )
+    ).localCheckpoint(eager=False)
+    daily = _ht_level(hourly, "bucket", "day").localCheckpoint(eager=False)
+    monthly = _ht_level(daily, "bucket", "month")
+    return (
+        _ht_emit(hourly, "hour")
+        .unionByName(_ht_emit(daily, "day"))
+        .unionByName(_ht_emit(monthly, "month"))
+    )
+
+
+def serve_hypertable_asof_ts(
+    spark: SparkSession, out_dir: str, as_of_ts_us: int
+) -> DataFrame:
+    """serve_hypertable_asof addressed by wall/event time, resolved
+    through the hourly log's landing-time manifest (written per batch by
+    run_hypertable_ingest and the batch-side builder)."""
+    from doc2dataset_spark.operators.time_travel import resolve_asof_ts
+
+    return serve_hypertable_asof(
+        spark, out_dir, resolve_asof_ts(_hourly_path(out_dir), as_of_ts_us)
+    )

@@ -184,3 +184,43 @@ def test_empty_batch_clears_stale_partial_partition(spark, tmp_path):
     got = _rows(serve_hypertable(spark, out))
     want = _rows(events_hypertable_rollup(spark, SF))
     assert got == want
+
+
+def test_hypertable_asof_prefix_and_ts(spark, tmp_path):
+    """Cagg time travel: the as-of-batch fold equals a from-scratch
+    rollup over the prefix corpus; the timestamp twin resolves through
+    the landing manifest; compaction forecloses pre-horizon snapshots
+    loudly."""
+    import pytest as _pytest
+
+    from doc2dataset_spark.operators.time_travel import batch_times
+    from doc2dataset_spark.streaming.hypertable import (
+        serve_hypertable_asof,
+        serve_hypertable_asof_ts,
+    )
+
+    out, go = _run(spark, tmp_path)
+    go()
+    e = load_table(spark, SF, "events").select(*COLS)
+    # prefix truth: direct rollup over batches 0-1's events (mod slices)
+    from doc2dataset_spark.queries.round12_extras import _ht_emit, _ht_level
+    from doc2dataset_spark.streaming.hypertable import hourly_partial
+
+    prefix = e.filter(F.pmod("event_id", F.lit(3)) <= 1)
+    hourly = hourly_partial(prefix).localCheckpoint(eager=False)
+    daily = _ht_level(hourly, "bucket", "day").localCheckpoint(eager=False)
+    want = _rows(
+        _ht_emit(hourly, "hour")
+        .unionByName(_ht_emit(daily, "day"))
+        .unionByName(_ht_emit(_ht_level(daily, "bucket", "month"), "month"))
+    )
+    assert _rows(serve_hypertable_asof(spark, out, 1)) == want
+    # timestamp twin: any ts at-or-after batch 1's landing, before 2's
+    t = batch_times(os.path.join(out, "hourly"))
+    assert _rows(serve_hypertable_asof_ts(spark, out, t[1])) == want
+    # compaction forecloses the pre-horizon snapshot loudly
+    compact_hypertable_partials(spark, out, upto_batch=1)
+    with _pytest.raises(ValueError, match="compaction horizon"):
+        serve_hypertable_asof(spark, out, 0)
+    # at the horizon: still exact
+    assert _rows(serve_hypertable_asof(spark, out, 1)) == want
