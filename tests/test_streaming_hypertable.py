@@ -224,3 +224,44 @@ def test_hypertable_asof_prefix_and_ts(spark, tmp_path):
         serve_hypertable_asof(spark, out, 0)
     # at the horizon: still exact
     assert _rows(serve_hypertable_asof(spark, out, 1)) == want
+
+
+def test_hypertable_is_arrival_order_insensitive(spark, tmp_path):
+    """The cagg needs no watermark: hourly partials merge associatively
+    (exact decimal sums), so ANY arrival order — here reversed event
+    time, every batch older than the previous one — folds to the same
+    served rollup as the batch recompute. This is the structural reason
+    the hypertable ingest has no late-data variant: unlike the as-of
+    attribution (where matching depends on what has arrived), a
+    commutative-monoid aggregate cannot mis-attribute."""
+    e = load_table(spark, SF, "events").select(*COLS)
+    cuts = (
+        e.select(F.expr("percentile(unix_micros(ts), array(0.34, 0.67))"))
+        .first()[0]
+    )
+    lo, hi = int(cuts[0]), int(cuts[1])
+    slices = [  # NEWEST slice arrives FIRST
+        e.filter(F.unix_micros("ts") > hi),
+        e.filter((F.unix_micros("ts") > lo) & (F.unix_micros("ts") <= hi)),
+        e.filter(F.unix_micros("ts") <= lo),
+    ]
+    src = tmp_path / "ht_rev_stream"
+    os.makedirs(src, exist_ok=True)
+    for i, frame in enumerate(slices):
+        d = tmp_path / f"htrev_{i}"
+        frame.coalesce(1).write.mode("overwrite").parquet(d.as_posix())
+        dst = (src / f"b{i}.parquet").as_posix()
+        _shutil.copy(_glob.glob((d / "part-*.parquet").as_posix())[0], dst)
+        os.utime(dst, (_time.time() + 2 * i, _time.time() + 2 * i))
+    out = (tmp_path / "ht_rev_out").as_posix()
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    run_hypertable_ingest(
+        spark, stream, out, (tmp_path / "ht_rev_ckpt").as_posix()
+    )
+    got = _rows(serve_hypertable(spark, out))
+    want = _rows(events_hypertable_rollup(spark, SF))
+    assert got == want
