@@ -338,10 +338,13 @@ def _asof_bucketed(
     # Phase 1: per-(key, bucket) boundary right rows — map-side-
     # combinable argmaxes — then each left-occupied bucket's seeds. The
     # union-tag trick one level up: summaries are side 1, left-bucket
-    # markers side 0. For the TRAILING backward seed carry, the order
-    # (bk asc, side asc) puts the same-bucket summary AFTER its marker
-    # (excluded — in-bucket rights belong to phase 2); for the LEADING
-    # forward carry, (bk asc, side desc) puts it BEFORE (excluded too).
+    # markers side 0, and BOTH seed carries scan with trailing frames
+    # (the forward one on DESCENDING bucket order — the O(n) frame
+    # shape). In each scan the order (bk asc/desc, side asc) puts the
+    # same-bucket summary AFTER its marker, excluding it from the
+    # marker's frame — in-bucket rights belong to phase 2; last() then
+    # picks the nearest strictly-earlier (backward) / strictly-later
+    # (forward) bucket's summary.
     aggs = []
     if need_b:
         aggs.append(F.expr("max_by(__rv, __t)").alias("__last"))

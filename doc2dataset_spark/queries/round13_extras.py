@@ -167,6 +167,7 @@ def _build_ht_log(spark, sf_dir, tmp: str) -> None:
     hourly partials. Mod slicing (not time slicing) makes every hour
     bucket overlap every batch, so the serve-side fold genuinely merges
     cross-batch partials for every row of the result."""
+    from doc2dataset_spark.operators.time_travel import record_batch_time
     from doc2dataset_spark.streaming.hypertable import hourly_partial
 
     e = load_table(spark, sf_dir, "events")
@@ -178,6 +179,9 @@ def _build_ht_log(spark, sf_dir, tmp: str) -> None:
             .partitionBy("batch_id")
             .parquet(f"{tmp}/hourly")
         )
+        # landing-time manifest, exactly as the streaming ingest records
+        # it — serve_hypertable_asof_ts works on batch-built logs too
+        record_batch_time(f"{tmp}/hourly", i)
 
 
 def _cached_ht_log(spark, sf_dir, compacted: bool) -> str:

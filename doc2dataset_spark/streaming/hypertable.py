@@ -137,19 +137,27 @@ def fold_hourly(partials: DataFrame) -> DataFrame:
     )
 
 
-def serve_hypertable(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The served cagg: hour/day/month from the folded partial log —
-    raw events are never touched. Column-identical to
-    events_hypertable_rollup (shared emit/level helpers)."""
-    hourly = fold_hourly(
-        spark.read.parquet(_hourly_path(out_dir)).drop("batch_id")
-    ).localCheckpoint(eager=False)
+def _serve_levels(partials: DataFrame) -> DataFrame:
+    """Fold raw partials per hour and emit the hour/day/month union —
+    ONE serve chain shared by the live and as-of reads, so a future
+    change (new level, rounding, checkpoint tweak) can never make a
+    snapshot diverge from the live serve."""
+    hourly = fold_hourly(partials).localCheckpoint(eager=False)
     daily = _ht_level(hourly, "bucket", "day").localCheckpoint(eager=False)
     monthly = _ht_level(daily, "bucket", "month")
     return (
         _ht_emit(hourly, "hour")
         .unionByName(_ht_emit(daily, "day"))
         .unionByName(_ht_emit(monthly, "month"))
+    )
+
+
+def serve_hypertable(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The served cagg: hour/day/month from the folded partial log —
+    raw events are never touched. Column-identical to
+    events_hypertable_rollup (shared emit/level helpers)."""
+    return _serve_levels(
+        spark.read.parquet(_hourly_path(out_dir)).drop("batch_id")
     )
 
 
@@ -222,17 +230,10 @@ def serve_hypertable_asof(
     folded; the finalized-history contract every log family shares)."""
     from doc2dataset_spark.operators.time_travel import read_postings_asof
 
-    hourly = fold_hourly(
+    return _serve_levels(
         read_postings_asof(spark, _hourly_path(out_dir), as_of_batch).drop(
             "batch_id"
         )
-    ).localCheckpoint(eager=False)
-    daily = _ht_level(hourly, "bucket", "day").localCheckpoint(eager=False)
-    monthly = _ht_level(daily, "bucket", "month")
-    return (
-        _ht_emit(hourly, "hour")
-        .unionByName(_ht_emit(daily, "day"))
-        .unionByName(_ht_emit(monthly, "month"))
     )
 
 

@@ -25,24 +25,31 @@ SF = "/root/testdata/sf0.001"
 COLS = ["event_id", "ts", "user_id", "event_type", "value"]
 
 
-def _split_stream(spark, tmp_path):
-    """Three event_id-mod slices (every hour overlaps every batch, so
-    the serve-side fold merges cross-batch partials for every row)."""
-    e = load_table(spark, SF, "events").select(*COLS)
-    src = tmp_path / "ht_stream"
+def _land_slices(spark, tmp_path, slices, name):
+    """Write each slice as one parquet file into a watched dir, mtimes
+    spaced so maxFilesPerTrigger=1 feeds them as ordered micro-batches —
+    the one load-bearing arrival-order trick, kept in ONE place."""
+    src = tmp_path / name
     os.makedirs(src, exist_ok=True)
-    for i in range(3):
-        d = tmp_path / f"htslice_{i}"
-        (
-            e.filter(F.pmod("event_id", F.lit(3)) == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(d.as_posix())
-        )
+    for i, frame in enumerate(slices):
+        d = tmp_path / f"{name}_slice_{i}"
+        frame.coalesce(1).write.mode("overwrite").parquet(d.as_posix())
         dst = (src / f"b{i}.parquet").as_posix()
         _shutil.copy(_glob.glob((d / "part-*.parquet").as_posix())[0], dst)
         os.utime(dst, (_time.time() + 2 * i, _time.time() + 2 * i))
     return src
+
+
+def _split_stream(spark, tmp_path):
+    """Three event_id-mod slices (every hour overlaps every batch, so
+    the serve-side fold merges cross-batch partials for every row)."""
+    e = load_table(spark, SF, "events").select(*COLS)
+    return _land_slices(
+        spark,
+        tmp_path,
+        [e.filter(F.pmod("event_id", F.lit(3)) == i) for i in range(3)],
+        "ht_stream",
+    )
 
 
 def _run(spark, tmp_path):
@@ -148,19 +155,16 @@ def test_empty_batch_clears_stale_partial_partition(spark, tmp_path):
     ZERO partials must delete a stale same-id partition rather than
     leave the dead incarnation's partials double-counting."""
     e = load_table(spark, SF, "events").select(*COLS)
-    src = tmp_path / "ht_stream2"
-    os.makedirs(src, exist_ok=True)
-    slices = [
-        e.filter(F.pmod("event_id", F.lit(2)) == 0),
-        e.limit(0),  # the empty batch
-        e.filter(F.pmod("event_id", F.lit(2)) == 1),
-    ]
-    for i, frame in enumerate(slices):
-        d = tmp_path / f"ht2slice_{i}"
-        frame.coalesce(1).write.mode("overwrite").parquet(d.as_posix())
-        dst = (src / f"b{i}.parquet").as_posix()
-        _shutil.copy(_glob.glob((d / "part-*.parquet").as_posix())[0], dst)
-        os.utime(dst, (_time.time() + 2 * i, _time.time() + 2 * i))
+    src = _land_slices(
+        spark,
+        tmp_path,
+        [
+            e.filter(F.pmod("event_id", F.lit(2)) == 0),
+            e.limit(0),  # the empty batch
+            e.filter(F.pmod("event_id", F.lit(2)) == 1),
+        ],
+        "ht_stream2",
+    )
     out = (tmp_path / "ht2_out").as_posix()
     # plant a dead incarnation's partial under the id the empty batch
     # will recompute
@@ -240,19 +244,18 @@ def test_hypertable_is_arrival_order_insensitive(spark, tmp_path):
         .first()[0]
     )
     lo, hi = int(cuts[0]), int(cuts[1])
-    slices = [  # NEWEST slice arrives FIRST
-        e.filter(F.unix_micros("ts") > hi),
-        e.filter((F.unix_micros("ts") > lo) & (F.unix_micros("ts") <= hi)),
-        e.filter(F.unix_micros("ts") <= lo),
-    ]
-    src = tmp_path / "ht_rev_stream"
-    os.makedirs(src, exist_ok=True)
-    for i, frame in enumerate(slices):
-        d = tmp_path / f"htrev_{i}"
-        frame.coalesce(1).write.mode("overwrite").parquet(d.as_posix())
-        dst = (src / f"b{i}.parquet").as_posix()
-        _shutil.copy(_glob.glob((d / "part-*.parquet").as_posix())[0], dst)
-        os.utime(dst, (_time.time() + 2 * i, _time.time() + 2 * i))
+    src = _land_slices(
+        spark,
+        tmp_path,
+        [  # NEWEST slice arrives FIRST
+            e.filter(F.unix_micros("ts") > hi),
+            e.filter(
+                (F.unix_micros("ts") > lo) & (F.unix_micros("ts") <= hi)
+            ),
+            e.filter(F.unix_micros("ts") <= lo),
+        ],
+        "ht_rev_stream",
+    )
     out = (tmp_path / "ht_rev_out").as_posix()
     stream = (
         spark.readStream.schema(e.schema)
@@ -265,3 +268,23 @@ def test_hypertable_is_arrival_order_insensitive(spark, tmp_path):
     got = _rows(serve_hypertable(spark, out))
     want = _rows(events_hypertable_rollup(spark, SF))
     assert got == want
+
+
+def test_batch_built_log_serves_by_timestamp(spark, tmp_path):
+    """Round-13 review finding: the batch-side log builder
+    (_build_ht_log) must record landing times like the streaming ingest
+    does, or serve_hypertable_asof_ts refuses on every batch-built log
+    despite its docstring."""
+    from doc2dataset_spark.operators.time_travel import batch_times
+    from doc2dataset_spark.queries.round13_extras import _build_ht_log
+    from doc2dataset_spark.streaming.hypertable import (
+        serve_hypertable_asof,
+        serve_hypertable_asof_ts,
+    )
+
+    out = (tmp_path / "ht_batchlog").as_posix()
+    _build_ht_log(spark, SF, out)
+    t = batch_times(os.path.join(out, "hourly"))
+    assert sorted(t) == [0, 1, 2, 3]
+    got = _rows(serve_hypertable_asof_ts(spark, out, t[2]))
+    assert got == _rows(serve_hypertable_asof(spark, out, 2))
