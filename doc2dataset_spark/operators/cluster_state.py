@@ -233,14 +233,17 @@ def compact_labels(
         .withColumn("batch_id", F.lit(upto_batch))
         .select("doc_id", "cluster_id", "batch_id")
     )
-    tmp = f"{p.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    # Spark write goes to the URL form; the swap gets the stripped twin
+    # (Spark resolves scheme-less paths against its default fs)
+    tmp_url = f"{_labels_path(state_dir).rstrip('/')}__compact_{uuid.uuid4().hex}"
+    tmp = fsio.url_to_fs(tmp_url)[1]
     # shuffle_partitions: raise it when the corpus-sized head partition
     # would bottleneck or OOM a single shuffle task
     (
         head.repartition(max(shuffle_partitions, 1))
         .write.partitionBy("batch_id")
         .mode("overwrite")
-        .parquet(tmp)
+        .parquet(tmp_url)
     )
     swap_in_compacted(fs, p, tmp, tail_dirs)
     _write_horizon(fs, p, upto_batch)

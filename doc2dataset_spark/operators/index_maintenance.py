@@ -272,7 +272,10 @@ def compact_index_history(
         .withColumn("batch_id", F.lit(upto_batch))
     )
     parts = ["batch_id", *partition_cols]
-    tmp = f"{p.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    # Spark write goes to the URL form; the swap gets the stripped twin
+    # (Spark resolves scheme-less paths against its default fs)
+    tmp_url = f"{postings_path.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    tmp = fsio.url_to_fs(tmp_url)[1]
     # repartition(n, cols) HASH-partitions by cols: all rows of one
     # (batch_id, band/tb/cent_id) combo land in a single task, so each
     # hive partition dir gets exactly one file regardless of n — n only
@@ -284,7 +287,7 @@ def compact_index_history(
         )
         .write.partitionBy(*parts)
         .mode("overwrite")
-        .parquet(tmp)
+        .parquet(tmp_url)
     )
     swap_in_compacted(fs, p, tmp, tail_dirs)
     _write_horizon(fs, p, upto_batch)

@@ -122,6 +122,18 @@ def build_minhash_index(
     # exact recall-loss failure the meta exists to prevent; meta with no
     # postings is harmless: the rerun build overwrites both)
     _write_meta(spark, index_dir, b, r)
+    from doc2dataset_spark.operators.time_travel import (
+        record_batch_time,
+        reset_batch_times,
+    )
+
+    # reset BEFORE the overwrite (build_text_index's ordering, round-13
+    # advice): a crash between the batch_id=0 write and a post-write
+    # reset would leave the dead incarnation's landing times over the
+    # new index — serving post-rebuild content as pre-rebuild history.
+    # Reset-then-crash-before-write merely loses resolvable timestamps,
+    # which resolve_asof_ts refuses loudly.
+    reset_batch_times(_bands_path(index_dir))  # rebuild = fresh history
     (
         bands_of(docs, b, r)
         .withColumn("batch_id", F.lit(0))
@@ -129,12 +141,6 @@ def build_minhash_index(
         .partitionBy("batch_id", "band")
         .parquet(_bands_path(index_dir))
     )
-    from doc2dataset_spark.operators.time_travel import (
-        record_batch_time,
-        reset_batch_times,
-    )
-
-    reset_batch_times(_bands_path(index_dir))  # rebuild = fresh history
     record_batch_time(_bands_path(index_dir), 0)
 
 

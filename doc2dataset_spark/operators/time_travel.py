@@ -115,9 +115,37 @@ def _times_marker(root: str) -> str:
     return f"{root.rstrip('/')}__batch_times.json"
 
 
+def _write_times(fs, p: str, times: dict[int, int]) -> None:
+    """Persist the landing-time manifest crash-safely: write a tmp
+    sibling, then rename over the marker (os.replace / key-rewrite on
+    both backends — readers see the old manifest or the new one, never a
+    truncated half-write). Single-writer contract: each log family's
+    manifest is written only by its own ingest/sweep driver, one batch
+    at a time (foreachBatch is sequential per query), so the
+    read-modify-write cycle here never races — concurrent writers to
+    ONE log root are outside the contract, exactly as they are for the
+    batch partitions themselves."""
+    import json
+
+    marker = _times_marker(p)
+    tmp = f"{marker}.tmp"
+    with fs.open(tmp, "wb") as fh:
+        fh.write(
+            json.dumps(
+                {"times": {str(k): v for k, v in sorted(times.items())}}
+            ).encode()
+        )
+    fs.mv(tmp, marker)
+
+
 def batch_times(root: str) -> dict[int, int]:
     """batch_id → recorded landing/event time (µs since epoch) from the
-    manifest sidecar; {} if no batch ever recorded."""
+    manifest sidecar; {} if no batch ever recorded. An unparseable
+    manifest REFUSES loudly (never silently serves {} — that would let
+    resolve_asof_ts answer 'no state existed' over a log that has
+    state): the tmp+rename write discipline makes corruption impossible
+    from this module's own writers, so damage means external
+    interference and the fix is named in the error."""
     import json
 
     fs, p = fsio.url_to_fs(root)
@@ -125,7 +153,17 @@ def batch_times(root: str) -> dict[int, int]:
     if not fs.exists(marker):
         return {}
     with fs.open(marker, "rb") as fh:
-        raw = json.loads(fh.read().decode())["times"]
+        payload = fh.read()
+    try:
+        raw = json.loads(payload.decode())["times"]
+    except (ValueError, KeyError) as exc:
+        raise RuntimeError(
+            f"landing-time manifest {marker!r} is unparseable "
+            f"({exc}) — it was damaged outside this module "
+            "(writes are tmp+rename). Recover by restoring it from a "
+            "backup, or delete it and use explicit as_of_batch ids "
+            "(timestamp resolution is lost for pre-existing batches)"
+        ) from exc
     return {int(k): int(v) for k, v in raw.items()}
 
 
@@ -142,8 +180,8 @@ def record_batch_time(
     by clamping up to the latest earlier-batch time (a later batch can
     never appear to land before an earlier one — resolution stays
     well-defined even if a caller's event clock stutters). Returns the
-    recorded time."""
-    import json
+    recorded time. Manifest writes are tmp+rename (``_write_times``) —
+    crash-safe, single-writer-per-log contract documented there."""
     import time
 
     fs, p = fsio.url_to_fs(root)
@@ -155,12 +193,7 @@ def record_batch_time(
     if earlier:
         t = max(t, max(earlier))
     times[batch_id] = t
-    with fs.open(_times_marker(p), "wb") as fh:
-        fh.write(
-            json.dumps(
-                {"times": {str(k): v for k, v in sorted(times.items())}}
-            ).encode()
-        )
+    _write_times(fs, p, times)
     return t
 
 
@@ -184,19 +217,12 @@ def drop_batch_times_above(root: str, max_id: int) -> int:
     the fresh-checkpoint stale sweep so a renumbered replay re-records
     its own landing times instead of inheriting the dead incarnation's.
     Returns the number of entries dropped."""
-    import json
-
     fs, p = fsio.url_to_fs(root)
     times = batch_times(root)
     kept = {k: v for k, v in times.items() if k <= max_id}
     dropped = len(times) - len(kept)
     if dropped:
-        with fs.open(_times_marker(p), "wb") as fh:
-            fh.write(
-                json.dumps(
-                    {"times": {str(k): v for k, v in sorted(kept.items())}}
-                ).encode()
-            )
+        _write_times(fs, p, kept)
     return dropped
 
 

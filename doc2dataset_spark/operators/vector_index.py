@@ -90,18 +90,21 @@ def build_ivf_index(
         )
     )
     cents.write.mode("overwrite").parquet(_centroids_path(index_dir))
+    from doc2dataset_spark.operators.time_travel import (
+        record_batch_time,
+        reset_batch_times,
+    )
+
+    # reset BEFORE the overwrite (build_text_index's ordering): a crash
+    # after the write but before a post-write reset would leave the dead
+    # incarnation's landing times over the new index
+    reset_batch_times(_postings_path(index_dir))  # rebuild = fresh history
     (
         assign.withColumn("batch_id", F.lit(0))
         .write.mode("overwrite")
         .partitionBy("batch_id", "cent_id")
         .parquet(_postings_path(index_dir))
     )
-    from doc2dataset_spark.operators.time_travel import (
-        record_batch_time,
-        reset_batch_times,
-    )
-
-    reset_batch_times(_postings_path(index_dir))  # rebuild = fresh history
     record_batch_time(_postings_path(index_dir), 0)
 
 

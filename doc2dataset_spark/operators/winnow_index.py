@@ -103,18 +103,21 @@ def build_winnow_index(
     # leave fingerprinted postings with no parameter record (meta with
     # no postings is harmless — the rerun build overwrites both)
     _write_meta(spark, index_dir)
+    from doc2dataset_spark.operators.time_travel import (
+        record_batch_time,
+        reset_batch_times,
+    )
+
+    # reset BEFORE the overwrite (build_text_index's ordering): a crash
+    # after the write but before a post-write reset would leave the dead
+    # incarnation's landing times over the new index
+    reset_batch_times(_postings_path(index_dir))  # rebuild = fresh history
     (
         fps.withColumn("batch_id", F.lit(0))
         .write.mode("overwrite")
         .partitionBy("batch_id")
         .parquet(_postings_path(index_dir))
     )
-    from doc2dataset_spark.operators.time_travel import (
-        record_batch_time,
-        reset_batch_times,
-    )
-
-    reset_batch_times(_postings_path(index_dir))  # rebuild = fresh history
     record_batch_time(_postings_path(index_dir), 0)
 
 

@@ -86,7 +86,10 @@ def compact_parquet(
     # DROP those columns from the compacted copy depending on which file
     # wins — a compactor must always unify
     df = spark.read.option("mergeSchema", "true").parquet(path)
-    tmp = f"{p.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    # Spark write goes to the URL form; renames get the stripped twin
+    # (Spark resolves scheme-less paths against its default fs)
+    tmp_url = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    tmp = fsio.url_to_fs(tmp_url)[1]
     writer = None
     if partition_by:
         from pyspark.sql import functions as F
@@ -97,7 +100,7 @@ def compact_parquet(
         )
     else:
         writer = df.repartition(n_files).write
-    writer.mode("overwrite").parquet(tmp)
+    writer.mode("overwrite").parquet(tmp_url)
 
     # deterministic old-dir name: crash recovery / orphan sweeps can find
     # it without scanning for uuid-suffixed siblings

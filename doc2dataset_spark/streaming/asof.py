@@ -297,7 +297,12 @@ def run_asof_attribution(
         _land_exact(attributed, adir, batch_id)
         _land_exact(latest, vdir, batch_id)
         if bounds["hi"] is not None:
-            new_max = max(int(bounds["hi"]), prior_max or 0)
+            # no `or 0` floor: pre-epoch event times are NEGATIVE µs, and
+            # flooring the running max at 0 would make every later batch
+            # of valid negative timestamps raise a spurious ordered-
+            # arrival error (round-13 advice)
+            hi = int(bounds["hi"])
+            new_max = hi if prior_max is None else max(hi, prior_max)
             _land(
                 s.createDataFrame([(new_max,)], "max_ts_us bigint"),
                 mdir,
@@ -606,13 +611,20 @@ def compact_view_state(spark: SparkSession, out_dir: str) -> dict:
         )
     )
     kept = fresh.unionByName(older_latest)
-    tmp = f"{vp.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
+    # the Spark-written tmp is derived from the ORIGINAL URL, not the
+    # scheme-stripped fs path (round-13 advice): Spark resolves
+    # scheme-less paths against its default filesystem, so for a remote
+    # out_dir the data would land on the wrong fs while the swap
+    # published from the remote one. swap_in_compacted gets the stripped
+    # twin — the form `fs` speaks.
+    tmp_url = f"{vdir.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
+    tmp = fsio.url_to_fs(tmp_url)[1]
     (
         kept.withColumn("batch_id", F.lit(top))
         .write.partitionBy("batch_id")
-        .parquet(tmp)
+        .parquet(tmp_url)
     )
-    n_after = spark.read.parquet(tmp).count()  # count the written files
+    n_after = spark.read.parquet(tmp_url).count()  # count the written files
     prev_horizon = compaction_horizon(fs, vp)
     _write_horizon(fs, vp, top)  # refusal marker first, publish second
     try:

@@ -361,3 +361,45 @@ def test_rebuild_resets_landing_times(spark, sf_dir, tmp_path):
     assert times[0] >= first_t0
     with pytest.raises(ValueError, match="predates the first"):
         resolve_asof_ts(root, first_t0 - 1)
+
+
+def test_corrupt_batch_times_manifest_refuses_loudly(spark, tmp_path):
+    """Round-13 advice: a damaged __batch_times.json must raise with a
+    recovery hint, never silently read as {} — resolve_asof_ts would
+    answer 'no state existed' over a log that has state. (This module's
+    own writes are tmp+rename, so damage means external interference.)"""
+    from doc2dataset_spark.operators.time_travel import _times_marker
+
+    out = (tmp_path / "log3").as_posix()
+    spark.createDataFrame([(1,)], "doc_id bigint").withColumn(
+        "batch_id", F.lit(0)
+    ).write.partitionBy("batch_id").parquet(out)
+    record_batch_time(out, 0, ts_us=1_000)
+    marker = _times_marker(out)
+    # simulate a torn write from a NON-tmp+rename writer
+    with open(marker, "wb") as fh:
+        fh.write(b'{"times": {"0": 10')
+    with pytest.raises(RuntimeError, match="unparseable"):
+        batch_times(out)
+    with pytest.raises(RuntimeError, match="unparseable"):
+        resolve_asof_ts(out, 5_000)
+    # no tmp sibling is left behind by healthy writes
+    assert not (tmp_path / "log3__batch_times.json.tmp").exists()
+
+
+def test_batch_times_write_leaves_no_tmp_and_survives(spark, tmp_path):
+    """The tmp+rename discipline: after any record/drop cycle the marker
+    parses and the tmp sibling is gone."""
+    from doc2dataset_spark.operators.time_travel import (
+        _times_marker,
+        drop_batch_times_above,
+    )
+
+    out = (tmp_path / "log4").as_posix()
+    for i in range(3):
+        record_batch_time(out, i, ts_us=1_000 * (i + 1))
+    assert drop_batch_times_above(out, 1) == 1
+    assert batch_times(out) == {0: 1_000, 1: 2_000}
+    import os
+
+    assert not os.path.exists(_times_marker(out) + ".tmp")
