@@ -455,6 +455,13 @@ gate_swap(
     ],
 )
 
+# round-14 tail: late-data handling for the incremental cagg (the
+# watermarked ingest judged by an out-of-order replay against the
+# direct-from-raw oracle; the sealed-prefix finality surface judged
+# against the oracle's own end-≤-watermark filter) — post-gate,
+# oracle-backed
+from doc2dataset_spark.queries import round14_extras  # noqa: E402
+
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the
 # pytest pin so any drift crashes every entry point, not just the suite.

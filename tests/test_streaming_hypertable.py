@@ -231,13 +231,15 @@ def test_hypertable_asof_prefix_and_ts(spark, tmp_path):
 
 
 def test_hypertable_is_arrival_order_insensitive(spark, tmp_path):
-    """The cagg needs no watermark: hourly partials merge associatively
-    (exact decimal sums), so ANY arrival order — here reversed event
-    time, every batch older than the previous one — folds to the same
-    served rollup as the batch recompute. This is the structural reason
-    the hypertable ingest has no late-data variant: unlike the as-of
-    attribution (where matching depends on what has arrived), a
-    commutative-monoid aggregate cannot mis-attribute."""
+    """The cagg needs no watermark FOR CORRECTNESS: hourly partials
+    merge associatively (exact decimal sums), so ANY arrival order —
+    here reversed event time, every batch older than the previous one —
+    folds to the same served rollup as the batch recompute. Unlike the
+    as-of attribution (where matching depends on what has arrived), a
+    commutative-monoid aggregate cannot mis-attribute. What the
+    unbounded ingest cannot offer is FINALITY — that is what the
+    watermarked variant (run_hypertable_ingest_late, round 14) adds,
+    not a correctness fix."""
     e = load_table(spark, SF, "events").select(*COLS)
     cuts = (
         e.select(F.expr("percentile(unix_micros(ts), array(0.34, 0.67))"))
@@ -288,3 +290,204 @@ def test_batch_built_log_serves_by_timestamp(spark, tmp_path):
     assert sorted(t) == [0, 1, 2, 3]
     got = _rows(serve_hypertable_asof_ts(spark, out, t[2]))
     assert got == _rows(serve_hypertable_asof(spark, out, 2))
+
+
+# ---------------------------------------------------------------------------
+# round 14: watermarked late-data ingest + bucket finality
+# ---------------------------------------------------------------------------
+
+
+def test_late_ingest_stream_equals_batch_on_disordered_feed(spark, tmp_path):
+    """run_hypertable_ingest_late over event_id-mod slices (every batch
+    after the first is almost entirely late): the full serve still
+    equals the batch recompute, and the wm sidecar's invalidation
+    accounting proves the disorder was real."""
+    from doc2dataset_spark.streaming.hypertable import (
+        hypertable_wm_state,
+        run_hypertable_ingest_late,
+    )
+
+    e = load_table(spark, SF, "events").select(*COLS)
+    src = _land_slices(
+        spark,
+        tmp_path,
+        [e.filter(F.pmod("event_id", F.lit(3)) == i) for i in range(3)],
+        "htl_stream",
+    )
+    out = (tmp_path / "htl_out").as_posix()
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    run_hypertable_ingest_late(
+        spark,
+        stream,
+        out,
+        (tmp_path / "htl_ckpt").as_posix(),
+        lateness_us=60 * 24 * 3600 * 1_000_000,
+    )
+    got = _rows(serve_hypertable(spark, out))
+    want = _rows(events_hypertable_rollup(spark, SF))
+    assert got == want
+    state = hypertable_wm_state(spark, out)
+    assert state["n_late_rows"] > 0 and state["n_reopened_hours"] > 0
+    assert state["wm_us"] == state["max_ts_us"] - 60 * 24 * 3600 * 1_000_000
+
+
+def _ts_frame(spark, rows):
+    """(event_id, 'HH:MM' on 2024-03-01, value) triples -> events frame."""
+    return spark.createDataFrame(
+        [
+            (i, f"2024-03-01 {hhmm}:00", "purchase", float(v))
+            for i, hhmm, v in rows
+        ],
+        "event_id bigint, ts_s string, event_type string, value double",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts_s").alias("ts"),
+        F.lit(1).alias("user_id"),
+        "event_type",
+        "value",
+    )
+
+
+def test_late_batch_refuses_below_watermark(spark, tmp_path):
+    """An event below the prior watermark violates the lateness bound —
+    it would mutate a bucket already promised final — and must raise,
+    not silently re-open it."""
+    import pytest as _pytest
+
+    from doc2dataset_spark.streaming.hypertable import (
+        ingest_hypertable_late_batch,
+    )
+
+    out = (tmp_path / "htr_out").as_posix()
+    two_h = 2 * 3600 * 1_000_000
+    ingest_hypertable_late_batch(
+        _ts_frame(spark, [(1, "01:00", 5), (2, "03:30", 7)]),
+        out,
+        batch_id=0,
+        lateness_us=two_h,
+    )
+    # wm = 03:30 - 2h = 01:30; an 01:15 event is below it
+    with _pytest.raises(RuntimeError, match="lateness bound"):
+        ingest_hypertable_late_batch(
+            _ts_frame(spark, [(3, "01:15", 1)]),
+            out,
+            batch_id=1,
+            lateness_us=two_h,
+        )
+    # an in-window late event (02:10 < prior max 03:30, above wm) lands
+    snap = ingest_hypertable_late_batch(
+        _ts_frame(spark, [(4, "02:10", 2), (5, "05:00", 3)]),
+        out,
+        batch_id=1,
+        lateness_us=two_h,
+    )
+    assert snap["n_late_rows"] == 1 and snap["n_reopened_hours"] == 1
+
+
+def test_final_rows_are_immutable_and_include_late_refolds(spark, tmp_path):
+    """The finality contract end to end: a bucket served by
+    serve_hypertable_final never changes in any later batch, and a
+    bucket re-opened by an in-window late event seals WITH that event
+    folded in."""
+    from doc2dataset_spark.streaming.hypertable import (
+        ingest_hypertable_late_batch,
+        serve_hypertable_final,
+    )
+
+    out = (tmp_path / "htf_out").as_posix()
+    two_h = 2 * 3600 * 1_000_000
+    ingest_hypertable_late_batch(
+        _ts_frame(spark, [(1, "00:10", 5), (2, "01:20", 4), (3, "03:30", 7)]),
+        out,
+        batch_id=0,
+        lateness_us=two_h,
+    )
+    # wm = 01:30: only hour 00 (end 01:00) is sealed
+    final0 = _rows(serve_hypertable_final(spark, out))
+    assert [(g, b) for g, b, *_ in final0] == [
+        ("hour", "2024-03-01 00:00:00")
+    ]
+    # batch 1: late event into hour 02 (in-window), fresh event at 06:00
+    ingest_hypertable_late_batch(
+        _ts_frame(spark, [(4, "02:10", 2), (5, "06:00", 3)]),
+        out,
+        batch_id=1,
+        lateness_us=two_h,
+    )
+    # wm = 04:00: hours 00-03 sealed; hour 02 sealed WITH the late row
+    final1 = {(g, b): (n, t) for g, b, n, t in _rows(
+        serve_hypertable_final(spark, out)
+    )}
+    assert final1[("hour", "2024-03-01 02:00:00")] == (1, 2.0)
+    # immutability: every batch-0 final row is served identically later
+    for g, b, n, t in final0:
+        assert final1[(g, b)] == (n, t)
+
+
+def test_final_requires_a_watermarked_log(spark, tmp_path):
+    """serve_hypertable_final over a log built by the UNBOUNDED ingest
+    must refuse — without a lateness bound no bucket is ever provably
+    complete, so serving 'final' rows would be a false promise."""
+    import pytest as _pytest
+
+    from doc2dataset_spark.streaming.hypertable import (
+        hourly_partial,
+        serve_hypertable_final,
+    )
+
+    out = (tmp_path / "htn_out").as_posix()
+    (
+        hourly_partial(_ts_frame(spark, [(1, "01:00", 5)]))
+        .withColumn("batch_id", F.lit(0))
+        .write.partitionBy("batch_id")
+        .parquet(os.path.join(out, "hourly"))
+    )
+    with _pytest.raises(ValueError, match="watermark snapshot"):
+        serve_hypertable_final(spark, out)
+
+
+def test_late_ingest_empty_batch_clears_stale_state(spark, tmp_path):
+    """A zero-row recompute must clear BOTH a dead incarnation's partial
+    partition and its wm snapshot — a stale wm would raise spurious
+    lateness errors against the new stream's valid timestamps."""
+    from doc2dataset_spark.streaming.hypertable import (
+        hourly_partial,
+        hypertable_wm_state,
+        ingest_hypertable_late_batch,
+    )
+    from doc2dataset_spark.streaming.util import land_batch
+
+    out = (tmp_path / "hte_out").as_posix()
+    two_h = 2 * 3600 * 1_000_000
+    # dead incarnation's debris under batch_id=0: partials + a wm far
+    # in the future of the new stream
+    land_batch(
+        hourly_partial(_ts_frame(spark, [(9, "23:00", 9)])),
+        os.path.join(out, "hourly"),
+        0,
+    )
+    land_batch(
+        spark.createDataFrame(
+            [(10**18, 10**18 - two_h, 0, 0)],
+            "max_ts_us bigint, wm_us bigint, "
+            "n_late_rows bigint, n_reopened_hours bigint",
+        ),
+        os.path.join(out, "wm"),
+        0,
+    )
+    snap = ingest_hypertable_late_batch(
+        _ts_frame(spark, []).limit(0), out, batch_id=0, lateness_us=two_h
+    )
+    assert snap["max_ts_us"] is None
+    assert hypertable_wm_state(spark, out) is None
+    assert not os.path.exists(os.path.join(out, "hourly", "batch_id=0"))
+    # the new stream's (older) timestamps are now accepted
+    ok = ingest_hypertable_late_batch(
+        _ts_frame(spark, [(1, "01:00", 5)]), out, batch_id=1,
+        lateness_us=two_h,
+    )
+    assert ok["n_late_rows"] == 0
