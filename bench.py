@@ -129,6 +129,9 @@ HEADLINE = [
     "rollup_hypertable_asof",         # cagg time travel (prefix fold)
     "layout_zorder",             # Morton layout keys (map-side bit folds)
     "events_hypertable_rollup",  # cagg: hourly partials -> day -> month
+    # round-14 ops
+    "rollup_hypertable_late",    # watermarked out-of-order partial ingest
+    "rollup_hypertable_final",   # sealed-prefix finality serve
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

@@ -177,6 +177,47 @@ def _project_output(
     )
 
 
+def resolve_auto_bucket(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    partition_budget: int = 1_000_000,
+) -> int | None:
+    """The ``bucket="auto"`` decision, exposed so callers and tests can
+    inspect which plan the CBO-style rule picks. ONE cheap ANALYZE pass
+    (the queries/cbo_join pattern): count + time-span per key over the
+    union of both inputs — a map-side-combinable aggregate whose output
+    is |keys| rows — then argmax to the hottest key and hand its (rows,
+    span) to autoparams.asof_bucket_span. None = plain carry (the
+    hottest window partition fits the budget, or its rows all share one
+    instant); otherwise the span that bounds expected per-bucket volume
+    at the budget. The stats read both inputs once; against the join
+    itself that is the same price every CBO ANALYZE pays, and the
+    decision it buys converts an unbounded straggler partition into
+    bounded tasks."""
+    from doc2dataset_spark.operators.autoparams import asof_bucket_span
+
+    by = list(by)
+    u = left.select(*by, _comparable(left, on).alias("__t")).unionByName(
+        right.select(*by, _comparable(right, on).alias("__t"))
+    )
+    hot = (
+        u.groupBy(*by)
+        .agg(
+            F.count("*").alias("__n"),
+            (F.max("__t") - F.min("__t")).alias("__span"),
+        )
+        .agg(F.expr("max_by(struct(__n, __span), __n)").alias("h"))
+        .first()["h"]
+    )
+    if hot is None:  # both inputs empty
+        return None
+    return asof_bucket_span(
+        int(hot["__n"]), int(hot["__span"]), partition_budget
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -186,8 +227,9 @@ def asof_join(
     tolerance: int | None = None,
     how: str = "left",
     suffix: str = "r_",
-    bucket: int | None = None,
+    bucket: int | str | None = None,
     allow_exact_matches: bool = True,
+    auto_partition_budget: int = 1_000_000,
 ) -> DataFrame:
     """AS-OF join ``left`` to ``right`` on time column ``on`` within key
     groups ``by``. Returns every left column, plus for the matched right
@@ -210,11 +252,29 @@ def asof_join(
     boundary (backward seed at the bucket floor, forward seed one past
     the bucket end; 'nearest' carries both inside one plan). Every
     partition is bounded by per-bucket volume regardless of key skew.
-    Result-identical to the plain carry (pinned by equality tests)."""
+    Result-identical to the plain carry (pinned by equality tests).
+
+    ``bucket="auto"`` (round-14 verdict, Next round #4): derive the
+    choice from cheap key stats instead of making the caller know their
+    skew — resolve_auto_bucket runs one ANALYZE-style aggregate over
+    both inputs, and the hottest key's (rows, time-span) pick the plan
+    via autoparams.asof_bucket_span: plain carry while the hot window
+    partition fits ``auto_partition_budget`` rows (plain wins on
+    natural keys — it skips phase 1), the two-phase bucketed carry with
+    a budget-bounding span once it does not. Both plans are
+    result-identical, so auto can only trade wall time, never answers."""
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown direction {direction!r}")
     if how not in ("left", "inner"):
         raise ValueError(f"unknown how {how!r}")
+    if isinstance(bucket, str):
+        if bucket != "auto":
+            raise ValueError(
+                f"bucket={bucket!r}: pass an int span, 'auto', or None"
+            )
+        bucket = resolve_auto_bucket(
+            left, right, on, by, auto_partition_budget
+        )
     if bucket is not None:
         if bucket <= 0:
             raise ValueError("bucket span must be positive")

@@ -80,3 +80,51 @@ def minhash_bands_rows(
     r = max(2, math.ceil(math.log(n / 2) / math.log(1 / bg_jaccard)))
     b = max(1, round(threshold ** (-r)))
     return b, r
+
+
+def asof_bucket_span(
+    hot_key_rows: int,
+    hot_key_span: int,
+    partition_budget: int = 1_000_000,
+) -> int | None:
+    """Bucket span for ``asof_join(bucket="auto")`` — None means the
+    plain carry (one window partition per key) is the winning plan.
+
+    The carry's unit of work is one sorted window partition holding the
+    hottest key's full (left + right) history. Up to
+    ``partition_budget`` rows that single sort is cheap and the plain
+    carry wins — it skips the bucketed path's extra phase-1 aggregation
+    and seed union, a roughly constant ~0.5 s overhead that dominates
+    small partitions (measured single-key crossover sweep, BASELINE.md
+    round-14 table: 0.2M rows plain 1.22 s vs bucketed 1.63 s; 0.9M
+    1.01 vs 1.21; 2.2M plain 2.30 vs bucketed 1.18 — crossover between
+    ~1M and ~2M on local[32], single-task sort wall growing
+    superlinearly past it). Past the budget the hot partition becomes
+    one straggler task and the two-phase bucketed carry wins regardless
+    of skew, so: split the hot key's time span into
+    ceil(rows / budget) buckets — expected per-bucket volume ≈ the
+    budget under a roughly uniform-in-time hot key (the bot-user /
+    default-tenant shape; a key whose rows also cluster in TIME still
+    improves by the clustering factor and never regresses vs plain,
+    since every bucket is a subset of the old single partition). The
+    1M default is the measured knee's conservative edge on 32 cores; a
+    cluster with smaller task memory or stricter straggler SLOs lowers
+    it.
+
+    ``hot_key_span`` = (max − min) of the comparable on-values within
+    the hottest key. A span of 0 (all rows at one instant) cannot be
+    split by time — return None: bucketing would add phases without
+    bounding anything.
+    """
+    if hot_key_rows <= partition_budget or hot_key_span <= 0:
+        return None
+    # The budget is the SWITCH point, not the task grain: crossing it
+    # means one sorted task is too big, and once bucketing, buckets
+    # should be fine enough to spread across the cluster — per-bucket
+    # overhead (one seed row + its share of the phase-1 agg) is
+    # near-zero, so the only cost of finer grain is scheduler overhead.
+    # budget/10 per bucket is the measured knee (round-14 crossover
+    # sweep: 2.2M-row key, ~750k/bucket span 3.24 s vs ~75k/bucket
+    # 1.87 s vs plain 2.74 s).
+    n_buckets = math.ceil(hot_key_rows / max(partition_budget // 10, 1))
+    return max(1, math.ceil(hot_key_span / n_buckets))

@@ -458,9 +458,35 @@ gate_swap(
 # round-14 tail: late-data handling for the incremental cagg (the
 # watermarked ingest judged by an out-of-order replay against the
 # direct-from-raw oracle; the sealed-prefix finality surface judged
-# against the oracle's own end-≤-watermark filter) — post-gate,
-# oracle-backed
+# against the oracle's own end-≤-watermark filter)
 from doc2dataset_spark.queries import round14_extras  # noqa: E402
+
+# Gate rotation #14 (round 14): driver-record the hypertable lifecycle's
+# completion — the time-travel × incremental-cagg composition the r13
+# verdict asked for (rollup_hypertable_asof, mirror-green in r13 but
+# absent from the frozen 50), the watermarked late-data replay sharing
+# the direct-from-raw rollup oracle VERBATIM (rollup_hypertable_late),
+# and the sealed-prefix finality surface with its own end-≤-watermark
+# oracle (rollup_hypertable_final) — over three rows whose contracts
+# keep externally-recorded twins: events_hypertable_rollup's SQL IS the
+# shared oracle the gated incremental/late rows still hash against;
+# events_asof_forward's oracle is shared VERBATIM by the gated
+# events_asof_forward_bucketed; dedup_winnow_indexed's family keeps
+# dedup_winnow gated. All demoted rows stay hash-checked by the
+# degated-parity pytest sweep and scripts/driver_mirror.py. Full
+# rationale in queries/gate.py's rotation log.
+gate_swap(
+    promote=[
+        "rollup_hypertable_asof",
+        "rollup_hypertable_late",
+        "rollup_hypertable_final",
+    ],
+    demote=[
+        "events_hypertable_rollup",
+        "events_asof_forward",
+        "dedup_winnow_indexed",
+    ],
+)
 
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the

@@ -106,6 +106,22 @@ Rotation log (why the current 50 are the current 50):
   (dedup keeps 13 gate rows), quality_psi_drift (quality keeps
   dsir_weights + classifier_lr), and curate_split_leakage (curation
   keeps corpus_scored + ccnet_buckets).
+- r14 #14: promoted rollup_hypertable_asof (r13 verdict Next #2 — the
+  time-travel × incremental-cagg composition, mirror-green in r13 but
+  never driver-recorded), rollup_hypertable_late (out-of-order replay
+  through the watermarked ingest sharing the direct-from-raw rollup
+  oracle VERBATIM: re-opened-bucket re-folds == one recompute), and
+  rollup_hypertable_final (the sealed-prefix finality surface against
+  the oracle's own end-≤-watermark filter) — over
+  events_hypertable_rollup (its direct-from-raw SQL IS the shared
+  oracle that rollup_hypertable_incremental/_late still hash against in
+  the gate, so the same SQL keeps multiple driver-recorded plans; the
+  base query stays mirror + degated-parity checked),
+  events_asof_forward (events_asof_forward_bucketed shares its oracle
+  VERBATIM, so the forward contract keeps an externally-recorded hash
+  row; as-of keeps join/nearest/strict/forward_bucketed gated), and
+  dedup_winnow_indexed (winnowing keeps dedup_winnow gated; the
+  index-served twin stays mirror + pytest).
 """
 
 from __future__ import annotations
@@ -160,13 +176,13 @@ FROZEN_GATE = [
     "dedup_embedding_cell_recall",
     "search_bm25_topk",
     "rollup_hypertable_incremental",
-    "events_asof_forward",
+    "rollup_hypertable_late",
     "dedup_keep_best_incremental",
-    "dedup_winnow_indexed",
+    "rollup_hypertable_final",
     "q56_tpch_q8",
     "join_bucketed_colocated",
     "merge_cdc_apply",
-    "events_hypertable_rollup",
+    "rollup_hypertable_asof",
 ]
 
 # Queries that MUST keep a driver-recorded correctness row (round-2

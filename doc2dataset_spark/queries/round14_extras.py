@@ -224,3 +224,56 @@ from doc2dataset_spark.queries.core import REGISTRY as _REG  # noqa: E402
 _REG["rollup_hypertable_late"].oracle = _REG[
     "events_hypertable_rollup"
 ].oracle
+
+
+@query(
+    "events_asof_auto",
+    oracle=None,  # set below: events_asof_join's oracle VERBATIM
+    tags=("events", "join", "asof", "cbo"),
+)
+def events_asof_auto(spark, sf_dir):
+    """The backward attribution served by ``bucket="auto"`` (the
+    CBO-style plan choice, operators/asof.resolve_auto_bucket): one
+    ANALYZE aggregate picks plain-vs-bucketed from the hottest key's
+    (rows, time-span), then the chosen carry runs. Shares
+    events_asof_join's oracle VERBATIM — the driver hash row externally
+    proves auto == plain == DuckDB's native ASOF LEFT JOIN, whichever
+    physical plan the stats picked (the warm==cold /
+    bucketed==plain gate trick applied to the plan chooser). The budget
+    is forced below the corpus's hot-key volume so the row exercises
+    the BUCKETED branch of the decision (the plain branch is the
+    default everywhere else the oracle already judges)."""
+    from doc2dataset_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("v_value"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    j = asof_join(
+        purchases,
+        views,
+        on="ts",
+        by=("user_id",),
+        direction="backward",
+        how="left",
+        suffix="v_",
+        bucket="auto",
+        auto_partition_budget=8,  # force the bucketed branch
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "purchase_value",
+        F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("last_view_ts"),
+        F.col("v_v_value").alias("last_view_value"),
+        F.col("asof_gap").alias("gap_us"),
+    )
+
+
+_REG["events_asof_auto"].oracle = _REG["events_asof_join"].oracle

@@ -1022,6 +1022,173 @@ def run_asof(
     print(json.dumps(out))
 
 
+def run_asof_auto(
+    spark, sf_dir: str, hot_keys: int | None = None, replicate: int = 1
+) -> None:
+    """Price the ``bucket="auto"`` decision (round-14 verdict, Next
+    round #4): on NATURAL keys the ANALYZE rule must resolve to None and
+    the auto wall must track the plain carry; on a HOT-KEY collapse past
+    the partition budget it must resolve to a positive span and track
+    the manual bucketed carry. Match counts asserted equal across all
+    arms — auto only chooses the physical plan.
+
+    ``replicate``: event-level replication (ts jittered by replica
+    index µs, so view keys stay unique) — the knob that pushes a single
+    hot key past the 1M-row budget on the shipped data sizes."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from doc2dataset_spark.operators.asof import (  # noqa: PLC0415
+        asof_join,
+        resolve_auto_bucket,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        (
+            F.pmod("user_id", F.lit(hot_keys)) if hot_keys else F.col("user_id")
+        ).alias("user_id"),
+        "event_type",
+        "value",
+    )
+    if replicate > 1:
+        reps = spark.range(replicate).withColumnRenamed("id", "rep")
+        e = e.crossJoin(reps).select(
+            (F.col("event_id") * replicate + F.col("rep")).alias("event_id"),
+            F.timestamp_micros(
+                F.unix_micros("ts") + F.col("rep")
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        e = e.localCheckpoint()
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("v_value"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+    t0 = time.time()
+    decision = resolve_auto_bucket(purchases, views, "ts", ("user_id",))
+    decide_sec = time.time() - t0
+
+    walls, matched = {}, {}
+    arms = {
+        "plain": {},
+        "auto": {"bucket": "auto"},
+        "bucketed_1d": {"bucket": 86_400_000_000},
+    }
+    for label, kw in arms.items():
+        t0 = time.time()
+        j = asof_join(
+            purchases, views, on="ts", by=("user_id",),
+            direction="backward", **kw,
+        )
+        matched[label] = j.filter(F.col("r_ts").isNotNull()).count()
+        walls[label] = round(time.time() - t0, 2)
+    assert len(set(matched.values())) == 1, matched
+    print(
+        json.dumps(
+            {
+                "mode": "asof-auto",
+                "sf_dir": sf_dir,
+                "hot_keys": hot_keys,
+                "replicate": replicate,
+                "n_events": e.count(),
+                "auto_decision_span_us": decision,
+                "decide_sec": round(decide_sec, 2),
+                "n_matched": matched["plain"],
+                **{f"{k}_sec": v for k, v in walls.items()},
+            }
+        )
+    )
+
+
+def run_ht_depth(
+    spark, sf_dir: str, n_batches: int = 50, compact_every: int | None = None
+) -> None:
+    """Price the cagg fold at depth (round-14 verdict, Next round #7):
+    land ``n_batches`` event_id-mod hourly-partial batches (mod slices =
+    worst case — every batch touches every hour, so the uncompacted log
+    grows O(hours × batches)) and measure the SERVE wall as the log
+    deepens, with and without periodic compact_hypertable_partials. The
+    claim under test: post-compaction the fold input is pinned at
+    O(hours) + tail, so serve cost stays flat while the uncompacted arm
+    grows with depth. Final serve row-set equality vs the direct
+    recompute is asserted (compaction + depth are invisible to readers)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from doc2dataset_spark.queries.round12_extras import (  # noqa: PLC0415
+        events_hypertable_rollup,
+    )
+    from doc2dataset_spark.streaming.hypertable import (  # noqa: PLC0415
+        compact_hypertable_partials,
+        hourly_partial,
+        serve_hypertable,
+    )
+    from doc2dataset_spark.streaming.util import land_batch_exact  # noqa: PLC0415
+
+    e = load_table(spark, sf_dir, "events").localCheckpoint()
+    root = tempfile.mkdtemp(prefix="sg_ht_depth_")
+    out = os.path.join(root, "ht")
+    hdir = os.path.join(out, "hourly")
+    try:
+        serve_walls, compact_walls, log_rows = [], [], []
+        probe_every = max(1, n_batches // 10)
+        for i in range(n_batches):
+            land_batch_exact(
+                hourly_partial(
+                    e.filter(F.pmod("event_id", F.lit(n_batches)) == i)
+                ),
+                hdir,
+                i,
+            )
+            if compact_every and (i + 1) % compact_every == 0:
+                t0 = time.time()
+                st = compact_hypertable_partials(spark, out, upto_batch=i)
+                compact_walls.append(round(time.time() - t0, 2))
+                log_rows.append((i, st["rows_before"], st["rows_after"]))
+            if (i + 1) % probe_every == 0 or i + 1 == n_batches:
+                t0 = time.time()
+                serve_hypertable(spark, out).count()
+                serve_walls.append(
+                    (i + 1, round(time.time() - t0, 2))
+                )
+        final_rows = spark.read.parquet(hdir).count()
+        got = {
+            tuple(r)
+            for r in serve_hypertable(spark, out).collect()
+        }
+        want = {
+            tuple(r) for r in events_hypertable_rollup(spark, sf_dir).collect()
+        }
+        assert got == want, "depth/compaction changed the served rollup"
+        print(
+            json.dumps(
+                {
+                    "mode": "ht-depth",
+                    "sf_dir": sf_dir,
+                    "n_batches": n_batches,
+                    "compact_every": compact_every,
+                    "serve_walls": serve_walls,
+                    "compact_walls": compact_walls,
+                    "compact_rows": log_rows,
+                    "final_log_rows": final_rows,
+                    "serve_rows": len(got),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_asof_stream(
     spark,
     sf_dir: str,
@@ -1166,6 +1333,27 @@ def main() -> None:
                 run_asof(
                     spark, sf_dir, hot_keys=15, include_naive=include_naive
                 )
+        return
+    if mode == "asof-auto":
+        spark = get_spark(app_name="bench_scaling_asof_auto")
+        for sf_dir in ["/root/testdata/sf0.1", BIG1_DIR]:
+            if os.path.exists(sf_dir):
+                run_asof_auto(spark, sf_dir)
+                run_asof_auto(spark, sf_dir, hot_keys=15)
+        # the other regime: a key hot enough to blow the partition
+        # budget (sf1 collapsed to 3 keys / 1 key) — auto must flip to
+        # the bucketed carry
+        if os.path.exists(BIG1_DIR):
+            run_asof_auto(spark, BIG1_DIR, hot_keys=1)
+            run_asof_auto(spark, BIG1_DIR, hot_keys=1, replicate=10)
+        return
+    if mode == "ht-depth":
+        # optional args: n_batches compact_every sf_dir
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+        ce = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+        sfd = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
+        spark = get_spark(app_name="bench_scaling_ht_depth")
+        run_ht_depth(spark, sfd, n_batches=n, compact_every=ce or None)
         return
     if mode == "asof-stream":
         # optional args: n_batches compact_every sf_dir

@@ -357,3 +357,91 @@ def test_asof_refuses_output_name_collision(spark):
             on="ts",
             by=("key",),
         )
+
+
+# ---------------------------------------------------------------------------
+# round 14: bucket="auto" (CBO-style plan choice from cheap key stats)
+# ---------------------------------------------------------------------------
+
+
+def test_auto_picks_plain_on_natural_keys(spark):
+    """Natural keys: the hottest window partition fits the budget, so
+    the decision is None (plain carry) and auto == plain exactly."""
+    from doc2dataset_spark.operators.asof import resolve_auto_bucket
+
+    left, right = _data()
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    assert resolve_auto_bucket(sl, sr, "ts", ("key",)) is None
+    got = _spark_result(spark, left, right, direction="backward",
+                        bucket="auto")
+    want = _spark_result(spark, left, right, direction="backward")
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+def test_auto_picks_bucketed_on_hot_key_and_equals_manual(spark, direction):
+    """Hot-key fixture under a small budget: the decision is a positive
+    span bounding per-bucket volume at the budget, and auto == the
+    manual bucketed plan with that span == the plain carry (all three
+    result-identical; auto only chooses the physical plan)."""
+    from doc2dataset_spark.operators.asof import resolve_auto_bucket
+
+    left, right = _hot_data()
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    budget = 50  # hot key 0 holds ~60% of 700 union rows >> 50
+    span = resolve_auto_bucket(sl, sr, "ts", ("key",), budget)
+    assert span is not None and span > 0
+    # expected per-bucket volume ≈ budget: span ≈ hot span / n_buckets
+    hot_rows = (left.key == 0).sum() + (right.key == 0).sum()
+    assert span <= (700 + 300)  # never wider than the hot key's span
+    assert hot_rows > budget
+    got = _spark_result(
+        spark, left, right, direction=direction, bucket="auto",
+        auto_partition_budget=budget,
+    )
+    manual = _spark_result(
+        spark, left, right, direction=direction, bucket=span
+    )
+    plain = _spark_result(spark, left, right, direction=direction)
+    pd.testing.assert_frame_equal(got, manual)
+    pd.testing.assert_frame_equal(got, plain)
+
+
+def test_auto_single_instant_hot_key_falls_back_to_plain(spark):
+    """A hot key whose rows all share ONE timestamp cannot be split by
+    time — auto must fall back to the plain carry, not emit a
+    degenerate span."""
+    from doc2dataset_spark.operators.asof import resolve_auto_bucket
+
+    left = pd.DataFrame(
+        {
+            "key": np.zeros(200, dtype="int64"),
+            "ts": np.full(200, 42, dtype="int64"),
+            "lid": np.arange(200, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {"key": [0], "ts": [42], "rv": [1.5]}
+    )
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    assert resolve_auto_bucket(sl, sr, "ts", ("key",), 50) is None
+    got = _spark_result(
+        spark, left, right, direction="backward", bucket="auto",
+        auto_partition_budget=50,
+    )
+    assert (got["r_ts"] == 42).all()
+
+
+def test_auto_rejects_unknown_string(spark):
+    left, right = _data()
+    with pytest.raises(ValueError, match="'auto'"):
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by=("key",),
+            bucket="automatic",
+        )
