@@ -26,6 +26,12 @@ rows judge it externally:
                                external proof the finality filter
                                seals exactly the provably-complete
                                buckets.
+- ``events_asof_auto``         the ``bucket="auto"`` plan chooser
+                               (operators/asof.resolve_auto_bucket)
+                               sharing events_asof_join's native-ASOF
+                               oracle VERBATIM, budget forced low so
+                               the gate judges the BUCKETED branch of
+                               the decision.
 
 Reference parity: the reference pipeline has no streaming or rollup
 surface at all (its incremental seam is re-running the downloader,

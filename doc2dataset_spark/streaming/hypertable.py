@@ -492,3 +492,39 @@ def serve_hypertable_final(spark: SparkSession, out_dir: str) -> DataFrame:
         .unionByName(_ht_emit(_final_before(daily, "day", wm), "day"))
         .unionByName(_ht_emit(_final_before(monthly, "month", wm), "month"))
     )
+
+
+def serve_hypertable_final_asof(
+    spark: SparkSession, out_dir: str, as_of_batch: int
+) -> DataFrame:
+    """The finality surface composed with time travel: the SEALED
+    prefix exactly as serve_hypertable_final returned it right after
+    partial batch N landed — the wm snapshot at-or-before N applied to
+    the ``batch_id <= N`` prefix fold (both partition-pruned reads;
+    horizon refusal shared with every as-of reader). Because sealed
+    rows are immutable, every row of this snapshot is also a row of
+    the LIVE final serve (the containment pytest pins it) — which is
+    what makes the finality contract auditable retroactively: a
+    consumer can prove the rows it cached at batch N are still served
+    bit-identically today."""
+    from doc2dataset_spark.operators.time_travel import read_postings_asof
+
+    state = hypertable_wm_state(spark, out_dir, before_batch=as_of_batch + 1)
+    if state is None:
+        raise ValueError(
+            f"no watermark snapshot at or before batch {as_of_batch} "
+            f"under {out_dir!r} — was this log built by the watermarked "
+            "ingest?"
+        )
+    wm = state["wm_us"]
+    partials = read_postings_asof(
+        spark, _hourly_path(out_dir), as_of_batch
+    ).drop("batch_id")
+    hourly = fold_hourly(partials).localCheckpoint(eager=False)
+    daily = _ht_level(hourly, "bucket", "day").localCheckpoint(eager=False)
+    monthly = _ht_level(daily, "bucket", "month")
+    return (
+        _ht_emit(_final_before(hourly, "hour", wm), "hour")
+        .unionByName(_ht_emit(_final_before(daily, "day", wm), "day"))
+        .unionByName(_ht_emit(_final_before(monthly, "month", wm), "month"))
+    )

@@ -90,6 +90,24 @@ def main() -> int:
                     f"README.md: claims {t} tests, pytest collects {got}"
                 )
 
+    m = re.search(r"(\d+) registered queries", readme)
+    if not m:
+        failures.append("README.md: 'N registered queries' line not found")
+    elif int(m.group(1)) != total:
+        failures.append(
+            f"README.md: claims {m.group(1)} registered queries; "
+            f"registry has {total}"
+        )
+    m = re.search(r"(\d+) with exact DuckDB oracles", readme)
+    if not m:
+        failures.append(
+            "README.md: 'N with exact DuckDB oracles' line not found"
+        )
+    elif int(m.group(1)) != oracled:
+        failures.append(
+            f"README.md: claims {m.group(1)} oracles; registry has {oracled}"
+        )
+
     coverage = open(os.path.join(ROOT, "COVERAGE.md")).read()
     m = re.search(r"\((\d+)/(\d+)\) is hash-matched", coverage)
     if not m:

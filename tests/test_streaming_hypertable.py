@@ -491,3 +491,43 @@ def test_late_ingest_empty_batch_clears_stale_state(spark, tmp_path):
         lateness_us=two_h,
     )
     assert ok["n_late_rows"] == 0
+
+
+def test_final_asof_equals_snapshot_and_is_contained_in_live(spark, tmp_path):
+    """Finality × time travel: serve_hypertable_final_asof(N) must equal
+    what serve_hypertable_final returned right after batch N landed, and
+    every sealed row must still be served bit-identically by the LIVE
+    final serve (immutability makes snapshots containment-auditable)."""
+    import pytest as _pytest
+
+    from doc2dataset_spark.streaming.hypertable import (
+        ingest_hypertable_late_batch,
+        serve_hypertable_final,
+        serve_hypertable_final_asof,
+    )
+
+    out = (tmp_path / "hta_out").as_posix()
+    two_h = 2 * 3600 * 1_000_000
+    batches = [
+        [(1, "00:10", 5), (2, "01:20", 4), (3, "03:30", 7)],
+        [(4, "02:10", 2), (5, "06:00", 3)],
+        [(6, "04:40", 1), (7, "09:00", 8)],
+    ]
+    snapshots = []
+    for i, rows in enumerate(batches):
+        ingest_hypertable_late_batch(
+            _ts_frame(spark, rows), out, batch_id=i, lateness_us=two_h
+        )
+        snapshots.append(_rows(serve_hypertable_final(spark, out)))
+    for i, snap in enumerate(snapshots):
+        assert _rows(serve_hypertable_final_asof(spark, out, i)) == snap
+    live = {(g, b): (n, t) for g, b, n, t in snapshots[-1]}
+    for snap in snapshots:
+        for g, b, n, t in snap:
+            assert live[(g, b)] == (n, t)
+    # pre-watermarked-history refusal: no wm snapshot can precede batch 0
+    from doc2dataset_spark.streaming.util import rm_stale_partition
+
+    rm_stale_partition((tmp_path / "hta_out" / "wm").as_posix(), 0)
+    with _pytest.raises(ValueError, match="watermark snapshot"):
+        serve_hypertable_final_asof(spark, out, 0)
