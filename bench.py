@@ -132,6 +132,8 @@ HEADLINE = [
     # round-14 ops
     "rollup_hypertable_late",    # watermarked out-of-order partial ingest
     "rollup_hypertable_final",   # sealed-prefix finality serve
+    "rollup_hypertable_gapfill", # gapless grid + LOCF via bucketed as-of
+    "rollup_hypertable_deadletter",  # drop-mode ingest, kept-set serve
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

@@ -283,3 +283,177 @@ def events_asof_auto(spark, sf_dir):
 
 
 _REG["events_asof_auto"].oracle = _REG["events_asof_join"].oracle
+
+
+_HOUR_US = 3600 * _US
+_WEEK_US = 7 * _DAY_US
+
+
+@query(
+    "rollup_hypertable_gapfill",
+    oracle="""
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS b, count(*)::BIGINT AS n,
+             round(SUM(CAST(value AS DECIMAL(38,6))), 4)::DOUBLE AS t
+      FROM events GROUP BY 1
+    ),
+    g AS (
+      SELECT unnest(generate_series((SELECT min(b) FROM h),
+                                    (SELECT max(b) FROM h),
+                                    INTERVAL 1 HOUR)) AS b
+    )
+    SELECT strftime(g.b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           coalesce(h.n, 0) AS n_events,
+           h.t AS total,
+           last_value(h.t IGNORE NULLS) OVER (
+             ORDER BY g.b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS total_locf
+    FROM g LEFT JOIN h ON g.b = h.b
+    """,
+    tags=("events", "rollup", "timeseries", "gapfill"),
+)
+def rollup_hypertable_gapfill(spark, sf_dir):
+    """TimescaleDB's ``time_bucket_gapfill`` + ``locf`` over the SERVED
+    cagg: densify the hourly level to a gapless grid (empty hours emit
+    n_events=0, total NULL) and carry the last observed total forward.
+    Serves from the PERSISTED hourly-partial log (the round-13
+    incremental cagg cache — raw events are never read), so this is
+    the dashboard query a hypertable deployment actually runs.
+
+    Scale shape: the grid is built with ``sequence()`` from the fold's
+    own min/max (one row), and the LOCF carry is the repo's OWN
+    ``asof_join`` in its BUCKETED two-phase form (7-day buckets, a
+    constant join key): phase-2 windows partition by (key, week) —
+    bounded by per-week grid size (168 rows + observed hours) no
+    matter how many years of history the cagg holds — and phase 1
+    carries week summaries, O(weeks) rows. No unpartitioned window
+    anywhere, so the registry-wide single-partition gate holds without
+    a whitelist entry; a present hour matches itself (asof_gap 0) and
+    a gap hour matches the latest earlier hour — LOCF IS a backward
+    as-of join, which is why the operator composes here. The oracle
+    recomputes from raw with generate_series + IGNORE-NULLS last_value.
+    At sf0.01+ the fixture has no empty hours (the join is the
+    identity); the gap behavior itself is pinned by pytest at sf0.001,
+    where 189 of 720 grid hours are empty."""
+    from doc2dataset_spark.operators.asof import asof_join
+    from doc2dataset_spark.queries.round13_extras import _cached_ht_log
+    from doc2dataset_spark.streaming.hypertable import fold_hourly
+
+    log = _cached_ht_log(spark, sf_dir, False)
+    hourly = fold_hourly(
+        spark.read.parquet(f"{log}/hourly").drop("batch_id")
+    ).select(
+        "bucket",
+        "n_events",
+        F.round(F.col("dec_total"), 4).cast("double").alias("total"),
+    )
+    bounds = hourly.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    ).withColumn("__k", F.lit(0))
+    filled = asof_join(
+        grid,
+        hourly.withColumn("__k", F.lit(0)),
+        on="bucket",
+        by=("__k",),
+        direction="backward",
+        suffix="h_",
+        bucket=_WEEK_US,
+    )
+    return filled.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.when(F.col("asof_gap") == 0, F.col("h_n_events"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_events"),
+        F.when(F.col("asof_gap") == 0, F.col("h_total")).alias("total"),
+        F.col("h_total").alias("total_locf"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dead-letter (on_late="drop") judged externally
+# --------------------------------------------------------------------------
+# Fixture: four CALENDAR-WEEK slices of January (constants — no
+# data-dependent cuts), with week 0's mod-cohort (event_id % 16 == 5)
+# withheld until the LAST batch. By then the watermark sits ~8 days
+# behind the max non-cohort event of week 3's predecessor (≈ Jan 14),
+# a ≥6-day margin above every week-0 timestamp (< Jan 8), so the
+# ENTIRE delayed cohort is unambiguously dead-lettered at any SF — the
+# kept set is exactly "all events except week-0 cohort members", which
+# the oracle can state as a CONSTANT predicate.
+
+_DL_WEEKS = ["2024-01-08", "2024-01-15", "2024-01-22"]
+
+
+def _build_ht_deadletter_log(spark, sf_dir, tmp: str) -> None:
+    from doc2dataset_spark.streaming.hypertable import (
+        ingest_hypertable_late_batch,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    cohort = F.pmod("event_id", F.lit(16)) == 5
+    w = [F.to_timestamp(F.lit(d)) for d in _DL_WEEKS]
+    slices = [
+        (F.col("ts") < w[0]) & ~cohort,
+        (F.col("ts") >= w[0]) & (F.col("ts") < w[1]),
+        (F.col("ts") >= w[1]) & (F.col("ts") < w[2]),
+        (F.col("ts") >= w[2]) | ((F.col("ts") < w[0]) & cohort),
+    ]
+    dropped = 0
+    for i, cond in enumerate(slices):
+        snap = ingest_hypertable_late_batch(
+            e.filter(cond),
+            tmp,
+            batch_id=i,
+            lateness_us=_FINAL_BOUND_US,
+            on_late="drop",
+        )
+        dropped += snap["n_dropped_rows"]
+    # the whole delayed cohort must have been dead-lettered, and only it
+    want = e.filter(cohort & (F.col("ts") < w[0])).count()
+    assert dropped == want and dropped > 0, (dropped, want)
+
+
+@query(
+    "rollup_hypertable_deadletter",
+    oracle="""
+    SELECT * FROM (
+    """
+    + " UNION ALL ".join(
+        """
+      SELECT '{g}' AS granularity,
+             strftime(date_trunc('{g}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+             count(*)::BIGINT AS n_events,
+             round(SUM(CAST(value AS DECIMAL(38,6))), 4)::DOUBLE AS total
+      FROM events
+      WHERE NOT (event_id % 16 = 5 AND ts < TIMESTAMP '2024-01-08')
+      GROUP BY 2
+    """.format(g=g)
+        for g in ("hour", "day", "month")
+    )
+    + ")",
+    tags=("events", "rollup", "timeseries", "late-data", "dead-letter"),
+)
+def rollup_hypertable_deadletter(spark, sf_dir):
+    """on_late='drop' judged externally: a calendar-week replay whose
+    week-0 mod-cohort arrives three weeks late — far below the
+    watermark — through the REAL per-batch core in dead-letter mode.
+    The violators divert to the rejected log (the builder asserts the
+    dropped count equals the cohort exactly); the serve is hash-matched
+    to an oracle whose WHERE clause states the kept set as a constant
+    predicate (everything except week-0 cohort members). Proves the two
+    sides of the dead-letter contract at once: dropped rows NEVER leak
+    into the fold, and nothing else is lost with them. Sealed-bucket
+    immutability and the sidecar counts are pytest-pinned
+    (tests/test_streaming_hypertable.py drop-mode test)."""
+    from doc2dataset_spark.streaming.hypertable import serve_hypertable
+
+    return serve_hypertable(
+        spark,
+        _cached_late_log(spark, sf_dir, "htdl", _build_ht_deadletter_log),
+    )

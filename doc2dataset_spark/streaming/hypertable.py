@@ -303,6 +303,10 @@ def _wm_path(out_dir: str) -> str:
     return posixpath.join(out_dir, "wm")
 
 
+def _rejected_path(out_dir: str) -> str:
+    return posixpath.join(out_dir, "rejected")
+
+
 def hypertable_wm_state(
     spark: SparkSession, out_dir: str, before_batch: int | None = None
 ) -> dict | None:
@@ -316,34 +320,56 @@ def hypertable_wm_state(
     if k is None:
         return None
     row = spark.read.parquet(posixpath.join(wdir, f"batch_id={k}")).first()
+    d = row.asDict()
     return {
-        "max_ts_us": int(row["max_ts_us"]),
-        "wm_us": int(row["wm_us"]),
-        "n_late_rows": int(row["n_late_rows"]),
-        "n_reopened_hours": int(row["n_reopened_hours"]),
+        "max_ts_us": int(d["max_ts_us"]),
+        "wm_us": int(d["wm_us"]),
+        "n_late_rows": int(d["n_late_rows"]),
+        "n_reopened_hours": int(d["n_reopened_hours"]),
+        # absent in pre-deadletter logs (refuse-mode only): default 0
+        "n_dropped_rows": int(d.get("n_dropped_rows", 0)),
     }
 
 
 def ingest_hypertable_late_batch(
-    batch_df: DataFrame, out_dir: str, batch_id: int, lateness_us: int
+    batch_df: DataFrame,
+    out_dir: str,
+    batch_id: int,
+    lateness_us: int,
+    on_late: str = "refuse",
 ) -> dict:
     """ONE batch through the watermarked ingest — the shared core of the
     streaming foreachBatch closure and the batch-side log builder
     (queries/round14_extras), so stream == batch is structural.
 
-    Refuses a batch carrying any event below the PRIOR watermark (the
-    lateness contract was violated: that event's hour bucket was already
-    promised final). Otherwise lands the batch's hourly partials
-    (land_batch_exact — zero-row replays delete the stale partition) and
-    the advanced wm snapshot with this batch's invalidation accounting.
-    Returns the wm snapshot dict it persisted (zeros/None fields for an
-    empty batch, which advances nothing)."""
+    ``on_late`` decides what happens to events below the PRIOR
+    watermark (the lateness contract violated — their hour buckets were
+    already promised final):
+
+    - ``"refuse"`` (default): RAISE on the whole batch — the
+      stop-the-pipeline posture for feeds that are supposed to honor
+      the bound, where a violation means something upstream broke.
+    - ``"drop"``: Spark's own watermark semantics made auditable — the
+      too-late rows are diverted to a ``rejected/batch_id=<n>``
+      DEAD-LETTER log (never folded into partials; sealed buckets stay
+      immutable), counted in the wm sidecar (``n_dropped_rows``), and
+      the rest of the batch proceeds normally. The dead letters keep
+      their full rows, so an operator can inspect, re-window, or
+      replay them into a wider-bound table later.
+
+    Lands the (kept) batch's hourly partials (land_batch_exact —
+    zero-row replays delete the stale partition) and the advanced wm
+    snapshot with this batch's invalidation accounting. Returns the wm
+    snapshot dict it persisted (zeros/None fields for an empty batch,
+    which advances nothing)."""
     from doc2dataset_spark.streaming.util import (
         land_batch,
         land_batch_exact,
         rm_stale_partition,
     )
 
+    if on_late not in ("refuse", "drop"):
+        raise ValueError(f"on_late={on_late!r}: pass 'refuse' or 'drop'")
     s = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)
     bounds = batch_df.agg(
@@ -353,6 +379,7 @@ def ingest_hypertable_late_batch(
     prior = hypertable_wm_state(s, out_dir, before_batch=batch_id)
     hdir = _hourly_path(out_dir)
     wdir = _wm_path(out_dir)
+    rdir = _rejected_path(out_dir)
 
     if bounds["lo"] is None:
         # empty recompute: clear any dead incarnation's partitions for
@@ -360,30 +387,51 @@ def ingest_hypertable_late_batch(
         # would raise spurious lateness errors against the new stream
         rm_stale_partition(hdir, batch_id)
         rm_stale_partition(wdir, batch_id)
+        rm_stale_partition(rdir, batch_id)
         return {
             "max_ts_us": None,
             "wm_us": None,
             "n_late_rows": 0,
             "n_reopened_hours": 0,
+            "n_dropped_rows": 0,
         }
 
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    n_dropped = 0
     if prior is not None and lo < prior["wm_us"]:
-        raise RuntimeError(
-            f"batch {batch_id} violates the lateness bound: its min "
-            f"event ts ({lo} us) is below the watermark "
-            f"({prior['wm_us']} us = prior max {prior['max_ts_us']} - "
-            f"lateness {lateness_us}). Hour buckets at or below the "
-            "watermark are SEALED — serve_hypertable_final already "
-            "promised them immutable to downstream consumers. Widen the "
-            "lateness bound, or route this feed through the unbounded "
-            "run_hypertable_ingest (no finality surface)"
-        )
+        if on_late == "refuse":
+            raise RuntimeError(
+                f"batch {batch_id} violates the lateness bound: its min "
+                f"event ts ({lo} us) is below the watermark "
+                f"({prior['wm_us']} us = prior max {prior['max_ts_us']} - "
+                f"lateness {lateness_us}). Hour buckets at or below the "
+                "watermark are SEALED — serve_hypertable_final already "
+                "promised them immutable to downstream consumers. Widen "
+                "the lateness bound, route this feed through the "
+                "unbounded run_hypertable_ingest (no finality surface), "
+                "or use on_late='drop' to dead-letter the violators"
+            )
+        wm_prior = prior["wm_us"]
+        dropped = batch_df.filter(F.unix_micros("ts") < F.lit(wm_prior))
+        n_dropped = land_batch_exact(dropped, rdir, batch_id)
+        batch_df = batch_df.filter(
+            F.unix_micros("ts") >= F.lit(wm_prior)
+        ).localCheckpoint(eager=True)
+        kept = batch_df.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).first()
+        hi = None if kept["hi"] is None else int(kept["hi"])
+    else:
+        # replay correctness: a prior incarnation may have dead-lettered
+        # rows under this id that the recompute no longer drops
+        rm_stale_partition(rdir, batch_id)
 
     n_late = n_reopened = 0
-    if prior is not None:
-        # invalidation accounting: rows below the prior max re-open
-        # their (not-yet-sealed) hour buckets for the serve-side re-fold
+    if prior is not None and hi is not None:
+        # invalidation accounting: (kept) rows below the prior max
+        # re-open their (not-yet-sealed) hour buckets for the
+        # serve-side re-fold; dead-lettered rows are counted separately
         late = batch_df.filter(
             F.unix_micros("ts") < F.lit(prior["max_ts_us"])
         )
@@ -394,25 +442,33 @@ def ingest_hypertable_late_batch(
         n_late, n_reopened = int(row["n"]), int(row["h"])
 
     # no `or`-floor on the running max: pre-epoch timestamps are
-    # negative µs (the round-13 advice lesson from the as-of sidecar)
-    max_ts = hi if prior is None else max(hi, prior["max_ts_us"])
+    # negative µs (the round-13 advice lesson from the as-of sidecar).
+    # hi is None only when drop mode dead-lettered the ENTIRE batch —
+    # the wm then carries the prior state forward unchanged.
+    if hi is None:
+        max_ts = prior["max_ts_us"]
+    else:
+        max_ts = hi if prior is None else max(hi, prior["max_ts_us"])
     wm = max_ts - int(lateness_us)
 
-    land_batch_exact(hourly_partial(batch_df), hdir, batch_id)
-    from doc2dataset_spark.operators.time_travel import record_batch_time
+    n_partial_rows = land_batch_exact(hourly_partial(batch_df), hdir, batch_id)
+    if n_partial_rows:
+        from doc2dataset_spark.operators.time_travel import record_batch_time
 
-    record_batch_time(hdir, batch_id)
+        record_batch_time(hdir, batch_id)
     snap = {
         "max_ts_us": max_ts,
         "wm_us": wm,
         "n_late_rows": n_late,
         "n_reopened_hours": n_reopened,
+        "n_dropped_rows": n_dropped,
     }
     land_batch(
         s.createDataFrame(
-            [(max_ts, wm, n_late, n_reopened)],
+            [(max_ts, wm, n_late, n_reopened, n_dropped)],
             "max_ts_us bigint, wm_us bigint, "
-            "n_late_rows bigint, n_reopened_hours bigint",
+            "n_late_rows bigint, n_reopened_hours bigint, "
+            "n_dropped_rows bigint",
         ),
         wdir,
         batch_id,
@@ -426,11 +482,15 @@ def run_hypertable_ingest_late(
     out_dir: str,
     checkpoint_dir: str,
     lateness_us: int,
+    on_late: str = "refuse",
 ) -> None:
     """run_hypertable_ingest with a lateness bound: watermarked partial
     ingest + the bucket-finality surface (module comment above). Same
     replay discipline — dynamic overwrite per batch, fresh-checkpoint
-    sweeps (hourly AND wm logs), refusal over a compacted log."""
+    sweeps (hourly, wm, AND rejected logs), refusal over a compacted
+    log. ``on_late``: see ingest_hypertable_late_batch — 'refuse'
+    (default) stops the stream on a bound violation; 'drop'
+    dead-letters the violators and keeps going."""
     ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
     fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
     fired: list[int] = []
@@ -440,7 +500,9 @@ def run_hypertable_ingest_late(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         fired.append(batch_id)
-        ingest_hypertable_late_batch(batch_df, out_dir, batch_id, lateness_us)
+        ingest_hypertable_late_batch(
+            batch_df, out_dir, batch_id, lateness_us, on_late=on_late
+        )
 
     q = (
         events_stream.writeStream.foreachBatch(write_batch)
@@ -455,6 +517,7 @@ def run_hypertable_ingest_late(
 
         sweep_stale_batches(hdir, max(fired))
         sweep_stale_batches(_wm_path(out_dir), max(fired))
+        sweep_stale_batches(_rejected_path(out_dir), max(fired))
 
 
 def _final_before(df: DataFrame, granularity: str, wm_us: int) -> DataFrame:
@@ -528,3 +591,18 @@ def serve_hypertable_final_asof(
         .unionByName(_ht_emit(_final_before(daily, "day", wm), "day"))
         .unionByName(_ht_emit(_final_before(monthly, "month", wm), "month"))
     )
+
+
+def rejected_hypertable_rows(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The DEAD-LETTER log: every event on_late='drop' diverted, full
+    rows with the batch_id that rejected them — inspect, re-window, or
+    replay into a wider-bound table. Raises if no batch ever
+    dead-lettered (distinguishing 'clean stream' from a typo'd path)."""
+    rdir = _rejected_path(out_dir)
+    fs, p = fsio.url_to_fs(rdir)
+    if not fs.exists(p):
+        raise ValueError(
+            f"no dead-letter log under {out_dir!r} — no batch has "
+            "dropped rows (or this log was built with on_late='refuse')"
+        )
+    return spark.read.parquet(rdir)

@@ -531,3 +531,84 @@ def test_final_asof_equals_snapshot_and_is_contained_in_live(spark, tmp_path):
     rm_stale_partition((tmp_path / "hta_out" / "wm").as_posix(), 0)
     with _pytest.raises(ValueError, match="watermark snapshot"):
         serve_hypertable_final_asof(spark, out, 0)
+
+
+def test_drop_mode_dead_letters_and_preserves_sealed_buckets(spark, tmp_path):
+    """on_late='drop': too-late rows divert to the rejected log (full
+    rows, counted in the sidecar), the serve equals a rollup over the
+    KEPT rows only, and the previously-sealed bucket stays immutable —
+    the exact promise the refusal mode protects, now kept while the
+    stream keeps flowing."""
+    import pytest as _pytest
+
+    from doc2dataset_spark.streaming.hypertable import (
+        hypertable_wm_state,
+        ingest_hypertable_late_batch,
+        rejected_hypertable_rows,
+        serve_hypertable,
+        serve_hypertable_final,
+    )
+
+    out = (tmp_path / "htd_out").as_posix()
+    two_h = 2 * 3600 * 1_000_000
+    ingest_hypertable_late_batch(
+        _ts_frame(spark, [(1, "00:10", 5), (2, "06:00", 7)]),
+        out,
+        batch_id=0,
+        lateness_us=two_h,
+        on_late="drop",
+    )
+    final0 = _rows(serve_hypertable_final(spark, out))
+    # wm = 04:00; batch 1 carries one too-late row (01:30) + one valid
+    snap = ingest_hypertable_late_batch(
+        _ts_frame(spark, [(3, "01:30", 9), (4, "07:00", 3)]),
+        out,
+        batch_id=1,
+        lateness_us=two_h,
+        on_late="drop",
+    )
+    assert snap["n_dropped_rows"] == 1
+    dead = rejected_hypertable_rows(spark, out).collect()
+    assert [(r.event_id, r.batch_id) for r in dead] == [(3, 1)]
+    assert hypertable_wm_state(spark, out)["n_dropped_rows"] == 1
+    # the dropped row never reaches the fold: hour 01 keeps ONLY the
+    # batch-0 content (none here — it was empty), and sealed rows from
+    # batch 0 are served identically
+    served = {(g, b): (n, t) for g, b, n, t in _rows(serve_hypertable(spark, out))}
+    assert ("hour", "2024-03-01 01:00:00") not in served
+    final1 = {(g, b): (n, t) for g, b, n, t in _rows(
+        serve_hypertable_final(spark, out)
+    )}
+    for g, b, n, t in final0:
+        assert final1[(g, b)] == (n, t)
+    # an ENTIRELY too-late batch carries the wm forward and drops all
+    snap2 = ingest_hypertable_late_batch(
+        _ts_frame(spark, [(5, "02:00", 1)]),
+        out,
+        batch_id=2,
+        lateness_us=two_h,
+        on_late="drop",
+    )
+    assert snap2["n_dropped_rows"] == 1
+    assert snap2["max_ts_us"] == snap["max_ts_us"]
+    assert rejected_hypertable_rows(spark, out).count() == 2
+    # refuse mode on the same feed still raises
+    with _pytest.raises(RuntimeError, match="lateness bound"):
+        ingest_hypertable_late_batch(
+            _ts_frame(spark, [(6, "02:30", 1)]),
+            out,
+            batch_id=3,
+            lateness_us=two_h,
+        )
+    # bogus mode refused loudly
+    with _pytest.raises(ValueError, match="on_late"):
+        ingest_hypertable_late_batch(
+            _ts_frame(spark, [(7, "08:00", 1)]),
+            out,
+            batch_id=3,
+            lateness_us=two_h,
+            on_late="ignore",
+        )
+    # clean log refuses the dead-letter reader with a clear message
+    with _pytest.raises(ValueError, match="dead-letter"):
+        rejected_hypertable_rows(spark, (tmp_path / "nolog").as_posix())

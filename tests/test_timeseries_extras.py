@@ -90,3 +90,32 @@ def test_ewma_of_constant_series_is_identity(spark):
         out = events_ewma(spark, td).collect()
     assert len(out) == 14
     assert all(r.ewma == 3.25 for r in out)
+
+
+def test_gapfill_fills_real_gaps_with_locf(spark):
+    """rollup_hypertable_gapfill at sf0.001, where 189 of the 720 grid
+    hours hold no events: gap rows must emit n_events=0 / total NULL
+    with total_locf equal to the nearest earlier observed hour's total,
+    observed rows must carry their own total, and the grid must be
+    gapless hour-by-hour from the first to the last observed bucket."""
+    from datetime import datetime, timedelta
+
+    rows = REGISTRY["rollup_hypertable_gapfill"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 720
+    rows.sort(key=lambda r: r.bucket)
+    ts = [datetime.strptime(r.bucket, "%Y-%m-%d %H:%M:%S") for r in rows]
+    assert all(
+        b - a == timedelta(hours=1) for a, b in zip(ts, ts[1:])
+    ), "grid has holes or duplicates"
+    gaps = [r for r in rows if r.n_events == 0]
+    assert len(gaps) == 189
+    last_obs = None
+    for r in rows:
+        if r.n_events > 0:
+            assert r.total is not None and r.total_locf == r.total
+            last_obs = r.total
+        else:
+            assert r.total is None
+            assert last_obs is not None and r.total_locf == last_obs
