@@ -95,8 +95,22 @@ def main() -> int:
             "round-stamped BENCH_detail_r{N}.json records."
         )
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    oq, nq = old["queries"], new["queries"]
+    # Compare CALIBRATION-NORMALIZED walls when both records carry them
+    # (bench.py has emitted queries_normalized since round 9): raw walls
+    # embed the host's CPU speed at run time, and the round-14 close
+    # MEASURED that speed drifting 23% within one day (calibration
+    # 0.41 -> 0.50 s, BASELINE.md) — a raw-ratio gate then flags dozens
+    # of untouched queries. Normalized ratios divide that drift out and
+    # flag only code-shaped change. Raw remains the fallback for
+    # pre-round-9 records.
+    if "queries_normalized" in old and "queries_normalized" in new:
+        oq, nq = old["queries_normalized"], new["queries_normalized"]
+        basis = "normalized"
+    else:
+        oq, nq = old["queries"], new["queries"]
+        basis = "raw"
     regressed = []
+    print(f"per-query basis: {basis}")
     print(f"{'query':30s} {'old':>8s} {'new':>8s} {'ratio':>7s}")
     for name in nq:
         if name not in oq:

@@ -612,3 +612,64 @@ def test_drop_mode_dead_letters_and_preserves_sealed_buckets(spark, tmp_path):
     # clean log refuses the dead-letter reader with a clear message
     with _pytest.raises(ValueError, match="dead-letter"):
         rejected_hypertable_rows(spark, (tmp_path / "nolog").as_posix())
+
+
+def test_drop_mode_through_the_real_stream(spark, tmp_path):
+    """on_late='drop' through foreachBatch end to end: a disordered
+    file stream whose final slice is far below the watermark keeps
+    flowing (no refusal), dead-letters exactly that slice, and serves
+    the rollup over the kept rows — stream == batch for the dead-letter
+    contract, not just the per-batch core."""
+    from doc2dataset_spark.queries.round12_extras import _ht_emit, _ht_level
+    from doc2dataset_spark.streaming.hypertable import (
+        hourly_partial,
+        rejected_hypertable_rows,
+        run_hypertable_ingest_late,
+        serve_hypertable,
+    )
+
+    e = load_table(spark, SF, "events").select(*COLS)
+    cuts = e.select(
+        F.expr("percentile(unix_micros(ts), array(0.34, 0.67))")
+    ).first()[0]
+    lo, hi = int(cuts[0]), int(cuts[1])
+    mid = (F.unix_micros("ts") > lo) & (F.unix_micros("ts") <= hi)
+    src = _land_slices(
+        spark,
+        tmp_path,
+        [  # oldest slice arrives LAST — far below wm by then
+            e.filter(mid),
+            e.filter(F.unix_micros("ts") > hi),
+            e.filter(F.unix_micros("ts") <= lo),
+        ],
+        "htdl_stream",
+    )
+    out = (tmp_path / "htdl_out").as_posix()
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    run_hypertable_ingest_late(
+        spark,
+        stream,
+        out,
+        (tmp_path / "htdl_ckpt").as_posix(),
+        lateness_us=24 * 3600 * 1_000_000,  # 1 day << the ~10-day gap
+        on_late="drop",
+    )
+    dead = rejected_hypertable_rows(spark, out)
+    n_old = e.filter(F.unix_micros("ts") <= lo).count()
+    # the whole oldest slice was dead-lettered (1-day bound vs ~10-day
+    # regression in event time), nothing else
+    assert dead.count() == n_old
+    assert dead.agg(F.max(F.unix_micros("ts"))).first()[0] <= lo
+    kept = e.filter(F.unix_micros("ts") > lo)
+    hourly = hourly_partial(kept).localCheckpoint(eager=False)
+    daily = _ht_level(hourly, "bucket", "day").localCheckpoint(eager=False)
+    want = _rows(
+        _ht_emit(hourly, "hour")
+        .unionByName(_ht_emit(daily, "day"))
+        .unionByName(_ht_emit(_ht_level(daily, "bucket", "month"), "month"))
+    )
+    assert _rows(serve_hypertable(spark, out)) == want
