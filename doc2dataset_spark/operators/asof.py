@@ -211,7 +211,11 @@ def resolve_auto_bucket(
         .agg(F.expr("max_by(struct(__n, __span), __n)").alias("h"))
         .first()["h"]
     )
-    if hot is None:  # both inputs empty
+    if hot is None or hot["__span"] is None:
+        # both inputs empty, or the hottest key's on-values are all
+        # NULL (max-min of an all-NULL group is NULL): no time axis to
+        # split — the plain carry handles NULL __t rows (they simply
+        # never match), so auto must not crash where plain would not
         return None
     return asof_bucket_span(
         int(hot["__n"]), int(hot["__span"]), partition_budget

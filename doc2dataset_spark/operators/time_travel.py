@@ -156,7 +156,10 @@ def batch_times(root: str) -> dict[int, int]:
         payload = fh.read()
     try:
         raw = json.loads(payload.decode())["times"]
-    except (ValueError, KeyError) as exc:
+        # value-level damage (non-numeric entries, "times" not a dict)
+        # must hit the same refusal, not a bare ValueError
+        return {int(k): int(v) for k, v in raw.items()}
+    except (ValueError, KeyError, TypeError, AttributeError) as exc:
         raise RuntimeError(
             f"landing-time manifest {marker!r} is unparseable "
             f"({exc}) — it was damaged outside this module "
@@ -164,7 +167,6 @@ def batch_times(root: str) -> dict[int, int]:
             "backup, or delete it and use explicit as_of_batch ids "
             "(timestamp resolution is lost for pre-existing batches)"
         ) from exc
-    return {int(k): int(v) for k, v in raw.items()}
 
 
 def record_batch_time(
@@ -210,6 +212,23 @@ def reset_batch_times(root: str) -> None:
     marker = _times_marker(p)
     if fs.exists(marker):
         fs.rm(marker)
+
+
+def forget_batch_time(root: str, batch_id: int) -> bool:
+    """Drop ONE batch's landing-time entry — the companion of the
+    zero-row replay guard: a recompute that deletes a batch's data
+    partitions must delete its landing time with them, or the next
+    real batch's monotone clamp inherits the dead incarnation's clock
+    and timestamp resolution misresolves (the sweep_stale_batches
+    rationale, applied to a single id). Returns True if an entry was
+    dropped."""
+    fs, p = fsio.url_to_fs(root)
+    times = batch_times(root)
+    if batch_id not in times:
+        return False
+    del times[batch_id]
+    _write_times(fs, p, times)
+    return True
 
 
 def drop_batch_times_above(root: str, max_id: int) -> int:

@@ -57,13 +57,19 @@ _DAY_US = 24 * 3600 * _US
 # rollup_hypertable_late: mod slices are maximally disordered, so the
 # bound must cover the full event span (~30 days in the testdata)
 _LATE_BOUND_US = 60 * _DAY_US
-# rollup_hypertable_final: a REAL bound — events arrive in time-quartile
+# rollup_hypertable_final: a REAL bound — events arrive in calendar-week
 # order except a delayed mod-cohort that shows up one batch late (up to
-# one quartile ≈ 7.5 days after its event time), so the bound must
-# exceed one quartile width; the watermark still sweeps across the
-# corpus and seals ~22 of the 30 days while the tail stays pending
+# ~7 days after its event time), so the 8-day bound clears the 7-day
+# slice width by a full day for ANY event-time distribution; the
+# watermark still sweeps across the corpus and seals ~22 of the 30
+# days while the tail stays pending
 _FINAL_BOUND_US = 8 * _DAY_US
 _N_SLICES = 4
+
+# calendar-week slice boundaries (shared by the finality and
+# dead-letter fixtures): fixed constants, valid for the January-2024
+# event span at every SF
+_DL_WEEKS = ["2024-01-08", "2024-01-15", "2024-01-22"]
 
 
 def _build_ht_late_log(spark, sf_dir, tmp: str) -> None:
@@ -94,42 +100,41 @@ def _build_ht_late_log(spark, sf_dir, tmp: str) -> None:
 
 def _build_ht_final_log(spark, sf_dir, tmp: str) -> None:
     """Realistic late arrival for the finality row: slice events into
-    time quartiles (the broadly-in-order feed a real pipeline sees),
-    but DELAY a fixed mod-cohort (event_id % 8 == 3) of each quartile
-    into the NEXT batch — those events land below the prior batch's max
-    (genuinely late, re-opening their hour buckets) yet above the prior
-    watermark (the 8-day bound exceeds one ~7.5-day quartile), so the
-    replay is accepted end to end. The last quartile's cohort arrives
-    with its own batch (nothing later to delay into)."""
+    CALENDAR WEEKS (fixed constants — a code-review pass flagged the
+    earlier percentile quartiles as data-distribution-dependent: a
+    skewed corpus could make one quartile wider than the 8-day bound
+    and refuse mid-build), but DELAY a fixed mod-cohort
+    (event_id % 8 == 3) of each week into the NEXT batch — those
+    events land below the prior batch's max (genuinely late,
+    re-opening their hour buckets) yet above the prior watermark (the
+    8-day bound exceeds the 7-day slice width by a full day, for ANY
+    event-time distribution inside the span), so the replay is
+    accepted end to end. The last slice's cohort arrives with its own
+    batch (nothing later to delay into)."""
     from doc2dataset_spark.streaming.hypertable import (
         ingest_hypertable_late_batch,
     )
 
     e = load_table(spark, sf_dir, "events")
-    qs = e.select(
-        F.expr(
-            "percentile(unix_micros(ts), array(0.25, 0.5, 0.75))"
-        ).alias("q")
-    ).first()["q"]
-    cuts = [None, *[int(q) for q in qs], None]
-    us = F.unix_micros("ts")
+    w = [F.to_timestamp(F.lit(d)) for d in _DL_WEEKS]
+    cuts = [None, *w, None]
     delayed = F.pmod("event_id", F.lit(8)) == 3
 
-    def in_quartile(i):
+    def in_slice(i):
         cond = F.lit(True)
         if cuts[i] is not None:
-            cond = cond & (us > F.lit(cuts[i]))
+            cond = cond & (F.col("ts") >= cuts[i])
         if cuts[i + 1] is not None:
-            cond = cond & (us <= F.lit(cuts[i + 1]))
+            cond = cond & (F.col("ts") < cuts[i + 1])
         return cond
 
     late = 0
     for i in range(_N_SLICES):
-        arrives_now = in_quartile(i) & ~delayed
+        arrives_now = in_slice(i) & ~delayed
         if i:
-            arrives_now = arrives_now | (in_quartile(i - 1) & delayed)
+            arrives_now = arrives_now | (in_slice(i - 1) & delayed)
         if i == _N_SLICES - 1:
-            arrives_now = arrives_now | (in_quartile(i) & delayed)
+            arrives_now = arrives_now | (in_slice(i) & delayed)
         snap = ingest_hypertable_late_batch(
             e.filter(arrives_now),
             tmp,
@@ -203,7 +208,7 @@ def rollup_hypertable_final(spark, sf_dir):
     """The SEALED prefix of the watermarked cagg: only buckets whose end
     the watermark (global max event ts − 8-day bound) has passed — the
     rows a downstream cache may hold forever. Built by a
-    delayed-arrival replay (time quartiles with a one-batch-late
+    delayed-arrival replay (calendar weeks with a one-batch-late
     mod-cohort, all inside the bound), served by serve_hypertable_final.
     The oracle
     recomputes each granularity from raw and applies the SAME

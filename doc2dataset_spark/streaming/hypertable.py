@@ -388,6 +388,15 @@ def ingest_hypertable_late_batch(
         rm_stale_partition(hdir, batch_id)
         rm_stale_partition(wdir, batch_id)
         rm_stale_partition(rdir, batch_id)
+        from doc2dataset_spark.operators.time_travel import (
+            forget_batch_time,
+        )
+
+        # the deleted partition's landing time goes with it (the
+        # sweep_stale_batches rationale): a surviving dead-incarnation
+        # entry would clamp the next real batch's time upward and
+        # misdirect timestamp resolution
+        forget_batch_time(hdir, batch_id)
         return {
             "max_ts_us": None,
             "wm_us": None,
@@ -414,8 +423,13 @@ def ingest_hypertable_late_batch(
         wm_prior = prior["wm_us"]
         dropped = batch_df.filter(F.unix_micros("ts") < F.lit(wm_prior))
         n_dropped = land_batch_exact(dropped, rdir, batch_id)
+        # NULL-ts rows are NOT provably late (no event time to compare)
+        # and must not silently vanish between the two filters: keep
+        # them, folding into the NULL hour bucket exactly as the
+        # first-batch / refuse-mode / unbounded paths do
         batch_df = batch_df.filter(
-            F.unix_micros("ts") >= F.lit(wm_prior)
+            (F.unix_micros("ts") >= F.lit(wm_prior))
+            | F.col("ts").isNull()
         ).localCheckpoint(eager=True)
         kept = batch_df.agg(
             F.min(F.unix_micros("ts")).alias("lo"),
@@ -452,10 +466,17 @@ def ingest_hypertable_late_batch(
     wm = max_ts - int(lateness_us)
 
     n_partial_rows = land_batch_exact(hourly_partial(batch_df), hdir, batch_id)
-    if n_partial_rows:
-        from doc2dataset_spark.operators.time_travel import record_batch_time
+    from doc2dataset_spark.operators.time_travel import (
+        forget_batch_time,
+        record_batch_time,
+    )
 
+    if n_partial_rows:
         record_batch_time(hdir, batch_id)
+    else:
+        # all rows dead-lettered: the (deleted/absent) partition's
+        # landing time must not survive either
+        forget_batch_time(hdir, batch_id)
     snap = {
         "max_ts_us": max_ts,
         "wm_us": wm,
@@ -527,6 +548,23 @@ def _final_before(df: DataFrame, granularity: str, wm_us: int) -> DataFrame:
     return df.filter(F.unix_micros(end) <= F.lit(int(wm_us)))
 
 
+def _final_levels(partials: DataFrame, wm_us: int) -> DataFrame:
+    """The sealed-prefix twin of _serve_levels — ONE chain shared by the
+    live final serve and its as-of snapshot, so a future level/rounding
+    change cannot make the two (or their unsealed sibling) diverge: the
+    SAME fold/level/emit helpers, with the per-level end-≤-wm filter."""
+    hourly = fold_hourly(partials).localCheckpoint(eager=False)
+    daily = _ht_level(hourly, "bucket", "day").localCheckpoint(eager=False)
+    monthly = _ht_level(daily, "bucket", "month")
+    return (
+        _ht_emit(_final_before(hourly, "hour", wm_us), "hour")
+        .unionByName(_ht_emit(_final_before(daily, "day", wm_us), "day"))
+        .unionByName(
+            _ht_emit(_final_before(monthly, "month", wm_us), "month")
+        )
+    )
+
+
 def serve_hypertable_final(spark: SparkSession, out_dir: str) -> DataFrame:
     """The SEALED prefix of the cagg: only buckets the watermark has
     passed, at every granularity (an hour seals when wm crosses its
@@ -545,15 +583,9 @@ def serve_hypertable_final(spark: SparkSession, out_dir: str) -> DataFrame:
             "ingest_hypertable_late_batch? The unbounded ingest has no "
             "finality surface"
         )
-    wm = state["wm_us"]
-    partials = spark.read.parquet(_hourly_path(out_dir)).drop("batch_id")
-    hourly = fold_hourly(partials).localCheckpoint(eager=False)
-    daily = _ht_level(hourly, "bucket", "day").localCheckpoint(eager=False)
-    monthly = _ht_level(daily, "bucket", "month")
-    return (
-        _ht_emit(_final_before(hourly, "hour", wm), "hour")
-        .unionByName(_ht_emit(_final_before(daily, "day", wm), "day"))
-        .unionByName(_ht_emit(_final_before(monthly, "month", wm), "month"))
+    return _final_levels(
+        spark.read.parquet(_hourly_path(out_dir)).drop("batch_id"),
+        state["wm_us"],
     )
 
 
@@ -579,17 +611,11 @@ def serve_hypertable_final_asof(
             f"under {out_dir!r} — was this log built by the watermarked "
             "ingest?"
         )
-    wm = state["wm_us"]
-    partials = read_postings_asof(
-        spark, _hourly_path(out_dir), as_of_batch
-    ).drop("batch_id")
-    hourly = fold_hourly(partials).localCheckpoint(eager=False)
-    daily = _ht_level(hourly, "bucket", "day").localCheckpoint(eager=False)
-    monthly = _ht_level(daily, "bucket", "month")
-    return (
-        _ht_emit(_final_before(hourly, "hour", wm), "hour")
-        .unionByName(_ht_emit(_final_before(daily, "day", wm), "day"))
-        .unionByName(_ht_emit(_final_before(monthly, "month", wm), "month"))
+    return _final_levels(
+        read_postings_asof(spark, _hourly_path(out_dir), as_of_batch).drop(
+            "batch_id"
+        ),
+        state["wm_us"],
     )
 
 

@@ -445,3 +445,22 @@ def test_auto_rejects_unknown_string(spark):
             by=("key",),
             bucket="automatic",
         )
+
+
+def test_auto_all_null_hot_key_falls_back_to_plain(spark):
+    """Review fix: a hottest key whose on-values are all NULL has a NULL
+    time span — auto must fall back to the plain carry (which handles
+    NULL __t rows by simply never matching them), not crash."""
+    from doc2dataset_spark.operators.asof import resolve_auto_bucket
+
+    left = spark.createDataFrame(
+        [(0, None, i) for i in range(100)] + [(1, 50, 100)],
+        "key bigint, ts bigint, lid bigint",
+    )
+    right = spark.createDataFrame([(1, 40, 2.0)], "key bigint, ts bigint, rv double")
+    assert resolve_auto_bucket(left, right, "ts", ("key",), 10) is None
+    out = asof_join(
+        left, right, on="ts", by=("key",), bucket="auto",
+        auto_partition_budget=10,
+    ).toPandas()
+    assert out.loc[out.lid == 100, "r_ts"].iloc[0] == 40

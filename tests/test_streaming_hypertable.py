@@ -673,3 +673,81 @@ def test_drop_mode_through_the_real_stream(spark, tmp_path):
         .unionByName(_ht_emit(_ht_level(daily, "bucket", "month"), "month"))
     )
     assert _rows(serve_hypertable(spark, out)) == want
+
+
+def test_drop_mode_keeps_null_ts_rows(spark, tmp_path):
+    """Review fix: NULL-ts rows are not provably late — they must fold
+    into the NULL hour bucket (as every other path does), never vanish
+    between the dropped and kept filters."""
+    from doc2dataset_spark.streaming.hypertable import (
+        ingest_hypertable_late_batch,
+        serve_hypertable,
+    )
+
+    out = (tmp_path / "htn2_out").as_posix()
+    two_h = 2 * 3600 * 1_000_000
+    ingest_hypertable_late_batch(
+        _ts_frame(spark, [(1, "01:00", 5), (2, "06:00", 7)]),
+        out, batch_id=0, lateness_us=two_h, on_late="drop",
+    )
+    null_row = _ts_frame(spark, [(4, "07:00", 3)]).unionByName(
+        _ts_frame(spark, [(3, "01:00", 9)]).withColumn(
+            "ts", F.lit(None).cast("timestamp")
+        )
+    )
+    snap = ingest_hypertable_late_batch(
+        null_row, out, batch_id=1, lateness_us=two_h, on_late="drop"
+    )
+    assert snap["n_dropped_rows"] == 0
+    served = {
+        r["bucket"]: r["n_events"]
+        for r in serve_hypertable(spark, out).collect()
+        if r["granularity"] == "hour"
+    }
+    assert served.get(None) == 1  # the NULL bucket holds the NULL-ts row
+
+
+def test_empty_recompute_forgets_landing_time(spark, tmp_path):
+    """Review fix: a zero-row (or fully dead-lettered) recompute deletes
+    the batch's partitions AND its landing-time entry — a surviving
+    dead-incarnation time would clamp the next real batch's clock."""
+    from doc2dataset_spark.operators.time_travel import (
+        batch_times,
+        record_batch_time,
+    )
+    from doc2dataset_spark.streaming.hypertable import (
+        hourly_partial,
+        ingest_hypertable_late_batch,
+    )
+    from doc2dataset_spark.streaming.util import land_batch
+
+    out = (tmp_path / "htt_out").as_posix()
+    hdir = os.path.join(out, "hourly")
+    two_h = 2 * 3600 * 1_000_000
+    # dead incarnation: partials + a far-future landing time for id 0
+    land_batch(hourly_partial(_ts_frame(spark, [(9, "23:00", 9)])), hdir, 0)
+    record_batch_time(hdir, 0, ts_us=10**18)
+    snap = ingest_hypertable_late_batch(
+        _ts_frame(spark, []).limit(0), out, batch_id=0, lateness_us=two_h
+    )
+    assert snap["max_ts_us"] is None
+    assert 0 not in batch_times(hdir)
+    # the next real batch records its own clock, unclamped
+    ingest_hypertable_late_batch(
+        _ts_frame(spark, [(1, "01:00", 5)]), out, batch_id=1,
+        lateness_us=two_h,
+    )
+    assert batch_times(hdir)[1] < 10**18
+    # all-dropped recompute also forgets its landing time
+    ingest_hypertable_late_batch(
+        _ts_frame(spark, [(2, "09:00", 5)]), out, batch_id=2,
+        lateness_us=two_h, on_late="drop",
+    )
+    t2 = batch_times(hdir)[2]
+    assert t2 >= batch_times(hdir)[1]
+    snap = ingest_hypertable_late_batch(
+        _ts_frame(spark, [(3, "01:30", 5)]), out, batch_id=3,
+        lateness_us=two_h, on_late="drop",
+    )
+    assert snap["n_dropped_rows"] == 1 and snap["n_late_rows"] == 0
+    assert 3 not in batch_times(hdir)

@@ -403,3 +403,19 @@ def test_batch_times_write_leaves_no_tmp_and_survives(spark, tmp_path):
     import os
 
     assert not os.path.exists(_times_marker(out) + ".tmp")
+
+
+def test_value_level_manifest_damage_also_refuses(spark, tmp_path):
+    """Review fix: valid-JSON-but-damaged contents (non-numeric times,
+    'times' not a dict) must hit the same recovery-hint refusal as a
+    truncated file, not a bare ValueError."""
+    from doc2dataset_spark.operators.time_travel import _times_marker
+
+    out = (tmp_path / "log5").as_posix()
+    record_batch_time(out, 0, ts_us=1_000)
+    marker = _times_marker(out)
+    for payload in (b'{"times": {"0": "abc"}}', b'{"times": [1, 2]}'):
+        with open(marker, "wb") as fh:
+            fh.write(payload)
+        with pytest.raises(RuntimeError, match="unparseable"):
+            batch_times(out)
