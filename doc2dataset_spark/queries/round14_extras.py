@@ -390,9 +390,8 @@ def rollup_hypertable_gapfill(spark, sf_dir):
 # a ≥6-day margin above every week-0 timestamp (< Jan 8), so the
 # ENTIRE delayed cohort is unambiguously dead-lettered at any SF — the
 # kept set is exactly "all events except week-0 cohort members", which
-# the oracle can state as a CONSTANT predicate.
-
-_DL_WEEKS = ["2024-01-08", "2024-01-15", "2024-01-22"]
+# the oracle can state as a CONSTANT predicate. Week boundaries are the
+# module-level _DL_WEEKS constants shared with the finality fixture.
 
 
 def _build_ht_deadletter_log(spark, sf_dir, tmp: str) -> None:

@@ -372,6 +372,7 @@ def ingest_hypertable_late_batch(
         raise ValueError(f"on_late={on_late!r}: pass 'refuse' or 'drop'")
     s = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)
+    n_rows = batch_df.count()
     bounds = batch_df.agg(
         F.min(F.unix_micros("ts")).alias("lo"),
         F.max(F.unix_micros("ts")).alias("hi"),
@@ -381,7 +382,12 @@ def ingest_hypertable_late_batch(
     wdir = _wm_path(out_dir)
     rdir = _rejected_path(out_dir)
 
-    if bounds["lo"] is None:
+    # empty means ZERO ROWS, not zero non-NULL timestamps: min/max
+    # ignore NULLs, so an all-NULL-ts batch has lo=None yet must land
+    # its NULL-bucket partials exactly as every other path does (the
+    # round-14 advice fix) — branching on bounds here would silently
+    # discard it AND delete a live incarnation's partition.
+    if n_rows == 0:
         # empty recompute: clear any dead incarnation's partitions for
         # this id — its partials would double-count, and its wm snapshot
         # would raise spurious lateness errors against the new stream
@@ -405,9 +411,12 @@ def ingest_hypertable_late_batch(
             "n_dropped_rows": 0,
         }
 
-    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    lo = None if bounds["lo"] is None else int(bounds["lo"])
+    hi = None if bounds["hi"] is None else int(bounds["hi"])
     n_dropped = 0
-    if prior is not None and lo < prior["wm_us"]:
+    # lo=None (all NULL ts) skips the lateness check: a NULL-ts row has
+    # no event time to compare, so it is never provably late
+    if prior is not None and lo is not None and lo < prior["wm_us"]:
         if on_late == "refuse":
             raise RuntimeError(
                 f"batch {batch_id} violates the lateness bound: its min "
@@ -457,13 +466,25 @@ def ingest_hypertable_late_batch(
 
     # no `or`-floor on the running max: pre-epoch timestamps are
     # negative µs (the round-13 advice lesson from the as-of sidecar).
-    # hi is None only when drop mode dead-lettered the ENTIRE batch —
-    # the wm then carries the prior state forward unchanged.
+    # hi is None when drop mode dead-lettered the ENTIRE batch or when
+    # every row's ts is NULL — the wm then carries the prior state
+    # forward unchanged; with no prior either, there is no event-time
+    # knowledge yet and no wm snapshot is written (see below).
     if hi is None:
-        max_ts = prior["max_ts_us"]
+        max_ts = None if prior is None else prior["max_ts_us"]
     else:
         max_ts = hi if prior is None else max(hi, prior["max_ts_us"])
-    wm = max_ts - int(lateness_us)
+    if max_ts is None:
+        wm = None
+    else:
+        wm = max_ts - int(lateness_us)
+        if prior is not None:
+            # monotone clamp (round-14 advice): a restart with a WIDER
+            # lateness bound (or a typo) must not move the watermark
+            # backward — events below the old wm would then be accepted
+            # and mutate buckets serve_hypertable_final already promised
+            # immutable to downstream caches. Mirrors the max_ts clamp.
+            wm = max(wm, prior["wm_us"])
 
     n_partial_rows = land_batch_exact(hourly_partial(batch_df), hdir, batch_id)
     from doc2dataset_spark.operators.time_travel import (
@@ -484,6 +505,13 @@ def ingest_hypertable_late_batch(
         "n_reopened_hours": n_reopened,
         "n_dropped_rows": n_dropped,
     }
+    if max_ts is None:
+        # NULL-ts-only FIRST batch: the NULL-bucket partials landed
+        # above, but no event time has ever been seen, so no watermark
+        # exists yet — writing a NULL snapshot would crash every reader.
+        # Clear any dead incarnation's snapshot for this id and return.
+        rm_stale_partition(wdir, batch_id)
+        return snap
     land_batch(
         s.createDataFrame(
             [(max_ts, wm, n_late, n_reopened, n_dropped)],

@@ -751,3 +751,131 @@ def test_empty_recompute_forgets_landing_time(spark, tmp_path):
     )
     assert snap["n_dropped_rows"] == 1 and snap["n_late_rows"] == 0
     assert 3 not in batch_times(hdir)
+
+
+def test_all_null_ts_batch_is_not_an_empty_recompute(spark, tmp_path):
+    """Round-14 advice (medium): empty means ZERO ROWS, not zero
+    non-NULL timestamps. A batch whose rows ALL have NULL ts must land
+    its NULL-bucket partials (exactly as the mixed-batch path does) and
+    carry the prior watermark forward unchanged — never be treated as
+    an empty recompute that silently discards the rows and deletes a
+    live partition."""
+    from doc2dataset_spark.streaming.hypertable import (
+        hypertable_wm_state,
+        ingest_hypertable_late_batch,
+        serve_hypertable,
+    )
+
+    out = (tmp_path / "htnull_out").as_posix()
+    two_h = 2 * 3600 * 1_000_000
+    snap0 = ingest_hypertable_late_batch(
+        _ts_frame(spark, [(1, "01:00", 5), (2, "06:00", 7)]),
+        out, batch_id=0, lateness_us=two_h,
+    )
+    all_null = _ts_frame(spark, [(3, "01:00", 9), (4, "02:00", 4)]).withColumn(
+        "ts", F.lit(None).cast("timestamp")
+    )
+    snap1 = ingest_hypertable_late_batch(
+        all_null, out, batch_id=1, lateness_us=two_h
+    )
+    # wm state carried forward unchanged, nothing dropped or late
+    assert snap1["max_ts_us"] == snap0["max_ts_us"]
+    assert snap1["wm_us"] == snap0["wm_us"]
+    assert snap1["n_dropped_rows"] == 0 and snap1["n_late_rows"] == 0
+    assert hypertable_wm_state(spark, out)["wm_us"] == snap0["wm_us"]
+    served = {
+        r["bucket"]: r["n_events"]
+        for r in serve_hypertable(spark, out).collect()
+        if r["granularity"] == "hour"
+    }
+    assert served.get(None) == 2  # both NULL-ts rows folded, not vanished
+    # drop mode takes the same path: NULL ts is never provably late
+    snap2 = ingest_hypertable_late_batch(
+        all_null.withColumn("event_id", F.col("event_id") + 10),
+        out, batch_id=2, lateness_us=two_h, on_late="drop",
+    )
+    assert snap2["n_dropped_rows"] == 0
+    served = {
+        r["bucket"]: r["n_events"]
+        for r in serve_hypertable(spark, out).collect()
+        if r["granularity"] == "hour"
+    }
+    assert served.get(None) == 4
+
+
+def test_all_null_ts_first_batch_defers_the_watermark(spark, tmp_path):
+    """An all-NULL-ts FIRST batch has no event time to watermark: its
+    NULL-bucket partials land, no wm snapshot is written (readers would
+    crash on NULL bounds), and the first real-ts batch establishes the
+    watermark normally."""
+    from doc2dataset_spark.streaming.hypertable import (
+        hypertable_wm_state,
+        ingest_hypertable_late_batch,
+        serve_hypertable,
+    )
+
+    out = (tmp_path / "htnull0_out").as_posix()
+    two_h = 2 * 3600 * 1_000_000
+    all_null = _ts_frame(spark, [(1, "01:00", 5)]).withColumn(
+        "ts", F.lit(None).cast("timestamp")
+    )
+    snap = ingest_hypertable_late_batch(
+        all_null, out, batch_id=0, lateness_us=two_h
+    )
+    assert snap["max_ts_us"] is None and snap["wm_us"] is None
+    assert hypertable_wm_state(spark, out) is None
+    served = {
+        r["bucket"]: r["n_events"]
+        for r in serve_hypertable(spark, out).collect()
+        if r["granularity"] == "hour"
+    }
+    assert served.get(None) == 1  # the partials are there all the same
+    snap1 = ingest_hypertable_late_batch(
+        _ts_frame(spark, [(2, "06:00", 7)]), out, batch_id=1,
+        lateness_us=two_h,
+    )
+    assert snap1["wm_us"] == snap1["max_ts_us"] - two_h
+    assert hypertable_wm_state(spark, out)["wm_us"] == snap1["wm_us"]
+
+
+def test_watermark_never_moves_backward_on_widened_bound(spark, tmp_path):
+    """Round-14 advice (low): lateness_us is a per-call parameter, so a
+    restart with a WIDER bound (or a typo) would compute a LOWER wm and
+    re-open buckets serve_hypertable_final already promised immutable.
+    The monotone clamp pins wm to max(computed, prior wm): sealed stays
+    sealed, and events below the old watermark still refuse."""
+    import pytest as _pytest
+
+    from doc2dataset_spark.streaming.hypertable import (
+        hypertable_wm_state,
+        ingest_hypertable_late_batch,
+        serve_hypertable_final,
+    )
+
+    out = (tmp_path / "htwm_out").as_posix()
+    two_h = 2 * 3600 * 1_000_000
+    snap0 = ingest_hypertable_late_batch(
+        _ts_frame(spark, [(1, "01:00", 5), (2, "08:00", 7)]),
+        out, batch_id=0, lateness_us=two_h,
+    )
+    sealed0 = _rows(serve_hypertable_final(spark, out))
+    assert sealed0  # hour 01 sealed under the 2h bound (wm = 06:00)
+    # restart the feed with a 10x wider bound: without the clamp the wm
+    # would regress from 06:00 to 12:00-20:00 < 0 → unsealing hour 01
+    snap1 = ingest_hypertable_late_batch(
+        _ts_frame(spark, [(3, "09:00", 1)]),
+        out, batch_id=1, lateness_us=10 * two_h,
+    )
+    assert snap1["wm_us"] >= snap0["wm_us"]
+    assert hypertable_wm_state(spark, out)["wm_us"] == snap1["wm_us"]
+    # every previously-sealed row is still served, bit-identical
+    sealed1 = _rows(serve_hypertable_final(spark, out))
+    for row in sealed0:
+        assert row in sealed1
+    # and a row below the ORIGINAL watermark still refuses: the widened
+    # bound did not re-open the sealed prefix for mutation
+    with _pytest.raises(RuntimeError, match="lateness bound"):
+        ingest_hypertable_late_batch(
+            _ts_frame(spark, [(4, "01:30", 2)]),
+            out, batch_id=2, lateness_us=10 * two_h,
+        )
