@@ -197,7 +197,9 @@ def recover_compaction(root: str) -> dict:
     return {"action": "rolled_back"}
 
 
-def swap_in_compacted(fs, root: str, tmp: str, tail_dirs: list[str]) -> None:
+def swap_in_compacted(
+    fs, root: str, tmp: str, tail_dirs: list[str], extra: dict | None = None
+) -> None:
     """Publish a compacted head: move the untouched tail ``batch_id=<n>``
     dirs from the live root into tmp (filesystem renames — the tail is
     never read or rewritten), then swap tmp in as the new root.
@@ -207,6 +209,11 @@ def swap_in_compacted(fs, root: str, tmp: str, tail_dirs: list[str]) -> None:
     roll the tail moves back and restore the original root; a hard crash
     leaves ``__old_compact`` + the manifest for manual reassembly, and
     ``check_no_leftover_compaction`` refuses to run over the debris.
+
+    ``extra``: additional keys merged into the manifest so a caller can
+    tag the swap with its own identity (the hypertable RTBF rewrite tags
+    ``rtbf_request``); ``recover_compaction`` ignores unknown keys, so
+    recovery semantics are unchanged.
     """
     root = root.rstrip("/")
     old = f"{root}__old_compact"
@@ -214,7 +221,12 @@ def swap_in_compacted(fs, root: str, tmp: str, tail_dirs: list[str]) -> None:
     with fs.open(manifest, "wb") as fh:
         fh.write(
             json.dumps(
-                {"tmp": tmp, "root": root, "tail_dirs": tail_dirs}
+                {
+                    "tmp": tmp,
+                    "root": root,
+                    "tail_dirs": tail_dirs,
+                    **(extra or {}),
+                }
             ).encode()
         )
     fs.mv(root, old)

@@ -488,6 +488,29 @@ gate_swap(
     ],
 )
 
+# Gate rotation #15 (round 15, r14 verdict Next #1): driver-record the
+# round-14 mirror-only trio so EVERY round-14 operator has external
+# evidence — the bucket="auto" plan chooser (sharing events_asof_join's
+# native-ASOF oracle VERBATIM, budget forced low so the gate judges the
+# BUCKETED branch of the CBO decision), the gapfill+LOCF serve from the
+# persisted cagg, and the dead-letter drop mode (kept set stated as a
+# constant oracle predicate) — over three rows gate-green since rounds
+# 7-9 whose families keep stronger gate representation (see gate.py
+# rotation log r15 #15). All demoted rows stay hash-checked by the
+# degated-parity pytest sweep and scripts/driver_mirror.py.
+gate_swap(
+    promote=[
+        "events_asof_auto",
+        "rollup_hypertable_gapfill",
+        "rollup_hypertable_deadletter",
+    ],
+    demote=[
+        "q74_higher_order_fns",
+        "q56_tpch_q8",
+        "join_bucketed_colocated",
+    ],
+)
+
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the
 # pytest pin so any drift crashes every entry point, not just the suite.

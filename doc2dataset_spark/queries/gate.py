@@ -122,6 +122,24 @@ Rotation log (why the current 50 are the current 50):
   row; as-of keeps join/nearest/strict/forward_bucketed gated), and
   dedup_winnow_indexed (winnowing keeps dedup_winnow gated; the
   index-served twin stays mirror + pytest).
+- r15 #15 (r14 verdict Next #1): promoted the round-14 mirror-only trio
+  so every round-14 operator has a driver-recorded hash row —
+  events_asof_auto (the bucket="auto" plan chooser sharing
+  events_asof_join's native-ASOF oracle VERBATIM with the budget forced
+  low: the gate judges the BUCKETED branch of the CBO decision),
+  rollup_hypertable_gapfill (TimescaleDB-style gapfill+LOCF served from
+  the persisted cagg via the engine's own bucketed as-of join), and
+  rollup_hypertable_deadletter (on_late='drop' with the kept set stated
+  as a constant oracle predicate) — over three rows gate-green since
+  rounds 7-9 whose contracts keep externally-checked twins:
+  q74_higher_order_fns (dialect battery, green since rotation #4; the
+  HOF surface stays mirror + degated-parity checked),
+  join_bucketed_colocated (green since rotation #2; the co-located-join
+  family keeps q12b_bucketed_range_join gated — a MUST row — and the
+  zero-shuffle plan shape stays pinned by tests/test_bucketed_join),
+  and q56_tpch_q8 (TPC-H keeps its three join-heaviest shapes gated:
+  Q21, Q2, Q5). All demoted rows stay hash-checked by the
+  degated-parity pytest sweep and scripts/driver_mirror.py.
 """
 
 from __future__ import annotations
@@ -154,7 +172,7 @@ FROZEN_GATE = [
     "join_cbo_reordered",
     "events_asof_forward_bucketed",
     "curate_ccnet_buckets",
-    "q74_higher_order_fns",
+    "events_asof_auto",
     "events_asof_join",
     "dedup_prefix_stats",
     "dedup_simhash_recall",
@@ -179,8 +197,8 @@ FROZEN_GATE = [
     "rollup_hypertable_late",
     "dedup_keep_best_incremental",
     "rollup_hypertable_final",
-    "q56_tpch_q8",
-    "join_bucketed_colocated",
+    "rollup_hypertable_gapfill",
+    "rollup_hypertable_deadletter",
     "merge_cdc_apply",
     "rollup_hypertable_asof",
 ]
