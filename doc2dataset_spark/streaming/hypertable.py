@@ -660,3 +660,524 @@ def rejected_hypertable_rows(spark: SparkSession, out_dir: str) -> DataFrame:
             "dropped rows (or this log was built with on_late='refuse')"
         )
     return spark.read.parquet(rdir)
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten: retroactive deletion vs finality
+# (round-14 verdict, Next round #2)
+# ---------------------------------------------------------------------------
+#
+# Every persisted index has an RTBF path (delete_from_postings and its
+# per-index wrappers) because postings carry row identity: deletion
+# rewrites exactly the partitions holding the doomed keys. The cagg
+# does NOT carry row identity — a partial is (hour, count, sum) — so
+# lawful erasure is TimescaleDB's decompress-and-invalidate problem:
+# the rows to forget must come from the RAW side (the caller's own
+# deletion request hands them over), their contribution is SUBTRACTED
+# from the affected hours, and — the part finality makes hard — a
+# bucket serve_hypertable_final already promised immutable may change.
+# That is not a contract violation: GDPR deletion outranks the cache
+# promise. What the contract owes downstream consumers instead is an
+# AUDIT: a persisted, queryable record distinguishing "sealed" from
+# "sealed-then-lawfully-revised", so a cache that pinned a now-revised
+# bucket can find out it must refresh (hypertable_rtbf_audit /
+# serve_hypertable_final_audited).
+#
+# History REWRITES on purpose — the contract read_postings_asof already
+# states for every RTBF path ("minus any later right-to-be-forgotten
+# deletions, which rewrite history"): after forget_hypertable_rows, NO
+# serve surface (live, final, or as-of) ever shows the forgotten rows'
+# contribution again. Because per-batch attribution of the forgotten
+# rows is unknowable from aggregates, the affected hours' per-batch
+# history is collapsed into the LATEST batch that touched them (the
+# "anchor"): as-of reads at N >= anchor are EXACTLY "first N batches
+# minus deletions"; reads at N < anchor simply omit the affected hours
+# (conservative — old snapshots under-report rather than ever serving
+# pre-deletion values). Untouched hours and untouched batch partitions
+# are never read or rewritten.
+#
+# Crash safety rides the compaction swap (manifest + rollback +
+# recover_compaction, tagged ``rtbf_request``) plus a sibling
+# ``__rtbf_log.json`` journal written BEFORE the swap as "pending" and
+# flipped to "applied" after. Siblings survive every swap (the horizon
+# and batch-times precedent). The pending record pins the affected
+# hours' exact PRE and POST fold values (decimal strings — exact), so
+# a retry after ANY crash window is decided by STATE, not by guesswork:
+# live fold == post → the swap had published, flip to applied and
+# no-op; live fold == pre → re-apply; neither → refuse (something else
+# wrote in between; single-writer contract broken). Re-running an
+# applied request_id is a no-op — RTBF-then-replay idempotence.
+
+
+def _rtbf_marker(hourly_path: str) -> str:
+    return f"{hourly_path.rstrip('/')}__rtbf_log.json"
+
+
+def _read_rtbf_log(fs, hourly_path: str) -> list[dict]:
+    marker = _rtbf_marker(hourly_path)
+    if not fs.exists(marker):
+        return []
+    import json
+
+    with fs.open(marker, "rb") as fh:
+        return json.loads(fh.read().decode())["requests"]
+
+
+def _write_rtbf_log(fs, hourly_path: str, records: list[dict]) -> None:
+    """tmp + mv, the _write_times idiom (atomic on LocalFileSystem;
+    elsewhere the orphaned .tmp is inert — readers only see the
+    marker, and the next write truncates it)."""
+    import json
+
+    marker = _rtbf_marker(hourly_path)
+    tmp = f"{marker}.tmp"
+    with fs.open(tmp, "wb") as fh:
+        fh.write(json.dumps({"requests": records}).encode())
+    fs.mv(tmp, marker)
+
+
+def _rtbf_bucket_cond(us_list: list[int], has_null: bool):
+    """Affected-hours membership as a Column, NULL-bucket aware: plain
+    ``isin`` returns NULL for a NULL bucket and a negated NULL filters
+    the row out — exactly the silent loss this helper prevents."""
+    cond = F.lit(False)
+    if us_list:
+        cond = F.unix_micros(F.col("bucket")).isin(*us_list)
+    if has_null:
+        cond = cond | F.col("bucket").isNull()
+    return F.coalesce(cond, F.lit(False))
+
+
+def _rtbf_fold_hours(
+    log: DataFrame, us_list: list[int], has_null: bool
+) -> dict:
+    """{bucket_us_or_None: (n_events, Decimal)} — the exact fold of the
+    affected hours as the log currently serves them."""
+    rows = (
+        fold_hourly(
+            log.filter(_rtbf_bucket_cond(us_list, has_null)).drop("batch_id")
+        )
+        .select(
+            F.unix_micros("bucket").alias("b"), "n_events", "dec_total"
+        )
+        .collect()
+    )
+    return {
+        (None if r["b"] is None else int(r["b"])): (
+            int(r["n_events"]),
+            r["dec_total"],
+        )
+        for r in rows
+    }
+
+
+def _rtbf_summary(rec: dict) -> dict:
+    return {
+        "request_id": rec["request_id"],
+        "status": rec["status"],
+        "n_forgotten_rows": sum(b["n_forgotten"] for b in rec["buckets"]),
+        "n_buckets_revised": len(rec["buckets"]),
+        "n_sealed_buckets_revised": sum(
+            1 for b in rec["buckets"] if b["was_sealed"]
+        ),
+        "anchor_batch": rec.get("anchor"),
+        "noop": rec.get("noop", False),
+    }
+
+
+def forget_hypertable_rows(
+    spark: SparkSession,
+    out_dir: str,
+    forget_events: DataFrame,
+    request_id: str,
+) -> dict:
+    """Lawfully erase ``forget_events``' contribution from the cagg
+    (module comment above): subtract their hourly partials from the
+    affected hours, collapse those hours' per-batch history into the
+    latest touched batch, journal the revision — including which
+    revised buckets were SEALED at the time (the finality audit) — and
+    publish via the transactional compaction swap.
+
+    ``forget_events``: the raw event rows to erase (``ts`` + ``value``
+    are the columns the cagg aggregates), handed over by the raw
+    store's own deletion path. Rows that were never ingested REFUSE
+    (their subtraction would corrupt the fold): every forgotten hour
+    must exist in the log with at least the forgotten count, and an
+    hour whose count reaches zero must also sum to zero.
+
+    Cost at 100 TB: one column-pruned (bucket, batch_id) scan finds the
+    touched partitions (parquet min/max skips the rest); only touched
+    partitions are read and rewritten; untouched partitions are renamed
+    in (metadata ops). Driver-side state is O(affected hours) — the
+    same bounded-artifact budget every collect() in this repo obeys.
+
+    Idempotent per ``request_id`` (an applied request no-ops and
+    returns its recorded summary); crash-recoverable by state
+    comparison (module comment). The watermark never moves: erasure
+    revises history, it does not un-see event time.
+
+    Returns {request_id, status, n_forgotten_rows, n_buckets_revised,
+    n_sealed_buckets_revised, anchor_batch, noop}.
+    """
+    from decimal import Decimal
+
+    from doc2dataset_spark.operators.index_maintenance import (
+        _batch_of,
+        check_no_leftover_compaction,
+        list_batch_dirs,
+        swap_in_compacted,
+    )
+    from doc2dataset_spark.operators.time_travel import forget_batch_time
+
+    hdir = _hourly_path(out_dir)
+    fs, p = fsio.url_to_fs(hdir)
+    if not fs.exists(p):
+        raise ValueError(f"no hourly partial log under {out_dir!r}")
+    check_no_leftover_compaction(fs, p)
+    records = _read_rtbf_log(fs, p)
+    mine = next(
+        (r for r in records if r["request_id"] == request_id), None
+    )
+    if mine is not None and mine["status"] == "applied":
+        return _rtbf_summary(mine)
+
+    log = spark.read.parquet(hdir)
+
+    if mine is None:
+        # fresh request: pin the forgotten contribution and the exact
+        # pre/post fold of every affected hour into a "pending" journal
+        # entry BEFORE any mutation — the retry decider
+        fp_rows = (
+            hourly_partial(forget_events)
+            .select(
+                F.unix_micros("bucket").alias("b"), "n_events", "dec_total"
+            )
+            .collect()
+        )
+        if not fp_rows:
+            mine = {
+                "request_id": request_id,
+                "status": "applied",
+                "noop": True,
+                "anchor": None,
+                "touched": [],
+                "buckets": [],
+            }
+            _write_rtbf_log(fs, p, [*records, mine])
+            return _rtbf_summary(mine)
+        fp = {
+            (None if r["b"] is None else int(r["b"])): (
+                int(r["n_events"]),
+                r["dec_total"],
+            )
+            for r in fp_rows
+        }
+        us_list = [b for b in fp if b is not None]
+        has_null = None in fp
+        pre = _rtbf_fold_hours(log, us_list, has_null)
+
+        def _dsub(d_p, d_f):
+            # SUM over all-NULL values is NULL on both engines: a None
+            # forgotten sum subtracts nothing; subtracting a real sum
+            # from a None fold is the not-a-subset inconsistency below
+            if d_f is None:
+                return d_p
+            if d_p is None:
+                raise ValueError(
+                    f"RTBF request {request_id!r}: forget set claims a "
+                    f"non-NULL sum {d_f} for a bucket whose fold is "
+                    "NULL — not a subset of what was ingested"
+                )
+            return d_p - d_f
+
+        for b, (n_f, d_f) in fp.items():
+            if b not in pre:
+                raise ValueError(
+                    f"RTBF request {request_id!r}: hour bucket "
+                    f"{b} has no partials in the log — these rows were "
+                    "never ingested here (wrong table, or already "
+                    "forgotten under a different request_id)"
+                )
+            n_p, d_p = pre[b]
+            residual = _dsub(d_p, d_f)
+            if n_p - n_f < 0 or (
+                n_p - n_f == 0 and (residual or 0) != 0
+            ):
+                raise ValueError(
+                    f"RTBF request {request_id!r}: hour bucket {b} "
+                    f"holds {n_p} events summing {d_p}, but the forget "
+                    f"set claims {n_f} events summing {d_f} — the "
+                    "forget set is not a subset of what was ingested"
+                )
+        wm_state = hypertable_wm_state(spark, out_dir)
+        wm_us = None if wm_state is None else wm_state["wm_us"]
+
+        def _sealed(bucket_us) -> bool:
+            if bucket_us is None or wm_us is None:
+                return False
+            return bucket_us + 3600 * 1_000_000 <= wm_us
+
+        touched = sorted(
+            r["batch_id"]
+            for r in log.filter(_rtbf_bucket_cond(us_list, has_null))
+            .select("batch_id")
+            .distinct()
+            .collect()
+        )
+        mine = {
+            "request_id": request_id,
+            "status": "pending",
+            "anchor": int(touched[-1]),
+            "touched": [int(t) for t in touched],
+            "wm_us_at_apply": wm_us,
+            "buckets": [
+                {
+                    "bucket_us": b,
+                    "n_forgotten": n_f,
+                    "dec_forgotten": None if d_f is None else str(d_f),
+                    "pre_n": pre[b][0],
+                    "pre_dec": (
+                        None if pre[b][1] is None else str(pre[b][1])
+                    ),
+                    "post_n": pre[b][0] - n_f,
+                    "post_dec": (
+                        None
+                        if _dsub(pre[b][1], d_f) is None
+                        else str(_dsub(pre[b][1], d_f))
+                    ),
+                    "was_sealed": _sealed(b),
+                }
+                for b, (n_f, d_f) in sorted(
+                    fp.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)
+                )
+            ],
+        }
+        _write_rtbf_log(fs, p, [*records, mine])
+        records = [*records, mine]
+    else:
+        # pending journal entry from a crashed attempt: decide by STATE
+        us_list = [
+            b["bucket_us"] for b in mine["buckets"] if b["bucket_us"] is not None
+        ]
+        has_null = any(b["bucket_us"] is None for b in mine["buckets"])
+        live = _rtbf_fold_hours(log, us_list, has_null)
+
+        def _dec(s):
+            return None if s is None else Decimal(s)
+
+        post = {
+            b["bucket_us"]: (b["post_n"], _dec(b["post_dec"]))
+            for b in mine["buckets"]
+            if b["post_n"] > 0
+        }
+        pre_state = {
+            b["bucket_us"]: (b["pre_n"], _dec(b["pre_dec"]))
+            for b in mine["buckets"]
+        }
+        if live == post:
+            # the crashed run's swap had already published
+            mine["status"] = "applied"
+            _write_rtbf_log(fs, p, records)
+            return _rtbf_summary(mine)
+        if live != pre_state:
+            raise RuntimeError(
+                f"RTBF request {request_id!r} is pending but the "
+                "affected hours match neither its recorded pre- nor "
+                "post-deletion state — another writer touched them "
+                "mid-request (outside the single-writer contract); "
+                "reconcile by hand before retrying"
+            )
+        # live == pre: the swap never published — fall through, re-apply
+
+    # ---- apply: rewrite touched partitions, rename in the rest -------
+    touched = set(mine["touched"])
+    anchor = mine["anchor"]
+    us_list = [
+        b["bucket_us"] for b in mine["buckets"] if b["bucket_us"] is not None
+    ]
+    has_null = any(b["bucket_us"] is None for b in mine["buckets"])
+    in_h = _rtbf_bucket_cond(us_list, has_null)
+    keep = log.filter(
+        F.col("batch_id").isin(*[int(t) for t in touched])
+    ).filter(~in_h)
+    folded_rows = [
+        (
+            b["bucket_us"],
+            b["post_n"],
+            None if b["post_dec"] is None else Decimal(b["post_dec"]),
+            int(anchor),
+        )
+        for b in mine["buckets"]
+        if b["post_n"] > 0
+    ]
+    folded = spark.createDataFrame(
+        folded_rows,
+        "bucket_us bigint, n_events bigint, "
+        "dec_total decimal(38,6), batch_id int",
+    ).select(
+        F.timestamp_micros("bucket_us").alias("bucket"),
+        "n_events",
+        "dec_total",
+        "batch_id",
+    )
+    new_touched = keep.select(
+        "bucket", "n_events", "dec_total", "batch_id"
+    ).unionByName(folded)
+
+    import uuid
+
+    tmp_url = f"{hdir.rstrip('/')}__rtbf_{uuid.uuid4().hex}"
+    tmp = fsio.url_to_fs(tmp_url)[1]
+    new_touched.repartition(
+        max(len(touched), 1), F.col("batch_id")
+    ).write.partitionBy("batch_id").parquet(tmp_url)
+
+    tail_dirs = [
+        d
+        for d in list_batch_dirs(fs, p)
+        if _batch_of(d) not in touched
+    ]
+    try:
+        swap_in_compacted(
+            fs, p, tmp, tail_dirs, extra={"rtbf_request": request_id}
+        )
+    except BaseException:
+        # python-level failure: the swap rolled itself back — the log is
+        # pre-deletion again, so drop the pending journal entry (a hard
+        # crash instead leaves it pending for the state-decided retry)
+        _write_rtbf_log(
+            fs, p, [r for r in records if r["request_id"] != request_id]
+        )
+        raise
+
+    # a touched partition whose every row was an affected-hour row (and
+    # that isn't the anchor) vanished from the rewrite — its landing
+    # time must not survive it (the sweep_stale_batches rationale)
+    surviving = {_batch_of(d) for d in list_batch_dirs(fs, p)}
+    for b in sorted(touched - surviving):
+        forget_batch_time(hdir, b)
+
+    mine["status"] = "applied"
+    _write_rtbf_log(fs, p, records)
+    return _rtbf_summary(mine)
+
+
+def recover_hypertable_rtbf(out_dir: str) -> dict:
+    """Crash recovery for forget_hypertable_rows: finish or roll back an
+    interrupted swap (recover_compaction — the manifest's
+    ``rtbf_request`` tag names the request), then re-running
+    forget_hypertable_rows with the same request_id settles the pending
+    journal entry by state comparison. Returns recover_compaction's
+    action dict with the tagged request_id (None for non-RTBF debris)."""
+    from doc2dataset_spark.operators.index_maintenance import (
+        recover_compaction,
+    )
+
+    hdir = _hourly_path(out_dir)
+    fs, p = fsio.url_to_fs(hdir)
+    import json
+
+    manifest = f"{p.rstrip('/')}__compact_manifest.json"
+    req = None
+    if fs.exists(manifest):
+        with fs.open(manifest, "rb") as fh:
+            req = json.loads(fh.read().decode()).get("rtbf_request")
+    out = recover_compaction(hdir)
+    out["rtbf_request"] = req
+    return out
+
+
+def hypertable_rtbf_audit(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The RTBF journal as a DataFrame — one row per (request, revised
+    hour bucket): what was forgotten, how much, and whether the bucket
+    was SEALED when the revision landed (``was_sealed`` — the flag that
+    turns 'immutable forever' into 'immutable until the law says
+    otherwise, auditably'). Raises if no RTBF request was ever applied
+    (distinguishing a clean log from a typo'd path). Driver-side: the
+    journal is O(requests × affected hours) — bounded by deletion
+    activity, not corpus size."""
+    fs, p = fsio.url_to_fs(_hourly_path(out_dir))
+    records = [
+        r for r in _read_rtbf_log(fs, p) if r["status"] == "applied"
+    ]
+    if not records:
+        raise ValueError(
+            f"no applied RTBF request under {out_dir!r} — nothing was "
+            "ever forgotten from this cagg (or this is the wrong path)"
+        )
+    rows = [
+        (
+            r["request_id"],
+            b["bucket_us"],
+            int(b["n_forgotten"]),
+            b["dec_forgotten"],
+            bool(b["was_sealed"]),
+        )
+        for r in records
+        for b in r["buckets"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "request_id string, bucket_us bigint, n_forgotten bigint, "
+        "dec_forgotten string, was_sealed boolean",
+    ).select(
+        "request_id",
+        F.date_format(F.timestamp_micros("bucket_us"), _RTBF_FMT).alias(
+            "bucket"
+        ),
+        "n_forgotten",
+        F.round(F.col("dec_forgotten").cast("decimal(38,6)"), 4)
+        .cast("double")
+        .alias("total_forgotten"),
+        "was_sealed",
+    )
+
+
+def serve_hypertable_final_audited(
+    spark: SparkSession, out_dir: str
+) -> DataFrame:
+    """serve_hypertable_final plus a ``revised`` column: True on every
+    sealed bucket — at every granularity — whose hour(s) were lawfully
+    revised AFTER sealing by an applied RTBF request. A downstream
+    cache holding 'immutable' rows joins this surface to learn exactly
+    which pins to refresh; everything else keeps the plain finality
+    contract. The revised set is built driver-side from the journal
+    (bounded by deletion activity) and broadcast-joined — no shuffle."""
+    import datetime as _dt
+
+    fs, p = fsio.url_to_fs(_hourly_path(out_dir))
+    hours_us = sorted(
+        {
+            b["bucket_us"]
+            for r in _read_rtbf_log(fs, p)
+            if r["status"] == "applied"
+            for b in r["buckets"]
+            if b["was_sealed"] and b["bucket_us"] is not None
+        }
+    )
+    base = serve_hypertable_final(spark, out_dir)
+    if not hours_us:
+        return base.withColumn("revised", F.lit(False))
+    marks = set()
+    epoch = _dt.datetime(1970, 1, 1)
+    for us in hours_us:
+        t = epoch + _dt.timedelta(microseconds=us)
+        marks.add(("hour", t.strftime("%Y-%m-%d %H:%M:%S")))
+        d = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        marks.add(("day", d.strftime("%Y-%m-%d %H:%M:%S")))
+        m = d.replace(day=1)
+        marks.add(("month", m.strftime("%Y-%m-%d %H:%M:%S")))
+    rev = spark.createDataFrame(
+        [(g, bkt, True) for g, bkt in sorted(marks)],
+        "granularity string, bucket string, revised boolean",
+    )
+    return (
+        base.join(
+            F.broadcast(rev), on=["granularity", "bucket"], how="left"
+        )
+        .withColumn("revised", F.coalesce("revised", F.lit(False)))
+        .select(*base.columns, "revised")
+    )
+
+
+_RTBF_FMT = "yyyy-MM-dd HH:mm:ss"
