@@ -48,7 +48,12 @@ class DownloadConfig:
     number_sample_per_shard: int = 10_000
     input_format: str = "txt"
     url_col: str = "url"
-    output_format: str = "parquet"
+    # defaults MATCH the reference (`main.py:70,87-88`) so a drop-in
+    # migration calling download(url_list) gets the same page filtering
+    # and the same sink with no surprises (round-14 verdict) — callers
+    # wanting the engine-native analytics layout pass
+    # output_format="parquet" explicitly, as the examples do
+    output_format: str = "files"
     encode_format: str = "text"         # name of the text payload column
     save_additional_columns: list[str] | None = None
     timeout: int = 10
@@ -61,8 +66,8 @@ class DownloadConfig:
     )
     compute_hash: str | None = "sha256"
     verify_hash: tuple[str, str] | None = None   # (input column, hash type)
-    min_words_per_page: int | None = None
-    max_images_per_page: int | None = None
+    min_words_per_page: int | None = 100
+    max_images_per_page: int | None = 5
     min_image_size: int = 0
     max_aspect_ratio: float | None = None
     max_pages: int | None = None

@@ -109,6 +109,10 @@ def test_http_status_taxonomy_through_real_urllib(
         retries=1,
         get_language=False,
         compute_hash="sha256",
+        # the fixture docs are tiny (12 words): disable the reference's
+        # default min-100-words page filter, which is not under test here
+        min_words_per_page=None,
+        max_images_per_page=None,
     )
     rows = {
         r["url"].rsplit("/", 1)[-1]: r.asDict()
@@ -164,6 +168,8 @@ def test_http_robots_fetch_discards_body(spark, http_root, tmp_path):
         timeout=2,
         get_language=False,
         compute_hash="sha256",
+        min_words_per_page=None,
+        max_images_per_page=None,
     )
     rows = build_pipeline(spark, cfg).collect()
     assert len(rows) == 1
