@@ -290,10 +290,6 @@ def events_asof_auto(spark, sf_dir):
 _REG["events_asof_auto"].oracle = _REG["events_asof_join"].oracle
 
 
-_HOUR_US = 3600 * _US
-_WEEK_US = 7 * _DAY_US
-
-
 @query(
     "rollup_hypertable_gapfill",
     oracle="""
@@ -340,43 +336,13 @@ def rollup_hypertable_gapfill(spark, sf_dir):
     At sf0.01+ the fixture has no empty hours (the join is the
     identity); the gap behavior itself is pinned by pytest at sf0.001,
     where 189 of 720 grid hours are empty."""
-    from doc2dataset_spark.operators.asof import asof_join
     from doc2dataset_spark.queries.round13_extras import _cached_ht_log
-    from doc2dataset_spark.streaming.hypertable import fold_hourly
+    from doc2dataset_spark.streaming.hypertable import (
+        serve_hypertable_gapfill,
+    )
 
-    log = _cached_ht_log(spark, sf_dir, False)
-    hourly = fold_hourly(
-        spark.read.parquet(f"{log}/hourly").drop("batch_id")
-    ).select(
-        "bucket",
-        "n_events",
-        F.round(F.col("dec_total"), 4).cast("double").alias("total"),
-    )
-    bounds = hourly.agg(
-        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
-    )
-    grid = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("bucket")
-    ).withColumn("__k", F.lit(0))
-    filled = asof_join(
-        grid,
-        hourly.withColumn("__k", F.lit(0)),
-        on="bucket",
-        by=("__k",),
-        direction="backward",
-        suffix="h_",
-        bucket=_WEEK_US,
-    )
-    return filled.select(
-        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
-        F.when(F.col("asof_gap") == 0, F.col("h_n_events"))
-        .otherwise(F.lit(0))
-        .cast("bigint")
-        .alias("n_events"),
-        F.when(F.col("asof_gap") == 0, F.col("h_total")).alias("total"),
-        F.col("h_total").alias("total_locf"),
+    return serve_hypertable_gapfill(
+        spark, _cached_ht_log(spark, sf_dir, False)
     )
 
 

@@ -662,6 +662,54 @@ def rejected_hypertable_rows(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(rdir)
 
 
+def serve_hypertable_gapfill(spark: SparkSession, out_dir: str) -> DataFrame:
+    """TimescaleDB's ``time_bucket_gapfill`` + ``locf`` over the served
+    cagg: densify the folded hourly level to a gapless grid (empty
+    hours emit n_events=0, total NULL) and carry the last observed
+    total forward. ONE chain shared by the batch registry row
+    (queries/round14_extras.rollup_hypertable_gapfill — where the scale
+    shape is documented: sequence() grid from the fold's own min/max,
+    LOCF as the engine's own BUCKETED backward as-of join, no
+    unpartitioned window) and the streaming serve-after-ingest twin
+    (tests/test_streaming_hypertable), so the two can never diverge."""
+    from doc2dataset_spark.operators.asof import asof_join
+
+    week_us = 7 * 24 * 3600 * 1_000_000
+    hourly = fold_hourly(
+        spark.read.parquet(_hourly_path(out_dir)).drop("batch_id")
+    ).select(
+        "bucket",
+        "n_events",
+        F.round(F.col("dec_total"), 4).cast("double").alias("total"),
+    )
+    bounds = hourly.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    ).withColumn("__k", F.lit(0))
+    filled = asof_join(
+        grid,
+        hourly.withColumn("__k", F.lit(0)),
+        on="bucket",
+        by=("__k",),
+        direction="backward",
+        suffix="h_",
+        bucket=week_us,
+    )
+    return filled.select(
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.when(F.col("asof_gap") == 0, F.col("h_n_events"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_events"),
+        F.when(F.col("asof_gap") == 0, F.col("h_total")).alias("total"),
+        F.col("h_total").alias("total_locf"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Right-to-be-forgotten: retroactive deletion vs finality
 # (round-14 verdict, Next round #2)

@@ -879,3 +879,63 @@ def test_watermark_never_moves_backward_on_widened_bound(spark, tmp_path):
             _ts_frame(spark, [(4, "01:30", 2)]),
             out, batch_id=2, lateness_us=10 * two_h,
         )
+
+
+def test_streaming_gapfill_locf_twin(spark, tmp_path):
+    """serve_hypertable_gapfill over a log built by the REAL watermarked
+    stream equals the same serve over a one-batch log of the identical
+    events (stream == batch), and the gap semantics are pinned: a
+    missing hour emits n_events=0 / total NULL with total_locf carried
+    from the last observed hour — the round-14 gapfill+LOCF serve gains
+    its streaming twin (round-14 verdict, Next round #5)."""
+    from doc2dataset_spark.streaming.hypertable import (
+        ingest_hypertable_late_batch,
+        run_hypertable_ingest_late,
+        serve_hypertable_gapfill,
+    )
+
+    # hours 00/01/03/06 observed, 02/04/05 are gaps; batch 1 is LATE
+    # for hour 01 (below batch 0's max), re-opening it inside the bound
+    rows0 = [(1, "00:10", 4), (2, "01:20", 6), (3, "03:05", 10)]
+    rows1 = [(4, "01:40", 2), (5, "06:30", 8)]
+    bound = 12 * 3600 * 1_000_000
+    src = _land_slices(
+        spark,
+        tmp_path,
+        [_ts_frame(spark, rows0), _ts_frame(spark, rows1)],
+        "gf_stream",
+    )
+    out = (tmp_path / "gf_out").as_posix()
+    stream = (
+        spark.readStream.schema(_ts_frame(spark, rows0).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    run_hypertable_ingest_late(
+        spark, stream, out, (tmp_path / "gf_ckpt").as_posix(),
+        lateness_us=bound,
+    )
+    twin = (tmp_path / "gf_twin").as_posix()
+    ingest_hypertable_late_batch(
+        _ts_frame(spark, rows0 + rows1), twin, batch_id=0,
+        lateness_us=bound,
+    )
+
+    def gf(d):
+        return sorted(
+            (r["bucket"], r["n_events"], r["total"], r["total_locf"])
+            for r in serve_hypertable_gapfill(spark, d).collect()
+        )
+
+    got, want = gf(out), gf(twin)
+    assert got == want
+    # gapless grid over the observed span: hours 00..06 inclusive
+    assert [b[11:13] for b, _, _, _ in got] == [
+        "00", "01", "02", "03", "04", "05", "06",
+    ]
+    by_hour = {b[11:13]: (n, t, locf) for b, n, t, locf in got}
+    assert by_hour["01"] == (2, 8.0, 8.0)  # late re-fold folded in
+    assert by_hour["02"] == (0, None, 8.0)  # gap: LOCF carries hour 01
+    assert by_hour["04"] == (0, None, 10.0)  # gap: carries hour 03
+    assert by_hour["05"] == (0, None, 10.0)
+    assert by_hour["06"] == (1, 8.0, 8.0)
