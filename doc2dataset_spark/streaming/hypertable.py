@@ -219,12 +219,155 @@ def compact_hypertable_partials(
     except BaseException:
         _restore_horizon(fs, p, prev_horizon)
         raise
+    rows_after = spark.read.parquet(hdir).count()
+    # head-size sidecar for decide_hypertable_compaction: the folded
+    # head's row count (= hours covered, one row per hour) via a
+    # partition-pruned count of the one folded partition. Best-effort,
+    # refreshed every compaction — a crash before this write just means
+    # the next auto decision re-counts the head the same way.
+    head_rows = (
+        spark.read.parquet(hdir)
+        .filter(F.col("batch_id") == upto_batch)
+        .count()
+    )
+    _write_compact_stats(fs, p, upto_batch, head_rows)
     return {
         "batches_before": len(batch_dirs),
         "batches_after": len(list_batch_dirs(fs, p)),
         "rows_before": rows_before,
-        "rows_after": spark.read.parquet(hdir).count(),
+        "rows_after": rows_after,
     }
+
+
+def _compact_stats_marker(hourly_path: str) -> str:
+    return f"{hourly_path.rstrip('/')}__compact_stats.json"
+
+
+def _write_compact_stats(fs, hourly_path: str, upto: int, head_rows: int):
+    import json
+
+    marker = _compact_stats_marker(hourly_path)
+    tmp = f"{marker}.tmp"
+    with fs.open(tmp, "wb") as fh:
+        fh.write(
+            json.dumps({"upto": int(upto), "head_rows": int(head_rows)}).encode()
+        )
+    fs.mv(tmp, marker)
+
+
+def decide_hypertable_compaction(
+    spark: SparkSession,
+    out_dir: str,
+    factor: int = 8,
+    min_tail_batches: int = 2,
+) -> dict:
+    """The ``compact="auto"`` cadence decision (round-14 verdict, Next
+    round #6), derived from the log's OWN sidecar counters — never a
+    data scan: fire when the serve-side fold input (folded head rows +
+    the per-batch ``n_partial_rows`` counters the watermarked ingest
+    records in its wm snapshots) exceeds ``factor`` × the estimated
+    hour count. The hour estimate is max(head rows, largest single
+    batch's partial rows) — each is a lower bound on the true hour
+    count (the head holds one row per covered hour; one batch's
+    partials are ≤ one row per hour it touched), so the estimate only
+    DELAYS firing, never fires early. This is exactly the knee the
+    ht-depth pricing table measured (BASELINE.md): fold input pinned
+    near O(hours) keeps the serve flat; letting it grow to
+    O(hours × batches) doubles the serve by depth 200.
+
+    Cost: one read of the wm sidecar (one tiny row per batch) + the
+    compact-stats sidecar (one JSON); the first decision after a
+    pre-stats compaction falls back to ONE partition-pruned count of
+    the folded head. Legacy wm snapshots without the counter return
+    fire=False (reason "legacy") — the caller compacts manually.
+
+    Returns {fire, fold_input_rows, hours_est, head_rows, tail_rows,
+    tail_batches, horizon, reason}.
+    """
+    import json
+
+    from doc2dataset_spark.operators.index_maintenance import (
+        compaction_horizon,
+    )
+
+    hdir = _hourly_path(out_dir)
+    fs, p = fsio.url_to_fs(hdir)
+    out = {
+        "fire": False,
+        "fold_input_rows": None,
+        "hours_est": None,
+        "head_rows": 0,
+        "tail_rows": 0,
+        "tail_batches": 0,
+        "horizon": None,
+        "reason": "",
+    }
+    wdir = _wm_path(out_dir)
+    wfs, wp = fsio.url_to_fs(wdir)
+    if not wfs.exists(wp):
+        out["reason"] = "no wm sidecar (unbounded ingest) — compact manually"
+        return out
+    horizon = compaction_horizon(fs, p) if fs.exists(p) else None
+    out["horizon"] = horizon
+
+    head_rows = 0
+    if horizon is not None:
+        marker = _compact_stats_marker(p)
+        if fs.exists(marker):
+            with fs.open(marker, "rb") as fh:
+                st = json.loads(fh.read().decode())
+            if int(st["upto"]) == horizon:
+                head_rows = int(st["head_rows"])
+        if head_rows == 0:
+            # pre-stats compaction: one partition-pruned head count
+            head_rows = (
+                spark.read.parquet(hdir)
+                .filter(F.col("batch_id") == horizon)
+                .count()
+            )
+    out["head_rows"] = head_rows
+
+    snaps = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(wdir)
+        .select("batch_id", "n_partial_rows")
+        .collect()
+    )
+    tail = [
+        r
+        for r in snaps
+        if horizon is None or int(r["batch_id"]) > horizon
+    ]
+    if any(r["n_partial_rows"] is None for r in tail):
+        out["reason"] = (
+            "legacy wm snapshots lack n_partial_rows — compact manually"
+        )
+        return out
+    tail_rows = sum(int(r["n_partial_rows"]) for r in tail)
+    max_batch = max(
+        (int(r["n_partial_rows"]) for r in tail), default=0
+    )
+    hours_est = max(head_rows, max_batch, 1)
+    fold_input = head_rows + tail_rows
+    out.update(
+        fold_input_rows=fold_input,
+        hours_est=hours_est,
+        tail_rows=tail_rows,
+        tail_batches=len(tail),
+    )
+    if len(tail) < min_tail_batches:
+        out["reason"] = f"only {len(tail)} tail batches — nothing to fold"
+        return out
+    if fold_input <= factor * hours_est:
+        out["reason"] = (
+            f"fold input {fold_input} <= {factor} x {hours_est} hours"
+        )
+        return out
+    out["fire"] = True
+    out["reason"] = (
+        f"fold input {fold_input} > {factor} x {hours_est} hours"
+    )
+    return out
 
 
 def serve_hypertable_asof(
@@ -328,6 +471,13 @@ def hypertable_wm_state(
         "n_reopened_hours": int(d["n_reopened_hours"]),
         # absent in pre-deadletter logs (refuse-mode only): default 0
         "n_dropped_rows": int(d.get("n_dropped_rows", 0)),
+        # absent in pre-round-15 logs (no auto-compaction counters):
+        # None = unknown, and decide_hypertable_compaction won't fire
+        "n_partial_rows": (
+            None
+            if d.get("n_partial_rows") is None
+            else int(d["n_partial_rows"])
+        ),
     }
 
 
@@ -409,6 +559,7 @@ def ingest_hypertable_late_batch(
             "n_late_rows": 0,
             "n_reopened_hours": 0,
             "n_dropped_rows": 0,
+            "n_partial_rows": 0,
         }
 
     lo = None if bounds["lo"] is None else int(bounds["lo"])
@@ -504,6 +655,10 @@ def ingest_hypertable_late_batch(
         "n_late_rows": n_late,
         "n_reopened_hours": n_reopened,
         "n_dropped_rows": n_dropped,
+        # the auto-compaction counter: how many partial rows this batch
+        # landed (decide_hypertable_compaction sums these — never a
+        # data scan)
+        "n_partial_rows": n_partial_rows,
     }
     if max_ts is None:
         # NULL-ts-only FIRST batch: the NULL-bucket partials landed
@@ -514,10 +669,10 @@ def ingest_hypertable_late_batch(
         return snap
     land_batch(
         s.createDataFrame(
-            [(max_ts, wm, n_late, n_reopened, n_dropped)],
+            [(max_ts, wm, n_late, n_reopened, n_dropped, n_partial_rows)],
             "max_ts_us bigint, wm_us bigint, "
             "n_late_rows bigint, n_reopened_hours bigint, "
-            "n_dropped_rows bigint",
+            "n_dropped_rows bigint, n_partial_rows bigint",
         ),
         wdir,
         batch_id,
@@ -532,6 +687,8 @@ def run_hypertable_ingest_late(
     checkpoint_dir: str,
     lateness_us: int,
     on_late: str = "refuse",
+    compact: str | None = None,
+    compact_factor: int = 8,
 ) -> None:
     """run_hypertable_ingest with a lateness bound: watermarked partial
     ingest + the bucket-finality surface (module comment above). Same
@@ -539,7 +696,18 @@ def run_hypertable_ingest_late(
     sweeps (hourly, wm, AND rejected logs), refusal over a compacted
     log. ``on_late``: see ingest_hypertable_late_batch — 'refuse'
     (default) stops the stream on a bound violation; 'drop'
-    dead-letters the violators and keeps going."""
+    dead-letters the violators and keeps going.
+
+    ``compact="auto"`` (opt-in): after each batch, fold the log head
+    whenever decide_hypertable_compaction's sidecar counters say the
+    serve-side fold input exceeded ``compact_factor`` × the hour count
+    — the measured ht-depth knee, self-tuned instead of hand-picked.
+    Auto-compaction folds up to the PREVIOUS batch only: the current
+    batch's checkpoint commit may still be pending, and a crash-replay
+    of it must overwrite its own un-folded partition, never the folded
+    head (the same-checkpoint replay discipline)."""
+    if compact not in (None, "auto"):
+        raise ValueError(f"compact={compact!r}: pass None or 'auto'")
     ckpt_fs, ckpt_path = fsio.url_to_fs(checkpoint_dir)
     fresh_checkpoint = not ckpt_fs.exists(ckpt_path)
     fired: list[int] = []
@@ -552,6 +720,14 @@ def run_hypertable_ingest_late(
         ingest_hypertable_late_batch(
             batch_df, out_dir, batch_id, lateness_us, on_late=on_late
         )
+        if compact == "auto" and batch_id > 0:
+            d = decide_hypertable_compaction(
+                batch_df.sparkSession, out_dir, factor=compact_factor
+            )
+            if d["fire"]:
+                compact_hypertable_partials(
+                    batch_df.sparkSession, out_dir, upto_batch=batch_id - 1
+                )
 
     q = (
         events_stream.writeStream.foreachBatch(write_batch)

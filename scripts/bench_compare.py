@@ -96,7 +96,9 @@ def main() -> int:
         )
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     # Compare CALIBRATION-NORMALIZED walls when both records carry them
-    # (bench.py has emitted queries_normalized since round 9): raw walls
+    # (bench.py has emitted queries_normalized since round 9) — the
+    # standing policy, with the measured host-drift evidence, lives in
+    # REGRESSIONS.md; there is deliberately no force-raw flag: raw walls
     # embed the host's CPU speed at run time, and the round-14 close
     # MEASURED that speed drifting 23% within one day (calibration
     # 0.41 -> 0.50 s, BASELINE.md) — a raw-ratio gate then flags dozens

@@ -1109,7 +1109,11 @@ def run_asof_auto(
 
 
 def run_ht_depth(
-    spark, sf_dir: str, n_batches: int = 50, compact_every: int | None = None
+    spark,
+    sf_dir: str,
+    n_batches: int = 50,
+    compact_every: int | None = None,
+    compact_auto_factor: int | None = None,
 ) -> None:
     """Price the cagg fold at depth (round-14 verdict, Next round #7):
     land ``n_batches`` event_id-mod hourly-partial batches (mod slices =
@@ -1130,7 +1134,9 @@ def run_ht_depth(
     )
     from doc2dataset_spark.streaming.hypertable import (  # noqa: PLC0415
         compact_hypertable_partials,
+        decide_hypertable_compaction,
         hourly_partial,
+        ingest_hypertable_late_batch,
         serve_hypertable,
     )
     from doc2dataset_spark.streaming.util import land_batch_exact  # noqa: PLC0415
@@ -1141,15 +1147,34 @@ def run_ht_depth(
     hdir = os.path.join(out, "hourly")
     try:
         serve_walls, compact_walls, log_rows = [], [], []
+        auto_fired: list[int] = []
         probe_every = max(1, n_batches // 10)
         for i in range(n_batches):
-            land_batch_exact(
-                hourly_partial(
-                    e.filter(F.pmod("event_id", F.lit(n_batches)) == i)
-                ),
-                hdir,
-                i,
-            )
+            batch = e.filter(F.pmod("event_id", F.lit(n_batches)) == i)
+            if compact_auto_factor is not None:
+                # the auto arm goes through the REAL watermarked core
+                # (it writes the n_partial_rows counters the decision
+                # reads) with a span-covering bound — same partials,
+                # same serve
+                ingest_hypertable_late_batch(
+                    batch, out, i, lateness_us=365 * 24 * 3600 * 1_000_000
+                )
+                if i > 0:
+                    d = decide_hypertable_compaction(
+                        spark, out, factor=compact_auto_factor
+                    )
+                    if d["fire"]:
+                        t0 = time.time()
+                        st = compact_hypertable_partials(
+                            spark, out, upto_batch=i - 1
+                        )
+                        compact_walls.append(round(time.time() - t0, 2))
+                        log_rows.append(
+                            (i - 1, st["rows_before"], st["rows_after"])
+                        )
+                        auto_fired.append(i - 1)
+            else:
+                land_batch_exact(hourly_partial(batch), hdir, i)
             if compact_every and (i + 1) % compact_every == 0:
                 t0 = time.time()
                 st = compact_hypertable_partials(spark, out, upto_batch=i)
@@ -1177,6 +1202,8 @@ def run_ht_depth(
                     "sf_dir": sf_dir,
                     "n_batches": n_batches,
                     "compact_every": compact_every,
+                    "compact_auto_factor": compact_auto_factor,
+                    "auto_fired_at": auto_fired,
                     "serve_walls": serve_walls,
                     "compact_walls": compact_walls,
                     "compact_rows": log_rows,
@@ -1348,12 +1375,20 @@ def main() -> None:
             run_asof_auto(spark, BIG1_DIR, hot_keys=1, replicate=10)
         return
     if mode == "ht-depth":
-        # optional args: n_batches compact_every sf_dir
+        # optional args: n_batches compact_every|auto[:factor] sf_dir
         n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-        ce = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+        ce_arg = sys.argv[3] if len(sys.argv) > 3 else "0"
         sfd = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.1"
         spark = get_spark(app_name="bench_scaling_ht_depth")
-        run_ht_depth(spark, sfd, n_batches=n, compact_every=ce or None)
+        if ce_arg.startswith("auto"):
+            factor = int(ce_arg.split(":")[1]) if ":" in ce_arg else 8
+            run_ht_depth(
+                spark, sfd, n_batches=n, compact_auto_factor=factor
+            )
+        else:
+            run_ht_depth(
+                spark, sfd, n_batches=n, compact_every=int(ce_arg) or None
+            )
         return
     if mode == "asof-stream":
         # optional args: n_batches compact_every sf_dir

@@ -939,3 +939,93 @@ def test_streaming_gapfill_locf_twin(spark, tmp_path):
     assert by_hour["04"] == (0, None, 10.0)  # gap: carries hour 03
     assert by_hour["05"] == (0, None, 10.0)
     assert by_hour["06"] == (1, 8.0, 8.0)
+
+
+def test_auto_compaction_fires_at_the_counter_knee(spark, tmp_path):
+    """compact='auto' (round-14 verdict, Next round #6): the cadence is
+    derived from the wm sidecar's own n_partial_rows counters — the log
+    folds itself whenever the serve-side fold input exceeds factor x
+    the estimated hour count, keeping the fold input pinned near
+    O(hours) with no hand-picked compact_every, and the serve stays
+    equal to the batch recompute throughout."""
+    from doc2dataset_spark.streaming.hypertable import (
+        decide_hypertable_compaction,
+        run_hypertable_ingest_late,
+    )
+    from doc2dataset_spark.operators.index_maintenance import (
+        compaction_horizon,
+    )
+    from doc2dataset_spark import fsio
+
+    n = 8
+    e = load_table(spark, SF, "events").select(*COLS)
+    src = _land_slices(
+        spark,
+        tmp_path,
+        [e.filter(F.pmod("event_id", F.lit(n)) == i) for i in range(n)],
+        "ac_stream",
+    )
+    out = (tmp_path / "ac_out").as_posix()
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src.as_posix())
+    )
+    run_hypertable_ingest_late(
+        spark,
+        stream,
+        out,
+        (tmp_path / "ac_ckpt").as_posix(),
+        lateness_us=60 * 24 * 3600 * 1_000_000,
+        compact="auto",
+        compact_factor=3,
+    )
+    # the serve is still exactly the batch recompute
+    got = _rows(serve_hypertable(spark, out))
+    want = _rows(events_hypertable_rollup(spark, SF))
+    assert got == want
+    # auto-compaction actually fired (mod slices touch ~every hour per
+    # batch, so the 3x knee is crossed repeatedly across 8 batches)
+    hdir = os.path.join(out, "hourly")
+    fs, p = fsio.url_to_fs(hdir)
+    horizon = compaction_horizon(fs, p)
+    assert horizon is not None and horizon >= 3
+    # and it kept the fold input pinned: the post-run decision's fold
+    # input is well below the uncompacted O(hours x batches) total, and
+    # the hour estimate is a true LOWER bound (it can only delay a
+    # fire, never trigger one early)
+    d = decide_hypertable_compaction(spark, out, factor=3)
+    hours = len([r for r in got if r[0] == "hour"])
+    uncompacted_total = sum(
+        int(r["n_partial_rows"])
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(out, "wm"))
+        .collect()
+    )
+    assert d["hours_est"] <= hours
+    assert d["fold_input_rows"] < uncompacted_total
+    assert d["head_rows"] > 0  # the folded head is what the serve reads
+
+
+def test_decide_compaction_refuses_to_guess(spark, tmp_path):
+    """No wm sidecar (unbounded ingest) and single-batch logs must not
+    fire; the decision explains itself either way."""
+    from doc2dataset_spark.streaming.hypertable import (
+        decide_hypertable_compaction,
+        ingest_hypertable_late_batch,
+    )
+
+    out, go = _run(spark, tmp_path)
+    go()
+    d = decide_hypertable_compaction(spark, out)
+    assert d["fire"] is False and "no wm sidecar" in d["reason"]
+
+    out2 = (tmp_path / "one").as_posix()
+    ingest_hypertable_late_batch(
+        _ts_frame(spark, [(1, "00:10", 1), (2, "05:10", 2)]),
+        out2,
+        batch_id=0,
+        lateness_us=3600 * 1_000_000,
+    )
+    d2 = decide_hypertable_compaction(spark, out2, factor=1)
+    assert d2["fire"] is False and "tail batches" in d2["reason"]
