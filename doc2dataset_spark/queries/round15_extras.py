@@ -124,6 +124,53 @@ def rollup_hypertable_rtbf(spark, sf_dir):
     return serve_hypertable(spark, _rtbf_log(spark, sf_dir))
 
 
+_RTBF_FINAL_DUCK_LEVEL = f"""
+  SELECT '{{g}}' AS granularity,
+         strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket, n_events, total,
+         EXISTS (
+           SELECT 1 FROM events e2
+           WHERE (e2.event_id % {_RTBF_MOD}) = {_RTBF_REM}
+             AND date_trunc('{{g}}', e2.ts) = lvl.b
+             AND epoch_us(date_trunc('hour', e2.ts) + INTERVAL 1 HOUR)
+                 <= (SELECT max(epoch_us(ts)) - {_FINAL_BOUND_US}
+                     FROM events)
+         ) AS revised
+  FROM (
+    SELECT date_trunc('{{g}}', ts) AS b, count(*)::BIGINT AS n_events,
+           round(SUM(CAST(value AS DECIMAL(38,6))), 4)::DOUBLE AS total
+    FROM events WHERE (event_id % {_RTBF_MOD}) <> {_RTBF_REM} GROUP BY 1
+  ) lvl
+  WHERE epoch_us(b + INTERVAL 1 {{g}})
+        <= (SELECT max(epoch_us(ts)) - {_FINAL_BOUND_US} FROM events)
+"""
+
+
+@query(
+    "rollup_hypertable_rtbf_final",
+    oracle=" UNION ALL ".join(
+        _RTBF_FINAL_DUCK_LEVEL.format(g=g) for g in ("hour", "day", "month")
+    ),
+    tags=("events", "rollup", "rtbf", "finality", "audit"),
+)
+def rollup_hypertable_rtbf_final(spark, sf_dir):
+    """The AUDITED finality surface after lawful erasure
+    (serve_hypertable_final_audited): the sealed prefix of the
+    post-deletion cagg with a ``revised`` column flagging — at every
+    granularity — the buckets whose sealed hours an applied RTBF
+    request re-opened, so a downstream cache holding 'immutable' rows
+    learns exactly which pins to refresh. The oracle recomputes the
+    sealed prefix from the post-deletion corpus and derives the flag
+    independently, as 'this bucket contains a cohort event whose HOUR
+    was sealed under the global watermark' — the driver hash row
+    externally proves both the revised marking and that every other
+    sealed row still serves its plain finality value."""
+    from doc2dataset_spark.streaming.hypertable import (
+        serve_hypertable_final_audited,
+    )
+
+    return serve_hypertable_final_audited(spark, _rtbf_log(spark, sf_dir))
+
+
 @query(
     "rollup_hypertable_rtbf_audit",
     oracle=f"""

@@ -1006,6 +1006,7 @@ def _rtbf_summary(rec: dict) -> dict:
         ),
         "anchor_batch": rec.get("anchor"),
         "noop": rec.get("noop", False),
+        "n_rejected_purged": rec.get("n_rejected_purged", 0),
     }
 
 
@@ -1014,6 +1015,7 @@ def forget_hypertable_rows(
     out_dir: str,
     forget_events: DataFrame,
     request_id: str,
+    key_col: str | None = None,
 ) -> dict:
     """Lawfully erase ``forget_events``' contribution from the cagg
     (module comment above): subtract their hourly partials from the
@@ -1035,13 +1037,25 @@ def forget_hypertable_rows(
     in (metadata ops). Driver-side state is O(affected hours) — the
     same bounded-artifact budget every collect() in this repo obeys.
 
+    ``key_col``: the DEAD-LETTER hole. Partials hold only aggregates,
+    but an ``on_late="drop"`` log retains the diverted events as FULL
+    ROWS under ``rejected/`` — personal data the partial-side erasure
+    never touches. When a dead-letter log exists, this function REFUSES
+    to run without ``key_col`` (the row-identity column, e.g.
+    ``event_id``): pass it and the doomed keys are purged from the
+    rejected log too (delete_from_postings — partition-scoped rewrite,
+    emptied partitions removed, idempotent), or pass the erasure over a
+    refuse-mode log (no rejected dir) where the hole cannot exist.
+    Purge-then-subtract ordering makes every crash window safe: the
+    purge is a re-runnable no-op once the keys are gone.
+
     Idempotent per ``request_id`` (an applied request no-ops and
     returns its recorded summary); crash-recoverable by state
     comparison (module comment). The watermark never moves: erasure
     revises history, it does not un-see event time.
 
     Returns {request_id, status, n_forgotten_rows, n_buckets_revised,
-    n_sealed_buckets_revised, anchor_batch, noop}.
+    n_sealed_buckets_revised, anchor_batch, noop, n_rejected_purged}.
     """
     from decimal import Decimal
 
@@ -1058,6 +1072,18 @@ def forget_hypertable_rows(
     if not fs.exists(p):
         raise ValueError(f"no hourly partial log under {out_dir!r}")
     check_no_leftover_compaction(fs, p)
+    rdir = _rejected_path(out_dir)
+    rfs, rp = fsio.url_to_fs(rdir)
+    has_deadletter = rfs.exists(rp)
+    if has_deadletter and key_col is None:
+        raise ValueError(
+            f"{out_dir!r} has an on_late='drop' dead-letter log: the "
+            "diverted events sit there as FULL ROWS that the "
+            "partial-side erasure never touches. Pass key_col=<row "
+            "identity column, e.g. 'event_id'> so the doomed keys are "
+            "purged from rejected/ too — refusing to erase only the "
+            "aggregates would silently retain the subject's raw data"
+        )
     records = _read_rtbf_log(fs, p)
     mine = next(
         (r for r in records if r["request_id"] == request_id), None
@@ -1070,22 +1096,52 @@ def forget_hypertable_rows(
     if mine is None:
         # fresh request: pin the forgotten contribution and the exact
         # pre/post fold of every affected hour into a "pending" journal
-        # entry BEFORE any mutation — the retry decider
+        # entry BEFORE any mutation — the retry decider.
+        # A subject's rows can be split between the partials (accepted)
+        # and the dead-letter log (dropped, never folded): only the
+        # accepted part subtracts from partials — the dropped part is
+        # purged from rejected/ at apply. Assumes key_col is a true row
+        # identity (an event is accepted XOR dead-lettered).
+        contribution = forget_events
+        if has_deadletter:
+            contribution = forget_events.join(
+                spark.read.parquet(rdir).select(key_col),
+                on=key_col,
+                how="left_anti",
+            )
         fp_rows = (
-            hourly_partial(forget_events)
+            hourly_partial(contribution)
             .select(
                 F.unix_micros("bucket").alias("b"), "n_events", "dec_total"
             )
             .collect()
         )
         if not fp_rows:
+            # nothing to subtract from partials — but the request may
+            # still have dead letters to purge (e.g. every one of the
+            # subject's rows was dropped)
+            n_purged = 0
+            if has_deadletter:
+                from doc2dataset_spark.operators.index_maintenance import (
+                    delete_from_postings,
+                )
+
+                n_purged = int(
+                    delete_from_postings(
+                        spark,
+                        rdir,
+                        forget_events.select(key_col),
+                        key_col=key_col,
+                    )["rows_deleted"]
+                )
             mine = {
                 "request_id": request_id,
                 "status": "applied",
-                "noop": True,
+                "noop": n_purged == 0,
                 "anchor": None,
                 "touched": [],
                 "buckets": [],
+                "n_rejected_purged": n_purged,
             }
             _write_rtbf_log(fs, p, [*records, mine])
             return _rtbf_summary(mine)
@@ -1213,7 +1269,27 @@ def forget_hypertable_rows(
             )
         # live == pre: the swap never published — fall through, re-apply
 
-    # ---- apply: rewrite touched partitions, rename in the rest -------
+    # ---- apply: purge the dead-letter log FIRST (re-runnable no-op
+    # once the keys are gone — every later crash window retries it
+    # safely), then rewrite touched partitions, rename in the rest ----
+    if has_deadletter:
+        from doc2dataset_spark.operators.index_maintenance import (
+            delete_from_postings,
+        )
+
+        purged = delete_from_postings(
+            spark,
+            rdir,
+            forget_events.select(key_col),
+            key_col=key_col,
+        )
+        # a crash-window retry purges 0 (the keys are already gone):
+        # keep the first attempt's audit count
+        mine["n_rejected_purged"] = max(
+            int(mine.get("n_rejected_purged", 0)),
+            int(purged["rows_deleted"]),
+        )
+
     touched = set(mine["touched"])
     anchor = mine["anchor"]
     us_list = [

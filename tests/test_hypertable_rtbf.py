@@ -280,3 +280,109 @@ def test_watermark_never_moves(spark, tmp_path):
     before = hypertable_wm_state(spark, out)
     _forget(spark, out, _B2)  # even erasing the max-ts event
     assert hypertable_wm_state(spark, out) == before
+
+
+def test_deadletter_log_is_purged_with_the_partials(spark, tmp_path):
+    """The GDPR hole on_late='drop' opens: dropped events sit in
+    rejected/ as FULL ROWS the partial-side erasure never touches.
+    forget_hypertable_rows REFUSES to run over such a log without a
+    key_col; with one, the subject's dropped rows are purged from the
+    dead-letter log while only the ACCEPTED part of the forget set
+    subtracts from the partials."""
+    out = (tmp_path / "ht_dl").as_posix()
+    ingest_hypertable_late_batch(
+        spark.createDataFrame(
+            [_ev(1, 10, 5, 3.0), _ev(2, 10, 20, 7.0), _ev(3, 11, 50, 1.0)],
+            _SCHEMA,
+        ),
+        out,
+        batch_id=0,
+        lateness_us=_LATENESS_US,
+    )
+    # wm = 11:50 - 1h = 10:50 → the hour-0/1 rows are dead-lettered
+    ingest_hypertable_late_batch(
+        spark.createDataFrame(
+            [_ev(4, 0, 15, 9.0), _ev(5, 1, 30, 4.0), _ev(6, 11, 55, 2.0)],
+            _SCHEMA,
+        ),
+        out,
+        batch_id=1,
+        lateness_us=_LATENESS_US,
+        on_late="drop",
+    )
+    from doc2dataset_spark.streaming.hypertable import (
+        rejected_hypertable_rows,
+    )
+
+    assert rejected_hypertable_rows(spark, out).count() == 2
+
+    subject = [_ev(2, 10, 20, 7.0), _ev(4, 0, 15, 9.0)]
+    with pytest.raises(ValueError, match="dead-letter"):
+        _forget(spark, out, subject)
+
+    res = forget_hypertable_rows(
+        spark,
+        out,
+        spark.createDataFrame(subject, _SCHEMA),
+        request_id="dl-1",
+        key_col="event_id",
+    )
+    assert res["n_rejected_purged"] == 1  # id 4 left the rejected log
+    assert res["n_forgotten_rows"] == 1  # only id 2 subtracted
+    left = rejected_hypertable_rows(spark, out)
+    assert [r["event_id"] for r in left.collect()] == [5]
+    # partials reflect exactly the accepted survivors (ids 1, 3, 6)
+    assert _rows(serve_hypertable(spark, out)) == _expected_serve(
+        spark,
+        tmp_path,
+        [_ev(1, 10, 5, 3.0), _ev(3, 11, 50, 1.0), _ev(6, 11, 55, 2.0)],
+        "ref_dl",
+    )
+    # replaying the same request is a no-op (purge included)
+    res2 = forget_hypertable_rows(
+        spark,
+        out,
+        spark.createDataFrame(subject, _SCHEMA),
+        request_id="dl-1",
+        key_col="event_id",
+    )
+    assert res2 == res
+    assert rejected_hypertable_rows(spark, out).count() == 1
+
+
+def test_all_rows_dead_lettered_forget_still_purges(spark, tmp_path):
+    """A subject whose every row was dropped: nothing subtracts from
+    partials, but the purge still runs and the journal records it."""
+    out = (tmp_path / "ht_dl2").as_posix()
+    ingest_hypertable_late_batch(
+        spark.createDataFrame([_ev(1, 10, 5, 3.0), _ev(2, 11, 50, 1.0)], _SCHEMA),
+        out,
+        batch_id=0,
+        lateness_us=_LATENESS_US,
+    )
+    ingest_hypertable_late_batch(
+        spark.createDataFrame([_ev(7, 0, 10, 6.0), _ev(8, 1, 10, 6.5)], _SCHEMA),
+        out,
+        batch_id=1,
+        lateness_us=_LATENESS_US,
+        on_late="drop",
+    )
+    before = _rows(serve_hypertable(spark, out))
+    res = forget_hypertable_rows(
+        spark,
+        out,
+        spark.createDataFrame([_ev(7, 0, 10, 6.0)], _SCHEMA),
+        request_id="dl-2",
+        key_col="event_id",
+    )
+    assert res["n_rejected_purged"] == 1
+    assert res["n_forgotten_rows"] == 0
+    assert res["noop"] is False
+    assert _rows(serve_hypertable(spark, out)) == before
+    from doc2dataset_spark.streaming.hypertable import (
+        rejected_hypertable_rows,
+    )
+
+    assert [
+        r["event_id"] for r in rejected_hypertable_rows(spark, out).collect()
+    ] == [8]
