@@ -134,6 +134,9 @@ HEADLINE = [
     "rollup_hypertable_final",   # sealed-prefix finality serve
     "rollup_hypertable_gapfill", # gapless grid + LOCF via bucketed as-of
     "rollup_hypertable_deadletter",  # drop-mode ingest, kept-set serve
+    # round-15 ops
+    "rollup_hypertable_rtbf",        # lawful erasure, post-deletion serve
+    "rollup_hypertable_rtbf_final",  # audited sealed prefix (revised flag)
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup
