@@ -137,6 +137,7 @@ HEADLINE = [
     # round-15 ops
     "rollup_hypertable_rtbf",        # lawful erasure, post-deletion serve
     "rollup_hypertable_rtbf_final",  # audited sealed prefix (revised flag)
+    "rollup_hypertable_autocompact", # counter-driven self-tuned compaction
 ]
 
 RUNS_PER_QUERY = 3  # report min-of-3: steady-state cost, not JIT warmup

@@ -206,3 +206,68 @@ def rollup_hypertable_rtbf_audit(spark, sf_dir):
     )
 
     return hypertable_rtbf_audit(spark, _rtbf_log(spark, sf_dir))
+
+
+def _build_ht_auto_log(spark, sf_dir, tmp: str) -> None:
+    """Six event_id-mod slices through the watermarked per-batch core
+    with the compact='auto' wiring EXACTLY as run_hypertable_ingest_late
+    applies it (decide from the wm counters after each batch, fold up to
+    the previous batch on fire, factor 3 so the knee is crossed inside
+    the six-batch fixture) — asserting the self-tuned cadence actually
+    fired, so the serve is genuinely reading a log the auto-compactor
+    reshaped."""
+    from doc2dataset_spark.operators.index_maintenance import (
+        compaction_horizon,
+    )
+    from doc2dataset_spark.streaming.hypertable import (
+        _hourly_path,
+        compact_hypertable_partials,
+        decide_hypertable_compaction,
+        ingest_hypertable_late_batch,
+    )
+    from doc2dataset_spark import fsio
+
+    e = load_table(spark, sf_dir, "events")
+    n = 6
+    for i in range(n):
+        ingest_hypertable_late_batch(
+            e.filter(F.pmod("event_id", F.lit(n)) == i),
+            tmp,
+            batch_id=i,
+            lateness_us=60 * 24 * 3600 * 1_000_000,
+        )
+        if i > 0:
+            d = decide_hypertable_compaction(spark, tmp, factor=3)
+            if d["fire"]:
+                compact_hypertable_partials(spark, tmp, upto_batch=i - 1)
+    fs, p = fsio.url_to_fs(_hourly_path(tmp))
+    assert compaction_horizon(fs, p) is not None, (
+        "auto-compaction never fired — fixture knee miscalibrated"
+    )
+
+
+@query(
+    "rollup_hypertable_autocompact",
+    oracle=None,  # set below: events_hypertable_rollup's oracle VERBATIM
+    tags=("events", "rollup", "timeseries", "compaction", "autoparams"),
+)
+def rollup_hypertable_autocompact(spark, sf_dir):
+    """The cagg served from a log the counter-driven ``compact="auto"``
+    cadence reshaped mid-ingest (decide_hypertable_compaction fires from
+    the wm sidecar's n_partial_rows counters — the builder asserts it
+    actually fired): shares events_hypertable_rollup's direct-from-raw
+    oracle VERBATIM, so the driver hash row externally proves the
+    self-tuned compaction is invisible to readers — N batches folded at
+    a machine-chosen cadence equal one batch recompute, bit for bit."""
+    from doc2dataset_spark.streaming.hypertable import serve_hypertable
+
+    return serve_hypertable(
+        spark, _cached_late_log(spark, sf_dir, "htauto", _build_ht_auto_log)
+    )
+
+
+from doc2dataset_spark.queries.core import REGISTRY as _REG  # noqa: E402
+
+_REG["rollup_hypertable_autocompact"].oracle = _REG[
+    "events_hypertable_rollup"
+].oracle
