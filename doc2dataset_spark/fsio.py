@@ -301,3 +301,24 @@ def ensure_local_cache_dir(target: str, marker: str, build) -> str:
         # another builder won the race between our check and rename
         shutil.rmtree(tmp, ignore_errors=True)
     return target
+
+
+def write_json_sidecar(fs, marker: str, payload: dict) -> None:
+    """Persist a small JSON sidecar crash-safely: write a ``.tmp``
+    sibling, then ``fs.mv`` it over the marker. ONE home for the idiom
+    the landing-time manifest, the RTBF journal, and the compact-stats
+    sidecar all share (round-15 close review), so the crash-safety
+    reasoning lives once: atomicity is VERIFIED for LocalFileSystem
+    (os.rename — readers see old or new, never a half-write); fsspec's
+    generic mv is copy-then-delete, so on other backends a crash
+    between the copy and the source delete can leave an orphaned
+    ``.tmp`` sibling — inert garbage, because readers only open the
+    marker and the next write truncates the orphan (open 'wb').
+    Single-writer contract: each sidecar is written only by its own
+    log's driver, one batch/request at a time."""
+    import json
+
+    tmp = f"{marker}.tmp"
+    with fs.open(tmp, "wb") as fh:
+        fh.write(json.dumps(payload).encode())
+    fs.mv(tmp, marker)

@@ -351,20 +351,39 @@ def delete_from_postings(
     """
     fs, p = fsio.url_to_fs(postings_path)
     parts = ["batch_id", *partition_cols]
+    posts = spark.read.parquet(postings_path)
+    # cast probe keys to the LOG's own key dtype, not a hard-coded
+    # bigint: a string identity column would otherwise cast to all-NULL
+    # and the semi/anti joins would silently delete nothing (round-15
+    # close review) — and refuse loudly if any key fails the cast, since
+    # an unparseable key would silently survive the deletion
+    key_type = dict(posts.dtypes)[key_col]
     if isinstance(keys, DataFrame):
         # size unknown (could be a 10M-row changelog): no broadcast
         # hint — AQE picks broadcast for small key sets and falls back
         # to a shuffle join instead of OOMing the driver on big ones
+        # (try_cast, not cast: ANSI mode would throw a raw
+        # NumberFormatException mid-job; the NULL guard below turns a
+        # malformed key into the explicit refusal instead)
         ids = keys.select(
-            F.col(key_col).cast("bigint").alias(key_col)
+            F.col(key_col).try_cast(key_type).alias(key_col)
         ).distinct()
         ids_hinted = ids
     else:
-        ids = spark.createDataFrame(
-            [(int(k),) for k in keys], f"{key_col} bigint"
-        )
+        ids = spark.createDataFrame([(k,) for k in keys]).toDF(
+            key_col
+        ).select(
+            F.col(key_col).try_cast(key_type).alias(key_col)
+        ).distinct()
         ids_hinted = F.broadcast(ids)
-    posts = spark.read.parquet(postings_path)
+    n_uncastable = ids.filter(F.col(key_col).isNull()).count()
+    if n_uncastable:
+        raise ValueError(
+            f"{n_uncastable} deletion key(s) are NULL after casting to "
+            f"{key_col}'s type {key_type!r} — wrong key column, or keys "
+            "that can never match a posting; they would silently "
+            "survive the deletion"
+        )
 
     # bounded collect: one row per affected hive partition
     affected = [

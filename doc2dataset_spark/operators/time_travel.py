@@ -116,32 +116,20 @@ def _times_marker(root: str) -> str:
 
 
 def _write_times(fs, p: str, times: dict[int, int]) -> None:
-    """Persist the landing-time manifest crash-safely: write a tmp
-    sibling, then ``fs.mv`` it over the marker. Atomicity is VERIFIED
-    for LocalFileSystem (os.rename — readers see the old manifest or
-    the new one, never a half-write); fsspec's generic mv is
-    copy-then-delete, so on other backends a crash between the copy and
-    the source delete can leave an orphaned ``.tmp`` sibling (the copy
-    itself is still a single atomic PUT on object stores). Readers
-    never look at the tmp path — ``batch_times`` reads only the marker
-    — and the next write truncates any orphan (open 'wb' below), so a
-    stale sibling is inert garbage, not a correctness hazard.
-    Single-writer contract: each log family's manifest is written only
-    by its own ingest/sweep driver, one batch at a time (foreachBatch
-    is sequential per query), so the read-modify-write cycle here never
-    races — concurrent writers to ONE log root are outside the
-    contract, exactly as they are for the batch partitions themselves."""
-    import json
-
-    marker = _times_marker(p)
-    tmp = f"{marker}.tmp"
-    with fs.open(tmp, "wb") as fh:
-        fh.write(
-            json.dumps(
-                {"times": {str(k): v for k, v in sorted(times.items())}}
-            ).encode()
-        )
-    fs.mv(tmp, marker)
+    """Persist the landing-time manifest crash-safely via the ONE
+    shared sidecar idiom (``fsio.write_json_sidecar`` — tmp + mv; the
+    atomicity/orphan reasoning lives there). Additional single-writer
+    note for THIS manifest: the read-modify-write cycle here never
+    races because each log family's manifest is written only by its own
+    ingest/sweep driver, one batch at a time (foreachBatch is
+    sequential per query) — concurrent writers to ONE log root are
+    outside the contract, exactly as they are for the batch partitions
+    themselves."""
+    fsio.write_json_sidecar(
+        fs,
+        _times_marker(p),
+        {"times": {str(k): v for k, v in sorted(times.items())}},
+    )
 
 
 def batch_times(root: str) -> dict[int, int]:

@@ -222,9 +222,12 @@ def compact_hypertable_partials(
     rows_after = spark.read.parquet(hdir).count()
     # head-size sidecar for decide_hypertable_compaction: the folded
     # head's row count (= hours covered, one row per hour) via a
-    # partition-pruned count of the one folded partition. Best-effort,
-    # refreshed every compaction — a crash before this write just means
-    # the next auto decision re-counts the head the same way.
+    # partition-pruned count of the one folded partition. Counting the
+    # WRITTEN partition (O(hours) parquet rows) is deliberately cheaper
+    # than counting the in-memory `head` frame, whose lineage re-runs
+    # the whole-log fold. Best-effort, refreshed every compaction — a
+    # crash before this write just means the next auto decision
+    # re-counts the head the same way.
     head_rows = (
         spark.read.parquet(hdir)
         .filter(F.col("batch_id") == upto_batch)
@@ -244,15 +247,11 @@ def _compact_stats_marker(hourly_path: str) -> str:
 
 
 def _write_compact_stats(fs, hourly_path: str, upto: int, head_rows: int):
-    import json
-
-    marker = _compact_stats_marker(hourly_path)
-    tmp = f"{marker}.tmp"
-    with fs.open(tmp, "wb") as fh:
-        fh.write(
-            json.dumps({"upto": int(upto), "head_rows": int(head_rows)}).encode()
-        )
-    fs.mv(tmp, marker)
+    fsio.write_json_sidecar(
+        fs,
+        _compact_stats_marker(hourly_path),
+        {"upto": int(upto), "head_rows": int(head_rows)},
+    )
 
 
 def decide_hypertable_compaction(
@@ -327,12 +326,16 @@ def decide_hypertable_compaction(
             )
     out["head_rows"] = head_rows
 
-    snaps = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(wdir)
-        .select("batch_id", "n_partial_rows")
-        .collect()
-    )
+    wm_df = spark.read.option("mergeSchema", "true").parquet(wdir)
+    if "n_partial_rows" not in wm_df.columns:
+        # a FULLY pre-round-15 sidecar: mergeSchema can only surface the
+        # column if at least one file carries it, so selecting it would
+        # crash instead of reaching the per-row legacy guard below
+        out["reason"] = (
+            "legacy wm snapshots lack n_partial_rows — compact manually"
+        )
+        return out
+    snaps = wm_df.select("batch_id", "n_partial_rows").collect()
     tail = [
         r
         for r in snaps
@@ -522,11 +525,14 @@ def ingest_hypertable_late_batch(
         raise ValueError(f"on_late={on_late!r}: pass 'refuse' or 'drop'")
     s = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)
-    n_rows = batch_df.count()
+    # one job for count AND ts bounds — this runs per micro-batch on
+    # the streaming hot path (count(*) counts rows; min/max skip NULLs)
     bounds = batch_df.agg(
+        F.count(F.lit(1)).alias("n"),
         F.min(F.unix_micros("ts")).alias("lo"),
         F.max(F.unix_micros("ts")).alias("hi"),
     ).first()
+    n_rows = int(bounds["n"])
     prior = hypertable_wm_state(s, out_dir, before_batch=batch_id)
     hdir = _hourly_path(out_dir)
     wdir = _wm_path(out_dir)
@@ -948,16 +954,9 @@ def _read_rtbf_log(fs, hourly_path: str) -> list[dict]:
 
 
 def _write_rtbf_log(fs, hourly_path: str, records: list[dict]) -> None:
-    """tmp + mv, the _write_times idiom (atomic on LocalFileSystem;
-    elsewhere the orphaned .tmp is inert — readers only see the
-    marker, and the next write truncates it)."""
-    import json
-
-    marker = _rtbf_marker(hourly_path)
-    tmp = f"{marker}.tmp"
-    with fs.open(tmp, "wb") as fh:
-        fh.write(json.dumps({"requests": records}).encode())
-    fs.mv(tmp, marker)
+    fsio.write_json_sidecar(
+        fs, _rtbf_marker(hourly_path), {"requests": records}
+    )
 
 
 def _rtbf_bucket_cond(us_list: list[int], has_null: bool):
@@ -1255,7 +1254,21 @@ def forget_hypertable_rows(
             for b in mine["buckets"]
         }
         if live == post:
-            # the crashed run's swap had already published
+            # the crashed run's swap had already published. Finish the
+            # post-swap bookkeeping it may have died before: vanished
+            # batches' landing times (idempotent — forget_batch_time on
+            # an absent entry is a no-op) and the journal flip.
+            from doc2dataset_spark.operators.index_maintenance import (
+                _batch_of,
+                list_batch_dirs,
+            )
+            from doc2dataset_spark.operators.time_travel import (
+                forget_batch_time,
+            )
+
+            surviving = {_batch_of(d) for d in list_batch_dirs(fs, p)}
+            for b in sorted(set(mine["touched"]) - surviving):
+                forget_batch_time(hdir, b)
             mine["status"] = "applied"
             _write_rtbf_log(fs, p, records)
             return _rtbf_summary(mine)
@@ -1284,11 +1297,16 @@ def forget_hypertable_rows(
             key_col=key_col,
         )
         # a crash-window retry purges 0 (the keys are already gone):
-        # keep the first attempt's audit count
-        mine["n_rejected_purged"] = max(
+        # keep the first attempt's audit count — and persist it into the
+        # still-pending journal entry NOW, so a crash anywhere after the
+        # purge cannot lose the count (round-15 close review)
+        n_purged = max(
             int(mine.get("n_rejected_purged", 0)),
             int(purged["rows_deleted"]),
         )
+        if n_purged != mine.get("n_rejected_purged"):
+            mine["n_rejected_purged"] = n_purged
+            _write_rtbf_log(fs, p, records)
 
     touched = set(mine["touched"])
     anchor = mine["anchor"]

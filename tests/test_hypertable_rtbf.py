@@ -386,3 +386,94 @@ def test_all_rows_dead_lettered_forget_still_purges(spark, tmp_path):
     assert [
         r["event_id"] for r in rejected_hypertable_rows(spark, out).collect()
     ] == [8]
+
+
+def test_string_key_deadletter_purge_and_uncastable_refusal(spark, tmp_path):
+    """Round-15 close review: delete_from_postings casts probe keys to
+    the LOG's own key dtype — a string identity column must purge
+    correctly (a hard-coded bigint cast made it all-NULL and silently
+    retained the subject's rows), and keys that cannot cast must refuse
+    rather than silently survive the deletion."""
+    schema = "doc_id string, ts timestamp, value double"
+
+    def _sev(did, hour, minute, value):
+        return (did, _H + dt.timedelta(hours=hour, minutes=minute), value)
+
+    out = (tmp_path / "ht_str").as_posix()
+    ingest_hypertable_late_batch(
+        spark.createDataFrame(
+            [_sev("a", 10, 5, 3.0), _sev("b", 11, 50, 1.0)], schema
+        ),
+        out, batch_id=0, lateness_us=_LATENESS_US,
+    )
+    ingest_hypertable_late_batch(
+        spark.createDataFrame(
+            [_sev("c", 0, 10, 6.0), _sev("d", 1, 10, 6.5)], schema
+        ),
+        out, batch_id=1, lateness_us=_LATENESS_US, on_late="drop",
+    )
+    res = forget_hypertable_rows(
+        spark,
+        out,
+        spark.createDataFrame([_sev("c", 0, 10, 6.0)], schema),
+        request_id="str-1",
+        key_col="doc_id",
+    )
+    assert res["n_rejected_purged"] == 1
+    from doc2dataset_spark.streaming.hypertable import (
+        rejected_hypertable_rows,
+    )
+
+    assert [
+        r["doc_id"] for r in rejected_hypertable_rows(spark, out).collect()
+    ] == ["d"]
+    # bigint log + unparseable string key: refuse, never silently no-op
+    from doc2dataset_spark.operators.index_maintenance import (
+        delete_from_postings,
+    )
+
+    out2 = (tmp_path / "ht_int").as_posix()
+    ingest_hypertable_late_batch(
+        spark.createDataFrame([_ev(1, 10, 5, 3.0), _ev(2, 11, 50, 1.0)], _SCHEMA),
+        out2, batch_id=0, lateness_us=_LATENESS_US,
+    )
+    ingest_hypertable_late_batch(
+        spark.createDataFrame([_ev(3, 0, 10, 6.0)], _SCHEMA),
+        out2, batch_id=1, lateness_us=_LATENESS_US, on_late="drop",
+    )
+    with pytest.raises(ValueError, match="cast"):
+        delete_from_postings(
+            spark,
+            out2 + "/rejected",
+            spark.createDataFrame([("not-a-number",)], "event_id string"),
+            key_col="event_id",
+        )
+
+
+def test_post_swap_crash_retry_cleans_landing_times(spark, tmp_path):
+    """Round-15 close review: the live==post crash-retry path must
+    finish the post-swap bookkeeping the crashed run died before — a
+    vanished batch's landing-time entry must not survive the retry."""
+    from doc2dataset_spark.operators.time_travel import (
+        batch_times,
+        record_batch_time,
+    )
+
+    out = (tmp_path / "ht").as_posix()
+    _build(spark, out)
+    _forget(spark, out, _B2, request_id="crash-2")  # batch 2 vanishes
+    hdir = _hourly_path(out)
+    assert 2 not in batch_times(hdir)
+    # emulate the crash window: swap published (log is post-deletion)
+    # but the cleanup + journal flip never ran
+    record_batch_time(hdir, 2)  # the stale entry the crash left behind
+    marker = _rtbf_marker(hdir)
+    with open(marker) as fh:
+        log = json.load(fh)
+    for r in log["requests"]:
+        r["status"] = "pending"
+    with open(marker, "w") as fh:
+        json.dump(log, fh)
+    res = _forget(spark, out, _B2, request_id="crash-2")
+    assert res["status"] == "applied"
+    assert 2 not in batch_times(hdir)
