@@ -477,3 +477,46 @@ def test_post_swap_crash_retry_cleans_landing_times(spark, tmp_path):
     res = _forget(spark, out, _B2, request_id="crash-2")
     assert res["status"] == "applied"
     assert 2 not in batch_times(hdir)
+
+
+def test_recover_names_the_inflight_request_and_rolls_back(spark, tmp_path):
+    """A hard crash mid-swap leaves __old_compact + the manifest tagged
+    with the RTBF request id: recover_hypertable_rtbf must surface the
+    tag, reassemble the pre-deletion tree, and leave the log serving its
+    original rows — after which the state-decided retry applies cleanly."""
+    import json as _json
+
+    from doc2dataset_spark import fsio
+
+    out = (tmp_path / "ht").as_posix()
+    _build(spark, out)
+    before = _rows(serve_hypertable(spark, out))
+    hdir = _hourly_path(out)
+    fs, p = fsio.url_to_fs(hdir)
+
+    # fabricate the exact mid-swap debris swap_in_compacted leaves on a
+    # hard crash: root renamed away, manifest present, tmp half-built
+    tmp_dir = f"{p}__rtbf_deadbeef"
+    fs.makedirs(tmp_dir, exist_ok=True)
+    with fs.open(f"{p}__compact_manifest.json", "wb") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "tmp": tmp_dir,
+                    "root": p,
+                    "tail_dirs": [],
+                    "rtbf_request": "gdpr-crashed",
+                }
+            ).encode()
+        )
+    fs.mv(p, f"{p}__old_compact")
+
+    res = recover_hypertable_rtbf(out)
+    assert res["action"] == "rolled_back"
+    assert res["rtbf_request"] == "gdpr-crashed"
+    assert _rows(serve_hypertable(spark, out)) == before
+    # and the log is fully operational again: the real request applies
+    _forget(spark, out, [_B1[1]], request_id="gdpr-crashed")
+    assert _rows(serve_hypertable(spark, out)) == _expected_serve(
+        spark, tmp_path, [e for e in _ALL if e != _B1[1]], "ref_rec"
+    )
