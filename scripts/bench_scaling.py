@@ -1108,6 +1108,116 @@ def run_asof_auto(
     )
 
 
+def run_ht_rtbf(spark, sf_dir: str, n_batches: int = 30) -> None:
+    """Price the cagg RTBF (round 15): build a watermarked partial log
+    from ``n_batches`` EVENT-TIME slices (calendar slicing = the
+    realistic arrival layout, so an hour's partials live in ~one batch
+    — unlike the mod-slice worst case) and erase two cohort shapes:
+
+    - ``narrow``: every event of ONE mid-corpus hour — affected hours
+      = 1, touched partitions ~1 + anchor;
+    - ``spread``: a user-id mod cohort — affected hours ~ all, touched
+      partitions = all (the worst case the collapse-to-anchor design
+      pays for up front).
+
+    The claim under test: the forget wall tracks TOUCHED PARTITIONS
+    (narrow stays flat as the log deepens; spread grows with depth),
+    and the post-deletion serve still equals the filtered recompute
+    (asserted). Each erasure runs on its own fresh copy of the log."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from doc2dataset_spark.streaming.hypertable import (  # noqa: PLC0415
+        forget_hypertable_rows,
+        ingest_hypertable_late_batch,
+        serve_hypertable,
+    )
+
+    e = load_table(spark, sf_dir, "events").localCheckpoint()
+    span = e.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    lo, hi = int(span["lo"]), int(span["hi"])
+    step = (hi - lo) // n_batches + 1
+    root = tempfile.mkdtemp(prefix="sg_ht_rtbf_")
+    base = os.path.join(root, "base")
+    try:
+        t0 = time.time()
+        for i in range(n_batches):
+            ingest_hypertable_late_batch(
+                e.filter(
+                    (F.unix_micros("ts") >= lo + i * step)
+                    & (F.unix_micros("ts") < lo + (i + 1) * step)
+                ),
+                base,
+                i,
+                lateness_us=2 * step,
+            )
+        build_wall = round(time.time() - t0, 2)
+
+        mid_hour = F.date_trunc(
+            "hour", F.timestamp_micros(F.lit(lo + (hi - lo) // 2))
+        )
+        cohorts = {
+            "narrow": e.filter(F.date_trunc("hour", F.col("ts")) == mid_hour),
+            "spread": e.filter(F.pmod("user_id", F.lit(97)) == 13),
+        }
+        out = {
+            "mode": "ht-rtbf",
+            "sf_dir": sf_dir,
+            "n_batches": n_batches,
+            "build_wall": build_wall,
+        }
+        for name, cohort in cohorts.items():
+            copy = os.path.join(root, name)
+            shutil.copytree(base, copy)
+            t0 = time.time()
+            res = forget_hypertable_rows(
+                spark, copy, cohort, request_id=f"bench-{name}"
+            )
+            wall = round(time.time() - t0, 2)
+            # correctness spot-check: the served fold equals the
+            # filtered recompute at the hour level
+            from doc2dataset_spark.streaming.hypertable import (  # noqa: PLC0415
+                fold_hourly,
+            )
+
+            got = (
+                fold_hourly(
+                    spark.read.parquet(os.path.join(copy, "hourly")).drop(
+                        "batch_id"
+                    )
+                )
+                .agg(F.sum("n_events"))
+                .first()[0]
+            )
+            want = e.join(
+                cohort.select("event_id"), "event_id", "left_anti"
+            ).count()
+            assert got == want, (name, got, want)
+            # touched partitions, from the journal
+            import json as _json  # noqa: PLC0415
+
+            from doc2dataset_spark import fsio as _fsio  # noqa: PLC0415
+
+            fs, p = _fsio.url_to_fs(os.path.join(copy, "hourly"))
+            with fs.open(f"{p}__rtbf_log.json", "rb") as fh:
+                rec = _json.loads(fh.read().decode())["requests"][-1]
+            out[name] = {
+                "wall": wall,
+                "touched_partitions": len(rec["touched"]),
+                "affected_hours": len(rec["buckets"]),
+                "forgotten_rows": res["n_forgotten_rows"],
+                "sealed_revised": res["n_sealed_buckets_revised"],
+            }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_ht_depth(
     spark,
     sf_dir: str,
@@ -1373,6 +1483,13 @@ def main() -> None:
         if os.path.exists(BIG1_DIR):
             run_asof_auto(spark, BIG1_DIR, hot_keys=1)
             run_asof_auto(spark, BIG1_DIR, hot_keys=1, replicate=10)
+        return
+    if mode == "ht-rtbf":
+        # optional args: n_batches sf_dir
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+        sfd = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+        spark = get_spark(app_name="bench_scaling_ht_rtbf")
+        run_ht_rtbf(spark, sfd, n_batches=n)
         return
     if mode == "ht-depth":
         # optional args: n_batches compact_every|auto[:factor] sf_dir
