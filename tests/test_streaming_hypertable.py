@@ -1029,3 +1029,32 @@ def test_decide_compaction_refuses_to_guess(spark, tmp_path):
     )
     d2 = decide_hypertable_compaction(spark, out2, factor=1)
     assert d2["fire"] is False and "tail batches" in d2["reason"]
+
+
+def test_decide_compaction_legacy_sidecar_refuses_not_crashes(spark, tmp_path):
+    """A fully pre-round-15 wm sidecar (no n_partial_rows column in ANY
+    file) must produce the documented fire=False 'legacy' result —
+    mergeSchema cannot surface a column no file carries, so the select
+    used to crash (round-15 close review)."""
+    from doc2dataset_spark.streaming.hypertable import (
+        decide_hypertable_compaction,
+        hourly_partial,
+    )
+    from doc2dataset_spark.streaming.util import land_batch, land_batch_exact
+
+    out = (tmp_path / "legacy").as_posix()
+    for i in range(3):
+        frame = _ts_frame(spark, [(10 * i + j, f"0{i}:1{j}", j + 1) for j in range(3)])
+        land_batch_exact(hourly_partial(frame), os.path.join(out, "hourly"), i)
+        # the OLD 5-column wm snapshot shape, pre-n_partial_rows
+        land_batch(
+            spark.createDataFrame(
+                [(1000 + i, 900 + i, 0, 0, 0)],
+                "max_ts_us bigint, wm_us bigint, n_late_rows bigint, "
+                "n_reopened_hours bigint, n_dropped_rows bigint",
+            ),
+            os.path.join(out, "wm"),
+            i,
+        )
+    d = decide_hypertable_compaction(spark, out, factor=1)
+    assert d["fire"] is False and "legacy" in d["reason"]
