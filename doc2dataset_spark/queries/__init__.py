@@ -517,6 +517,31 @@ gate_swap(
 # seal-audit journal hash-matched to the cohort's own predicate)
 from doc2dataset_spark.queries import round15_extras  # noqa: E402
 
+# Gate rotation #16 (round 15, after the RTBF build — the same-round
+# promotion precedent of r11/r12/r13): every round-15 operator ships
+# with driver-recorded evidence in its own round. The RTBF trio
+# (post-deletion serve / seal-audit journal / audited sealed prefix)
+# and the counter-driven autocompact row (sharing the rollup oracle
+# VERBATIM over a log the cadence actually reshaped) promote over four
+# rows whose families keep gated twins — notably
+# rollup_hypertable_compacted, whose compaction-invisibility claim
+# autocompact judges as a strict superset with the SAME oracle. Full
+# rationale in queries/gate.py's rotation log r15 #16.
+gate_swap(
+    promote=[
+        "rollup_hypertable_autocompact",
+        "rollup_hypertable_rtbf",
+        "rollup_hypertable_rtbf_audit",
+        "rollup_hypertable_rtbf_final",
+    ],
+    demote=[
+        "rollup_hypertable_compacted",
+        "dedup_prefix_stats",
+        "dedup_cluster_stats",
+        "events_asof_strict",
+    ],
+)
+
 # Post-rotation invariant: the registry's first-50 must equal the frozen
 # contract in gate.py. Asserted here (import time) in addition to the
 # pytest pin so any drift crashes every entry point, not just the suite.

@@ -140,6 +140,26 @@ Rotation log (why the current 50 are the current 50):
   and q56_tpch_q8 (TPC-H keeps its three join-heaviest shapes gated:
   Q21, Q2, Q5). All demoted rows stay hash-checked by the
   degated-parity pytest sweep and scripts/driver_mirror.py.
+- r15 #16 (same round, after the RTBF build): every ROUND-15 operator
+  ships with driver-recorded evidence in its own round — promoted
+  rollup_hypertable_rtbf (post-deletion serve vs the direct-from-raw
+  oracle over the erased corpus), rollup_hypertable_rtbf_audit (the
+  seal-audit journal vs the cohort's predicate-derived hours),
+  rollup_hypertable_rtbf_final (the audited sealed prefix, revised
+  flag derived independently by the oracle), and
+  rollup_hypertable_autocompact (the counter-driven compaction cadence
+  sharing the rollup oracle VERBATIM) — over four rows whose contracts
+  keep externally-checked twins: rollup_hypertable_compacted
+  (autocompact judges compaction-invisibility with the SAME verbatim
+  oracle over a log the cadence actually reshaped — a strict superset
+  of what _compacted proved; _incremental stays gated),
+  dedup_prefix_stats (dedup keeps ngram_jaccard / minhash_lsh /
+  minhash_indexed / embedding_cosine+cell / simhash_recall / winnow
+  gated), dedup_cluster_stats (clustering keeps cc / incremental /
+  keep_best / keep_best_incremental gated), and events_asof_strict
+  (as-of keeps nearest / forward_bucketed / auto / join gated). All
+  demoted rows stay hash-checked by the degated-parity pytest sweep
+  and scripts/driver_mirror.py.
 """
 
 from __future__ import annotations
@@ -166,7 +186,7 @@ FROZEN_GATE = [
     "agg_salted_two_phase",
     "q12b_bucketed_range_join",
     "q69_tpch_q21",
-    "events_asof_strict",
+    "rollup_hypertable_rtbf_final",
     "text_tfidf_topk",
     "q64_tpch_q2",
     "join_cbo_reordered",
@@ -174,7 +194,7 @@ FROZEN_GATE = [
     "curate_ccnet_buckets",
     "events_asof_auto",
     "events_asof_join",
-    "dedup_prefix_stats",
+    "rollup_hypertable_rtbf",
     "dedup_simhash_recall",
     "dedup_cluster_incremental",
     "sim_ann_hyperplane_multi",
@@ -188,9 +208,9 @@ FROZEN_GATE = [
     "quality_dsir_weights",
     "quality_classifier_lr",
     "embedding_mrl_recall",
-    "dedup_cluster_stats",
+    "rollup_hypertable_rtbf_audit",
     "q46_tpch_q5",
-    "rollup_hypertable_compacted",
+    "rollup_hypertable_autocompact",
     "dedup_embedding_cell_recall",
     "search_bm25_topk",
     "rollup_hypertable_incremental",
