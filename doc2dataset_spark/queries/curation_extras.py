@@ -429,59 +429,22 @@ def knn_edges_from(spark, n, k: int = KNN_K):
     """Exact top-k neighbor edges for EVERY vector of a (vec_id, ne)
     unit-normalized frame.
 
-    Same tile-partitioned pair join as dedup_embedding_cosine (each task
-    holds two n/B blocks, never a full side), but the top-k is
-    hierarchical: a first row_number runs per (tile, qid) — satisfied by
-    the join's existing (ba, bb) hash partitioning, so the full pair set
-    is never re-shuffled — and only the ≤ k·B surviving candidates per
-    query enter the final per-qid window. The O(n²) pair stream dies
-    inside the tile tasks. Parameterized on the input frame so variant
+    Same tile decomposition as dedup_embedding_cosine (each task holds
+    two n/B blocks, never a full side), with a hierarchical top-k: the
+    per-(tile, qid) top-k runs INSIDE the vectorized tile kernel
+    (functions/vecmath.topk_edges_blocked — selection order identical to
+    the old row_number window's ``cos DESC, cid``, on bit-identical cos
+    doubles), so the O(n²) pair stream dies inside the tile tasks and
+    only ≤ k·B candidates per query enter the final per-qid window.
+    Versus the prior shape (SHUFFLE_HASH pair join + interpreted HOF
+    fold + explode + per-tile window sort) this also removes the 2×-pair
+    window sort; measured ~37% faster at sf0.1, bit-identical output
+    (OPTIMIZATION_r15.md). Parameterized on the input frame so variant
     embeddings (dimension-truncated, quantized) reuse the exact shape
     (round11_extras.embedding_mrl_recall)."""
-    B = N_EMB_BLOCKS
-    v = n.select(
-        "vec_id", "ne", F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk")
-    )
-    tiles = spark.createDataFrame(
-        [(i, j) for i in range(B) for j in range(i, B)], "ba int, bb int"
-    )
-    left = v.join(F.broadcast(tiles), F.col("blk") == F.col("ba")).select(
-        "ba", "bb", F.col("vec_id").alias("ua"), F.col("ne").alias("na")
-    )
-    right = v.join(F.broadcast(tiles), F.col("blk") == F.col("bb")).select(
-        "ba", "bb", F.col("vec_id").alias("ub"), F.col("ne").alias("nb")
-    )
-    pairs = (
-        left.hint("SHUFFLE_HASH")
-        .join(right, ["ba", "bb"])
-        .filter((F.col("ba") != F.col("bb")) | (F.col("ua") < F.col("ub")))
-        .select(
-            "ba",
-            "bb",
-            "ua",
-            "ub",
-            spark_dot(F.col("na"), F.col("nb")).alias("cos"),
-        )
-    )
-    # each unordered pair feeds BOTH endpoints' neighbor lists; the
-    # explode duplicates locally (same stage) instead of re-joining
-    directed = pairs.select(
-        "ba",
-        "bb",
-        "cos",
-        F.explode(
-            F.array(
-                F.struct(F.col("ua").alias("qid"), F.col("ub").alias("cid")),
-                F.struct(F.col("ub").alias("qid"), F.col("ua").alias("cid")),
-            )
-        ).alias("e"),
-    ).select("ba", "bb", F.col("e.qid").alias("qid"), F.col("e.cid").alias("cid"), "cos")
-    w_tile = W.partitionBy("ba", "bb", "qid").orderBy(F.desc("cos"), "cid")
-    partial = (
-        directed.withColumn("rn", F.row_number().over(w_tile))
-        .filter(F.col("rn") <= k)
-        .select("qid", "cid", "cos")
-    )
+    from doc2dataset_spark.functions.vecmath import topk_edges_blocked
+
+    partial = topk_edges_blocked(n, k, N_EMB_BLOCKS)
     w_final = W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
     return (
         partial.withColumn("rn", F.row_number().over(w_final))

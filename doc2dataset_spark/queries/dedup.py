@@ -552,43 +552,26 @@ def dedup_embedding_cosine(spark, sf_dir):
     clusters), so the scalable form is not a smaller candidate set but a
     *distributable* one. A naive `a.vec_id < b.vec_id` join is a
     BroadcastNestedLoopJoin — it ships one ENTIRE side to every executor
-    and dies at scale. The tile join shuffles each row to ~B/2 tiles, so
-    per-task memory is two n/B-sized blocks (pick B ≈ √cores so tiles
-    saturate the cluster) and no executor ever holds a full side. Same
-    results, bit-identical doubles, plan-asserted no-nested-loop.
+    and dies at scale. The tile decomposition shuffles each row to ~B/2
+    tiles, so per-task memory is two n/B-sized blocks (pick B ≈ √cores so
+    tiles saturate the cluster) and no executor ever holds a full side.
+    Same results, bit-identical doubles, plan-asserted no-nested-loop.
+
+    The per-tile pair scan runs as one vectorized NumPy kernel per tile
+    (functions/vecmath.cosine_pairs_blocked, cogrouped applyInPandas):
+    same tile contract, but the O(n²) pair stream never exists in the
+    JVM and never crosses the Python boundary — only the block vectors
+    (once per tile) go in and only threshold survivors come out. The
+    fold order inside the kernel is bit-identical to spark_dot, so the
+    kept set and every cos double are unchanged (measured ~35% faster
+    than the prior SHUFFLE_HASH join + interpreted-HOF fold at sf0.1;
+    see OPTIMIZATION_r15.md).
     For sub-quadratic *approximate* semantics see dedup_embedding_cell.
     """
-    B = N_EMB_BLOCKS
+    from doc2dataset_spark.functions.vecmath import cosine_pairs_blocked
+
     n = normalized_embeddings(spark, sf_dir)
-    v = n.select(
-        "vec_id", "ne", F.pmod(F.col("vec_id"), F.lit(B)).cast("int").alias("blk")
-    )
-    tiles = spark.createDataFrame(
-        [(i, j) for i in range(B) for j in range(i, B)], "ba int, bb int"
-    )
-    left = v.join(F.broadcast(tiles), F.col("blk") == F.col("ba")).select(
-        "ba", "bb", F.col("vec_id").alias("ua"), F.col("ne").alias("na")
-    )
-    right = v.join(F.broadcast(tiles), F.col("blk") == F.col("bb")).select(
-        "ba", "bb", F.col("vec_id").alias("ub"), F.col("ne").alias("nb")
-    )
-    # SHUFFLE_HASH over the default sort-merge: tile keys are a handful of
-    # hot groups, and SMJ evaluates the (interpreted, HOF) cosine residual
-    # inside its pair-matching loop after two full sorts — the hash join
-    # streams the probe side with no sort, measured ~1.9× faster at sf0.1.
-    # Memory contract is unchanged: one n/B block hashed per task, which is
-    # exactly the per-task footprint the tiling already budgets for.
-    cand = left.hint("SHUFFLE_HASH").join(right, ["ba", "bb"]).filter(
-        # off-diagonal tiles meet each unordered pair once by construction;
-        # diagonal tiles see both orders -> keep the ascending one
-        (F.col("ba") != F.col("bb")) | (F.col("ua") < F.col("ub"))
-    )
-    cos = spark_dot(F.col("na"), F.col("nb"))
-    return cand.select(
-        F.least("ua", "ub").alias("va"),
-        F.greatest("ua", "ub").alias("vb"),
-        cos.alias("cos"),
-    ).filter(F.col("cos") >= EMB_COS_THRESHOLD)
+    return cosine_pairs_blocked(n, EMB_COS_THRESHOLD, N_EMB_BLOCKS)
 
 
 # cell-blocked (SemDeDup-style) embedding dedup: the sub-quadratic path
