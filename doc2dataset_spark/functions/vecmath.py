@@ -72,6 +72,22 @@ def pair_cos_matrix(A: np.ndarray, B: np.ndarray) -> np.ndarray:
     return C
 
 
+# Per-task memory bound for the pair matrix: the kernels never hold more
+# than ~CHUNK_ELEMS doubles of C at once (128 MiB), processing the row
+# side in chunks — this is what keeps the documented "per-task memory is
+# two n/B blocks" contract true when blocks are large: the O((n/B)²)
+# pair space is *scanned* chunk-by-chunk, never materialized whole. At
+# the shipped SFs a block is a single chunk, so the arithmetic (and its
+# fold order) is byte-for-byte the unchunked computation.
+CHUNK_ELEMS = 1 << 24
+
+
+def _row_chunks(m: int, k: int, chunk_elems: int):
+    step = max(1, chunk_elems // max(k, 1))
+    for lo in range(0, m, step):
+        yield lo, min(lo + step, m)
+
+
 def tile_block_frames(n: DataFrame, blocks: int) -> tuple[DataFrame, DataFrame]:
     """The two sides of the tile decomposition of a (vec_id, ne) frame:
     ``left``  = (ba, bb, ua, na) — every vector replicated to the tiles
@@ -101,36 +117,75 @@ def tile_block_frames(n: DataFrame, blocks: int) -> tuple[DataFrame, DataFrame]:
     return left, right
 
 
-def _tile_arrays(key, left: pd.DataFrame, right: pd.DataFrame):
-    """Stack one tile's two blocks and the unordered-pair mask (diagonal
-    tiles meet each pair twice → keep the ascending order only)."""
+
+def _tile_inputs(left: pd.DataFrame, right: pd.DataFrame):
+    """Stack one tile's two blocks into id vectors + row matrices."""
     ua = left["ua"].to_numpy()
     ub = right["ub"].to_numpy()
     A = np.stack(left["na"].to_numpy())
     B = np.stack(right["nb"].to_numpy())
-    C = pair_cos_matrix(A, B)
-    if key[0] == key[1]:
-        mask = ua[:, None] < ub[None, :]
-    else:
-        mask = np.ones_like(C, dtype=bool)
-    return ua, ub, C, mask
+    return ua, ub, A, B
 
 
-def cosine_pairs_blocked(n: DataFrame, threshold: float, blocks: int) -> DataFrame:
-    """(va, vb, cos): all unordered pairs with cos ≥ threshold — the
+def _pair_mask(diag: bool, ua_chunk: np.ndarray, ub: np.ndarray) -> np.ndarray:
+    """Unordered-pair mask for one row chunk (diagonal tiles meet each
+    pair twice -> keep the ascending order only)."""
+    if diag:
+        return ua_chunk[:, None] < ub[None, :]
+    return np.ones((len(ua_chunk), len(ub)), dtype=bool)
+
+
+def _topk_select(qid, cid, cos, k):
+    """Indices of the per-qid top-k under ``cos DESC, cid ASC`` -- exactly
+    the old row_number window's order (cos bits are identical between
+    both implementations, so ties resolve identically)."""
+    order = np.lexsort((cid, -cos, qid))
+    q = qid[order]
+    new = np.empty(len(q), dtype=bool)
+    new[0] = True
+    new[1:] = q[1:] != q[:-1]
+    starts = np.flatnonzero(new)
+    sizes = np.diff(np.append(starts, len(q)))
+    rank = np.arange(len(q)) - np.repeat(starts, sizes)
+    return order[rank < k]
+
+
+def cosine_pairs_blocked(
+    n: DataFrame, threshold: float, blocks: int, chunk_elems: int | None = None
+) -> DataFrame:
+    """(va, vb, cos): all unordered pairs with cos >= threshold -- the
     dedup_embedding_cosine kernel. The threshold is applied INSIDE the
     tile kernel (the comparison is on bit-identical doubles, so the kept
-    set is identical), so only qualifying pairs ever leave Python."""
+    set is identical), so only qualifying pairs ever leave Python.
+    ``chunk_elems`` overrides the per-task pair-matrix bound (tests force
+    multi-chunk execution with it); captured by value in the closure so
+    it reaches the executors."""
+    ce = chunk_elems or CHUNK_ELEMS
 
     def tile(key, left, right):
         if len(left) == 0 or len(right) == 0:
             return pd.DataFrame(_EMPTY_PAIRS)
-        ua, ub, C, mask = _tile_arrays(key, left, right)
-        mask &= C >= threshold
-        i, j = np.nonzero(mask)
-        a, b = ua[i], ub[j]
+        ua, ub, A, B = _tile_inputs(left, right)
+        diag = key[0] == key[1]
+        va, vb, cs = [], [], []
+        for lo, hi in _row_chunks(len(ua), len(ub), ce):
+            C = pair_cos_matrix(A[lo:hi], B)
+            mask = _pair_mask(diag, ua[lo:hi], ub)
+            mask &= C >= threshold
+            i, j = np.nonzero(mask)
+            if len(i):
+                a, b = ua[lo:hi][i], ub[j]
+                va.append(np.minimum(a, b))
+                vb.append(np.maximum(a, b))
+                cs.append(C[i, j])
+        if not va:
+            return pd.DataFrame(_EMPTY_PAIRS)
         return pd.DataFrame(
-            {"va": np.minimum(a, b), "vb": np.maximum(a, b), "cos": C[i, j]}
+            {
+                "va": np.concatenate(va),
+                "vb": np.concatenate(vb),
+                "cos": np.concatenate(cs),
+            }
         )
 
     left, right = tile_block_frames(n, blocks)
@@ -141,35 +196,53 @@ def cosine_pairs_blocked(n: DataFrame, threshold: float, blocks: int) -> DataFra
     )
 
 
-def topk_edges_blocked(n: DataFrame, k: int, blocks: int) -> DataFrame:
-    """(qid, cid, cos): per-tile top-k directed neighbor candidates — the
+def topk_edges_blocked(
+    n: DataFrame, k: int, blocks: int, chunk_elems: int | None = None
+) -> DataFrame:
+    """(qid, cid, cos): per-tile top-k directed neighbor candidates -- the
     first (per-tile) level of knn_edges_from's hierarchical top-k,
     computed inside the tile kernel. Selection order is exactly the old
     row_number window's ``ORDER BY cos DESC, cid`` (cos bits are
-    identical, so ties resolve identically); ≤ k·(tiles per vector)
-    candidate rows per query survive for the final global window."""
+    identical, so ties resolve identically); <= k*(tiles per vector)
+    candidate rows per query survive for the final global window.
+
+    Chunked like the threshold kernel; each chunk pre-selects its own
+    per-qid top-k (row-side qids are complete within their chunk;
+    column-side qids accumulate <= k per chunk), and a final pass selects
+    the tile-wide top-k from the <= chunks*k survivors per qid -- the
+    winners and their order are identical to the unchunked selection
+    because per-subset top-k under a total order is a superset-safe
+    prefilter."""
+    ce = chunk_elems or CHUNK_ELEMS
 
     def tile(key, left, right):
+        empty = pd.DataFrame(_EMPTY_EDGES)
         if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame(_EMPTY_EDGES)
-        ua, ub, C, mask = _tile_arrays(key, left, right)
-        i, j = np.nonzero(mask)
-        if len(i) == 0:
-            return pd.DataFrame(_EMPTY_EDGES)
-        a, b, c = ua[i], ub[j], C[i, j]
-        # each unordered pair feeds BOTH endpoints' neighbor lists
-        qid = np.concatenate([a, b])
-        cid = np.concatenate([b, a])
-        cos = np.concatenate([c, c])
-        order = np.lexsort((cid, -cos, qid))
-        q = qid[order]
-        new = np.empty(len(q), dtype=bool)
-        new[0] = True
-        new[1:] = q[1:] != q[:-1]
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, len(q)))
-        rank = np.arange(len(q)) - np.repeat(starts, sizes)
-        keep = order[rank < k]
+            return empty
+        ua, ub, A, B = _tile_inputs(left, right)
+        diag = key[0] == key[1]
+        qs, cs, ss = [], [], []
+        for lo, hi in _row_chunks(len(ua), len(ub), ce):
+            C = pair_cos_matrix(A[lo:hi], B)
+            mask = _pair_mask(diag, ua[lo:hi], ub)
+            i, j = np.nonzero(mask)
+            if len(i) == 0:
+                continue
+            a, b, c = ua[lo:hi][i], ub[j], C[i, j]
+            # each unordered pair feeds BOTH endpoints' neighbor lists
+            qid = np.concatenate([a, b])
+            cid = np.concatenate([b, a])
+            cos = np.concatenate([c, c])
+            keep = _topk_select(qid, cid, cos, k)
+            qs.append(qid[keep])
+            cs.append(cid[keep])
+            ss.append(cos[keep])
+        if not qs:
+            return empty
+        qid = np.concatenate(qs)
+        cid = np.concatenate(cs)
+        cos = np.concatenate(ss)
+        keep = _topk_select(qid, cid, cos, k)
         return pd.DataFrame({"qid": qid[keep], "cid": cid[keep], "cos": cos[keep]})
 
     left, right = tile_block_frames(n, blocks)
@@ -177,4 +250,163 @@ def topk_edges_blocked(n: DataFrame, k: int, blocks: int) -> DataFrame:
         left.groupBy("ba", "bb")
         .cogroup(right.groupBy("ba", "bb"))
         .applyInPandas(tile, "qid long, cid long, cos double")
+    )
+
+
+def cell_pairs_blocked(
+    assign: DataFrame, threshold: float, chunk_elems: int | None = None
+) -> DataFrame:
+    """(va, vb, cell, cos): all within-cell ascending-id pairs with
+    cos >= threshold of a (vec_id, ne, cent_id) assignment frame -- the
+    dedup_embedding_cell / SemDeDup-stage kernel. One vectorized NumPy
+    scan per cell via groupBy(cent_id).applyInPandas, replacing the
+    within-cell self-join + interpreted HOF fold: cell vectors cross the
+    boundary once, only threshold survivors come back. Same fold order,
+    same chunked memory bound, same per-task footprint (one cell's
+    vectors -- exactly what the cell equi-join's build side held)."""
+    ce = chunk_elems or CHUNK_ELEMS
+
+    def cell(key, pdf):
+        empty = pd.DataFrame(
+            {
+                "va": pd.Series([], dtype="int64"),
+                "vb": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["ne"].to_numpy())
+        va, vb, cs = [], [], []
+        for lo, hi in _row_chunks(len(ids), len(ids), ce):
+            C = pair_cos_matrix(M[lo:hi], M)
+            mask = ids[lo:hi][:, None] < ids[None, :]
+            mask &= C >= threshold
+            i, j = np.nonzero(mask)
+            if len(i):
+                va.append(ids[lo:hi][i])
+                vb.append(ids[j])
+                cs.append(C[i, j])
+        if not va:
+            return empty
+        va = np.concatenate(va)
+        return pd.DataFrame(
+            {
+                "va": va,
+                "vb": np.concatenate(vb),
+                "cell": np.full(len(va), key[0], dtype="int64"),
+                "cos": np.concatenate(cs),
+            }
+        )
+
+    return (
+        assign.select("vec_id", "ne", "cent_id")
+        .groupBy("cent_id")
+        .applyInPandas(cell, "va long, vb long, cell long, cos double")
+    )
+
+
+def group_topk_blocked(
+    sig: DataFrame,
+    group_cols: list[str],
+    k: int,
+    chunk_elems: int | None = None,
+) -> DataFrame:
+    """(qid, cid, cos): per-group directed top-k candidate edges of a
+    (group_cols..., vec_id, ne) signature frame -- all ordered pairs
+    qid != cid within a group, ranked per qid by (cos DESC, cid ASC).
+
+    The ANN candidate-scoring kernel (IVF cells, LSH buckets): replaces
+    the within-group self-join + interpreted HOF fold + full-pair window
+    sort. Per-group top-k preselection is lossless for any downstream
+    global top-k: a group's candidates for a query are distinct cids, so
+    a pair beaten by >= k candidates inside its own group is beaten by
+    >= k distinct candidates globally. Chunked like the other kernels
+    (row-side qids are complete within their chunk; a final pass
+    re-selects across chunks)."""
+    ce = chunk_elems or CHUNK_ELEMS
+
+    def grp(key, pdf):
+        empty = pd.DataFrame(_EMPTY_EDGES)
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["ne"].to_numpy())
+        qs, cs, ss = [], [], []
+        for lo, hi in _row_chunks(len(ids), len(ids), ce):
+            C = pair_cos_matrix(M[lo:hi], M)
+            mask = ids[lo:hi][:, None] != ids[None, :]
+            i, j = np.nonzero(mask)
+            if len(i) == 0:
+                continue
+            qid, cid, cos = ids[lo:hi][i], ids[j], C[i, j]
+            keep = _topk_select(qid, cid, cos, k)
+            qs.append(qid[keep])
+            cs.append(cid[keep])
+            ss.append(cos[keep])
+        if not qs:
+            return empty
+        qid = np.concatenate(qs)
+        cid = np.concatenate(cs)
+        cos = np.concatenate(ss)
+        keep = _topk_select(qid, cid, cos, k)
+        return pd.DataFrame({"qid": qid[keep], "cid": cid[keep], "cos": cos[keep]})
+
+    return (
+        sig.select(*group_cols, "vec_id", "ne")
+        .groupBy(*group_cols)
+        .applyInPandas(grp, "qid long, cid long, cos double")
+    )
+
+
+def cogroup_topk_blocked(
+    probe: DataFrame,
+    corpus: DataFrame,
+    key_cols: list[str],
+    k: int,
+    chunk_elems: int | None = None,
+) -> DataFrame:
+    """(qid, cid, cos): per-key directed top-k of a probe frame
+    (key_cols..., qid, qne) against a corpus frame (key_cols..., cid,
+    cne), qid != cid -- the nprobe>1 IVF shape where the query side
+    joins more cells than it belongs to. Same preselection argument and
+    chunking as group_topk_blocked."""
+    ce = chunk_elems or CHUNK_ELEMS
+
+    def grp(key, l, r):
+        empty = pd.DataFrame(_EMPTY_EDGES)
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        qids = l["qid"].to_numpy()
+        cids = r["cid"].to_numpy()
+        Q = np.stack(l["qne"].to_numpy())
+        C_ = np.stack(r["cne"].to_numpy())
+        qs, cs, ss = [], [], []
+        for lo, hi in _row_chunks(len(qids), len(cids), ce):
+            C = pair_cos_matrix(Q[lo:hi], C_)
+            mask = qids[lo:hi][:, None] != cids[None, :]
+            i, j = np.nonzero(mask)
+            if len(i) == 0:
+                continue
+            qid, cid, cos = qids[lo:hi][i], cids[j], C[i, j]
+            keep = _topk_select(qid, cid, cos, k)
+            qs.append(qid[keep])
+            cs.append(cid[keep])
+            ss.append(cos[keep])
+        if not qs:
+            return empty
+        qid = np.concatenate(qs)
+        cid = np.concatenate(cs)
+        cos = np.concatenate(ss)
+        keep = _topk_select(qid, cid, cos, k)
+        return pd.DataFrame({"qid": qid[keep], "cid": cid[keep], "cos": cos[keep]})
+
+    lsel = probe.select(*key_cols, "qid", "qne")
+    rsel = corpus.select(*key_cols, "cid", "cne")
+    return (
+        lsel.groupBy(*key_cols)
+        .cogroup(rsel.groupBy(*key_cols))
+        .applyInPandas(grp, "qid long, cid long, cos double")
     )

@@ -69,47 +69,48 @@ def sim_ann_ivf_probe2(spark, sf_dir):
     ``sim_ann_ivf``. The per-vector top-2 ranking is a window whose
     partitions are exactly N_CENTROIDS rows, so the sort is trivial and
     the shuffle is the same vec_id hash the argmax agg would pay."""
-    n = normalized_embeddings(spark, sf_dir)
-    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("ne").alias("ce")
-    )
-    ranked = (
-        n.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "ne",
-            "cent_id",
-            spark_dot(F.col("ne"), F.col("ce")).alias("sim"),
+    def _ranked():
+        # built fresh per side: the cogrouped kernel below needs the two
+        # sides to carry independent lineage (a shared subtree is an
+        # ambiguous self-join for the cogroup analyzer); canonicalized
+        # plan equality still lets ReuseExchange share the physical work
+        n = normalized_embeddings(spark, sf_dir)
+        cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cent_id"), F.col("ne").alias("ce")
         )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
-            ),
+        return (
+            n.crossJoin(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "ne",
+                "cent_id",
+                spark_dot(F.col("ne"), F.col("ce")).alias("sim"),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy(F.desc("sim"), "cent_id")
+                ),
+            )
         )
-    )
-    probe = ranked.filter(F.col("rn") <= N_PROBE).select(
+
+    probe = _ranked().filter(F.col("rn") <= N_PROBE).select(
         F.col("vec_id").alias("qid"), F.col("ne").alias("qne"), "cent_id"
     )
-    corpus = ranked.filter(F.col("rn") == 1).select(
+    corpus = _ranked().filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("cid"), F.col("ne").alias("cne"), "cent_id"
     )
-    # USING-form join: probe/corpus derive from the same `ranked` plan, so
-    # `probe.cent_id == corpus.cent_id` is an ambiguous self-join reference
-    # (Spark warns "trivially true equals predicate"); the string key is
-    # unambiguous and keeps the same equi-join shape.
-    scored = (
-        # SHUFFLE_HASH as in the other embedding pair kernels: hash one
-        # cell's worth of build rows instead of sorting both sides
-        # (measured ~1.3 s faster at sf0.1). The hint sits on CORPUS so
-        # the hash-map build side is the smaller one — probe carries
-        # N_PROBE rows per vector, corpus exactly one.
-        probe.join(corpus.hint("SHUFFLE_HASH"), "cent_id")
-        .where(F.col("cid") != F.col("qid"))
-        .select(
-            "qid", "cid", spark_dot(F.col("qne"), F.col("cne")).alias("cos")
-        )
-    )
+    # per-cell probe-vs-corpus scoring + per-(cell, qid) top-k preselect
+    # as one vectorized NumPy kernel per cell
+    # (vecmath.cogroup_topk_blocked). Lossless for the final top-k: a
+    # cell's candidates for a query are distinct cids, so a candidate
+    # beaten by >= IVF_TOP_K inside its own cell is beaten by >= that
+    # many distinct candidates globally; the final per-qid window ranks
+    # the <= N_PROBE·IVF_TOP_K survivors with identical cos bits and
+    # identical (cos DESC, cid) tie order.
+    from doc2dataset_spark.functions.vecmath import cogroup_topk_blocked
+
+    scored = cogroup_topk_blocked(probe, corpus, ["cent_id"], IVF_TOP_K)
     w = W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -121,17 +121,17 @@ def _multi_candidates(spark, sf_dir, planes=None):
             ])
         ).alias("tbl", "bucket"),
     )
-    q, c = sigs.alias("q"), sigs.alias("c")
-    pairs = q.join(
-        c.hint("SHUFFLE_HASH"),
-        (F.col("q.tbl") == F.col("c.tbl"))
-        & (F.col("q.bucket") == F.col("c.bucket"))
-        & (F.col("q.vec_id") != F.col("c.vec_id")),
-    ).select(
-        F.col("q.vec_id").alias("qid"),
-        F.col("c.vec_id").alias("cid"),
-        spark_dot(F.col("q.ne"), F.col("c.ne")).alias("cos"),
-    )
+    # per-(table, bucket) scoring + per-qid top-k preselect as one
+    # vectorized NumPy kernel per bucket (vecmath.group_topk_blocked).
+    # The preselect is lossless for the consumer's top-MULTI_TOP_K: a
+    # bucket's candidates for a query are distinct cids, so a pair beaten
+    # by >= k candidates inside any one of its buckets is beaten by >= k
+    # distinct candidates globally — the union of per-bucket top-k
+    # therefore contains every global top-k winner, with identical cos
+    # bits and identical (cos DESC, cid) tie order.
+    from doc2dataset_spark.functions.vecmath import group_topk_blocked
+
+    pairs = group_topk_blocked(sigs, ["tbl", "bucket"], MULTI_TOP_K)
     # dedup across tables: cos is bit-identical for every copy of a pair
     # (same fold-dot on the same vectors), so max == the value and the
     # dedup is a partial-aggregatable groupBy, not a distinct-over-arrays

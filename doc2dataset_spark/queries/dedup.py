@@ -661,30 +661,20 @@ def dedup_embedding_cell(spark, sf_dir):
     Pair space drops O(n²) → O(n²/K); cross-cell pairs are declared out of
     semantics (not silently dropped), which is exactly how published
     100 TB embedding-dedup pipelines bound the join. The cell id is the
-    shuffle key — an equi-join, never a nested loop — and the centroid
+    shuffle key — a grouped scan, never a nested loop — and the centroid
     table is a 16-row broadcast. The oracle mirrors the same quantization,
-    so the gate is hash-exact, not approximate."""
+    so the gate is hash-exact, not approximate.
+
+    The within-cell pair scan runs as one vectorized NumPy kernel per
+    cell (functions/vecmath.cell_pairs_blocked, applyInPandas) — the
+    same swap as dedup_embedding_cosine's tile kernel: cell vectors
+    cross the Python boundary once, the within-cell pair stream never
+    exists in the JVM, only threshold survivors come back, fold order
+    bit-identical to spark_dot (OPTIMIZATION_r15.md)."""
+    from doc2dataset_spark.functions.vecmath import cell_pairs_blocked
+
     assign = cell_assignments(spark, sf_dir)
-    a = assign.alias("a")
-    b = assign.alias("b")
-    cos = spark_dot(F.col("a.ne"), F.col("b.ne"))
-    return (
-        # SHUFFLE_HASH for the same reason as dedup_embedding_cosine's tile
-        # join: hash the cell build side instead of sorting both sides
-        # around an interpreted-HOF residual predicate
-        a.hint("SHUFFLE_HASH").join(
-            b,
-            (F.col("a.cent_id") == F.col("b.cent_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("va"),
-            F.col("b.vec_id").alias("vb"),
-            F.col("a.cent_id").alias("cell"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= CELL_THRESHOLD)
-    )
+    return cell_pairs_blocked(assign, CELL_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

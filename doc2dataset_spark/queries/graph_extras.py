@@ -147,8 +147,22 @@ def graph_clustering_coef(spark, sf_dir):
     """per-node triangle count + local clustering coefficient over the
     SimHash near-dup graph via degree-ordered edge orientation (each
     wedge is charged to its lowest-degree corner; intermediate bounded
-    by O(m^1.5) on ANY degree distribution)."""
-    return triangles_of(dedup_simhash_pairs(spark, sf_dir).select("da", "db"))
+    by O(m^1.5) on ANY degree distribution).
+
+    The edge frame is eagerly checkpointed before triangles_of — the
+    same cut graph_triangles and graph_kcore already make: triangles_of
+    references its input ~6× (degree agg ×2, oriented-edge build, wedge
+    self-join ×2, closing join), and without the cut each reference
+    re-ran the whole shingle→simhash→band-join→distinct pipeline (the
+    before plan, plans/r15/graph_clustering_coef_before.txt, scans
+    documents.parquet 34 times; after: 1 scan + 1 small edge
+    materialization)."""
+    p = (
+        dedup_simhash_pairs(spark, sf_dir)
+        .select("da", "db")
+        .localCheckpoint(eager=True)
+    )
+    return triangles_of(p)
 
 
 # ---------------------------------------------------------------------------

@@ -34,11 +34,11 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from doc2dataset_spark.queries.core import REGISTRY, query
+from doc2dataset_spark.functions.vecmath import cell_pairs_blocked
 from doc2dataset_spark.queries.dedup import (
     _IVF_ASSIGN_DUCK,
     CELL_THRESHOLD,
     cell_assignments,
-    spark_dot,
 )
 from doc2dataset_spark.queries.textops import _DTOKS, _TOKS
 from doc2dataset_spark.session import load_table
@@ -468,16 +468,12 @@ def _curate_corpus_plan(spark, sf_dir, index_dir: str | None = None):
     surv = assign.join(
         sole.select(F.col("doc_id").alias("vec_id"), "n_tokens"), "vec_id"
     )
-    a, b = surv.alias("a"), surv.alias("b")
+    # within-cell pair scan as the vectorized per-cell NumPy kernel —
+    # same swap as dedup_embedding_cell (vecmath.cell_pairs_blocked):
+    # bit-identical cos doubles, so the >= comparison keeps the same set
     semdrop = (
-        a.hint("SHUFFLE_HASH")
-        .join(
-            b,
-            (F.col("a.cent_id") == F.col("b.cent_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(spark_dot(F.col("a.ne"), F.col("b.ne")) >= CELL_THRESHOLD)
-        .select(F.col("b.vec_id").alias("doc_id"))
+        cell_pairs_blocked(surv, CELL_THRESHOLD)
+        .select(F.col("vb").alias("doc_id"))
         .distinct()
     )
     kept = sole.join(semdrop, "doc_id", "left_anti")

@@ -655,16 +655,14 @@ def _scored_curation_plan(spark, sf_dir, scored, assign):
         .select(F.col("doc_id").alias("vec_id"))
         .join(assign, "vec_id")
     )
-    x, y = svec.alias("x"), svec.alias("y")
+    # within-cell pair scan as the vectorized per-cell NumPy kernel —
+    # same swap as dedup_embedding_cell (vecmath.cell_pairs_blocked):
+    # bit-identical cos doubles, so the >= comparison keeps the same set
+    from doc2dataset_spark.functions.vecmath import cell_pairs_blocked
+
     semdrop = (
-        x.hint("SHUFFLE_HASH")
-        .join(
-            y,
-            (F.col("x.cent_id") == F.col("y.cent_id"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .filter(spark_dot(F.col("x.ne"), F.col("y.ne")) >= CELL_THRESHOLD)
-        .select(F.col("y.vec_id").alias("doc_id"))
+        cell_pairs_blocked(svec, CELL_THRESHOLD)
+        .select(F.col("vb").alias("doc_id"))
         .distinct()
         .withColumn("semdropped", F.lit(True))
     )

@@ -99,17 +99,14 @@ def sim_ann_ivf(spark, sf_dir):
         )
         .select("vec_id", F.col("best.ne").alias("ne"), F.col("best.cent_id").alias("cent_id"))
     )
-    q = assign.alias("q")
-    c = assign.alias("c")
-    scored = q.join(
-        c,
-        (F.col("q.cent_id") == F.col("c.cent_id"))
-        & (F.col("c.vec_id") != F.col("q.vec_id")),
-    ).select(
-        F.col("q.vec_id").alias("qid"),
-        F.col("c.vec_id").alias("cid"),
-        spark_dot(F.col("q.ne"), F.col("c.ne")).alias("cos"),
-    )
+    # within-cell scoring + per-qid top-k as one vectorized NumPy kernel
+    # per cell (vecmath.group_topk_blocked — every query's full candidate
+    # set is its own cell, so the kernel's per-qid top-k is already
+    # exact); the final window re-ranks the ≤ k survivors per query,
+    # preserving the declared row_number semantics at negligible cost
+    from doc2dataset_spark.functions.vecmath import group_topk_blocked
+
+    scored = group_topk_blocked(assign, ["cent_id"], IVF_TOP_K)
     w = W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
     return (
         scored.withColumn("rn", F.row_number().over(w))

@@ -126,6 +126,14 @@ def sim_ann_hyperplane(spark, sf_dir):
         bit = F.when(spark_dot(F.col("ne"), plane) >= 0, 1 << i).otherwise(0)
         bucket = bit if bucket is None else bucket + bit
     bucketed = n.select("vec_id", "ne", bucket.alias("bucket"))
+    # NOTE(r15 optimization): the per-bucket NumPy kernel swap
+    # (vecmath.group_topk_blocked) was built, oracle-verified, and
+    # A/B-measured here — and REJECTED: 8 planes make 256 buckets of ~8
+    # vectors at sf0.1, and 256 tiny Python groups cost more than the
+    # ~64 interpreted pair-dots per bucket they replace (1.32 s → 2.03 s).
+    # The kernel wins only where groups carry real pair volume (IVF
+    # cells, the 4×32-bucket multi table, tiles) — see ann_multilsh.py
+    # and scale.py for the kept swaps.
     q = bucketed.alias("q")
     c = bucketed.alias("c")
     scored = q.join(

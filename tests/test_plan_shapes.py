@@ -87,13 +87,12 @@ def test_tfidf_vocab_side_not_hint_broadcast(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["sim_ann_ivf", "dedup_embedding_cell", "sim_ann_hyperplane",
-     "sim_ann_ivf_probe2"],
+    ["sim_ann_hyperplane", "sim_ann_ivf_probe2"],
 )
 def test_self_joined_assign_frame_reuses_exchange(spark, sf_dir, name):
-    """These three join an aggregate-derived frame to itself (cell/bucket
-    assignment joined back on the cell key). The expensive subtree —
-    centroid scoring crossJoin + groupBy (ivf/cell) or hyperplane signature
+    """These join an aggregate-derived frame to itself (bucket/cell
+    assignment joined back on the key). The expensive subtree —
+    centroid scoring crossJoin + ranking (probe2) or hyperplane signature
     agg — must execute ONCE, with the second occurrence served from the
     shuffle output of the first. AQE expresses that as exchange/query-stage
     reuse in the finalized plan; if this assertion fails, the assign frame
@@ -108,6 +107,21 @@ def test_self_joined_assign_frame_reuses_exchange(spark, sf_dir, name):
         + plan.count("reused")
     )
     assert reuse >= 1, f"{name}: assign subtree executed twice\n{plan}"
+
+
+@pytest.mark.parametrize("name", ["sim_ann_ivf", "dedup_embedding_cell"])
+def test_cell_kernel_runs_assign_once(spark, sf_dir, name):
+    """Since the round-15 optimization these two no longer self-join the
+    assign frame: the within-cell pair scan is one grouped NumPy kernel
+    (vecmath.group_topk_blocked / cell_pairs_blocked), so the expensive
+    centroid-scoring subtree appears exactly once — the property the old
+    exchange-reuse assertion guarded, now held by construction."""
+    df = REGISTRY[name].builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    # the 16-row centroid crossJoin (a broadcast nested loop against a
+    # constant-size side) must not be duplicated
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
 
 
 def test_semi_anti_join_shapes(spark, sf_dir):

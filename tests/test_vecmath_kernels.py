@@ -1,0 +1,93 @@
+"""The cogrouped tile kernels (functions/vecmath.py) replaced the
+interpreted HOF-fold pair kernels in round 15's optimization pass; these
+tests pin the two properties the swap rests on:
+
+1. bit-exactness of the kernel fold order vs spark_dot (the registry
+   queries themselves are oracle-gated, but the low-level invariant is
+   pinned here so a future kernel edit fails fast);
+2. chunk-invariance: the row-chunked pair scan (the per-task memory
+   bound for large blocks) returns byte-identical results to the
+   single-chunk path — forced by shrinking CHUNK_ELEMS so the fixture
+   splits into many chunks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from doc2dataset_spark.functions import vecmath
+from doc2dataset_spark.queries.dedup import (
+    EMB_COS_THRESHOLD,
+    N_EMB_BLOCKS,
+    normalized_embeddings,
+    spark_dot,
+)
+
+
+def _collect_sorted(df, keys):
+    pdf = df.toPandas().sort_values(keys).reset_index(drop=True)
+    return pdf
+
+
+def test_pair_cos_matrix_matches_spark_dot_bits(spark, sf_dir):
+    """Kernel fold order == spark_dot fold order, to the last bit."""
+    n = normalized_embeddings(spark, sf_dir).limit(40)
+    rows = n.collect()
+    ids = [r["vec_id"] for r in rows]
+    M = np.stack([np.array(r["ne"], dtype=np.float64) for r in rows])
+    C = vecmath.pair_cos_matrix(M, M)
+    # spark-side dots for the same pairs
+    a = n.select(F.col("vec_id").alias("ia"), F.col("ne").alias("na"))
+    b = n.select(F.col("vec_id").alias("ib"), F.col("ne").alias("nb"))
+    sd = (
+        a.crossJoin(b)
+        .select("ia", "ib", spark_dot(F.col("na"), F.col("nb")).alias("d"))
+        .collect()
+    )
+    pos = {v: i for i, v in enumerate(ids)}
+    for r in sd:
+        got = C[pos[r["ia"]], pos[r["ib"]]]
+        assert np.float64(got).view(np.int64) == np.float64(r["d"]).view(
+            np.int64
+        ), (r["ia"], r["ib"])
+
+
+def test_kernels_chunk_invariant(spark, sf_dir):
+    """Forcing many row chunks must not change a single byte of either
+    kernel's output (same pairs, same top-k winners, same cos bits).
+    chunk_elems is captured by value into the kernel closure, so the
+    override reaches the executor-side Python workers."""
+    n = normalized_embeddings(spark, sf_dir)
+
+    big_pairs = _collect_sorted(
+        vecmath.cosine_pairs_blocked(n, EMB_COS_THRESHOLD, N_EMB_BLOCKS),
+        ["va", "vb"],
+    )
+    big_edges = _collect_sorted(
+        vecmath.topk_edges_blocked(n, 3, N_EMB_BLOCKS), ["qid", "cid", "cos"]
+    )
+
+    # a block at sf0.001 has ~12 rows; chunk_elems=16 -> 1-row chunks
+    small_pairs = _collect_sorted(
+        vecmath.cosine_pairs_blocked(
+            n, EMB_COS_THRESHOLD, N_EMB_BLOCKS, chunk_elems=16
+        ),
+        ["va", "vb"],
+    )
+    small_edges = _collect_sorted(
+        vecmath.topk_edges_blocked(n, 3, N_EMB_BLOCKS, chunk_elems=16),
+        ["qid", "cid", "cos"],
+    )
+
+    for big, small, keys in (
+        (big_pairs, small_pairs, ["va", "vb"]),
+        (big_edges, small_edges, ["qid", "cid"]),
+    ):
+        assert len(big) == len(small)
+        for k in keys:
+            assert (big[k].values == small[k].values).all(), k
+        assert (
+            big["cos"].values.view(np.int64)
+            == small["cos"].values.view(np.int64)
+        ).all()
