@@ -403,8 +403,19 @@ def cogroup_topk_blocked(
         keep = _topk_select(qid, cid, cos, k)
         return pd.DataFrame({"qid": qid[keep], "cid": cid[keep], "cos": cos[keep]})
 
-    lsel = probe.select(*key_cols, "qid", "qne")
-    rsel = corpus.select(*key_cols, "cid", "cne")
+    # Defensive key normalization: cogroup hash-partitions each side by
+    # its OWN key type, and e.g. int 5 and bigint 5 hash differently —
+    # mismatched types silently pair groups with nothing on most
+    # partitions (measured: a hive-partitioned int cent_id against a
+    # bigint probe key dropped ~53% of queries at sf0.1, while at sf0.01
+    # AQE's single coalesced partition masked it completely). Cast both
+    # sides to bigint so the shuffle keys are physically identical.
+    lsel = probe.select(
+        *[F.col(k).cast("bigint").alias(k) for k in key_cols], "qid", "qne"
+    )
+    rsel = corpus.select(
+        *[F.col(k).cast("bigint").alias(k) for k in key_cols], "cid", "cne"
+    )
     return (
         lsel.groupBy(*key_cols)
         .cogroup(rsel.groupBy(*key_cols))

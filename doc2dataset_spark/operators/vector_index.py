@@ -147,14 +147,20 @@ def probe_ivf_index(
     postings = spark.read.parquet(_postings_path(index_dir)).filter(
         F.col("cent_id").isin(cells)
     )
-    scored = (
-        ranked.join(postings, "cent_id")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("cid"),
-            spark_dot(F.col("qne"), F.col("ne")).alias("cos"),
-        )
+    # probe-vs-postings scoring + per-(cell, qid) top-k as one vectorized
+    # NumPy kernel per probed cell (vecmath.cogroup_topk_blocked — the
+    # same swap as sim_ann_ivf_probe2; bit-identical cos doubles, and the
+    # per-cell preselect is lossless for the final top-k). The final
+    # window ranks the ≤ nprobe·topk survivors per query.
+    from doc2dataset_spark.functions.vecmath import cogroup_topk_blocked
+
+    scored = cogroup_topk_blocked(
+        ranked,
+        postings.select(
+            "cent_id", F.col("vec_id").alias("cid"), F.col("ne").alias("cne")
+        ),
+        ["cent_id"],
+        topk,
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos"), "cid")
     return (

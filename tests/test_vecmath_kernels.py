@@ -91,3 +91,46 @@ def test_kernels_chunk_invariant(spark, sf_dir):
             big["cos"].values.view(np.int64)
             == small["cos"].values.view(np.int64)
         ).all()
+
+
+def test_cogroup_topk_key_type_mismatch(spark, sf_dir):
+    """cogroup pairs groups by the PHYSICAL shuffle key: an int key on
+    one side and a bigint on the other hash differently and silently
+    pair most groups with nothing (caught live by the IVF probe reading
+    a hive-partitioned int cent_id against a bigint probe key — ~53% of
+    queries lost at sf0.1). The kernel normalizes both sides to bigint;
+    this pins that an int-typed side produces identical results to a
+    bigint one."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    n = normalized_embeddings(spark, sf_dir)
+    probe = n.select(
+        F.col("vec_id").alias("qid"),
+        F.col("ne").alias("qne"),
+        F.pmod(F.col("vec_id"), F.lit(7)).cast("bigint").alias("cell"),
+    )
+    corpus_big = n.select(
+        F.col("vec_id").alias("cid"),
+        F.col("ne").alias("cne"),
+        F.pmod(F.col("vec_id"), F.lit(7)).cast("bigint").alias("cell"),
+    )
+    corpus_int = corpus_big.withColumn("cell", F.col("cell").cast("int"))
+    a = (
+        vecmath.cogroup_topk_blocked(probe, corpus_big, ["cell"], 3)
+        .toPandas()
+        .sort_values(["qid", "cid"])
+        .reset_index(drop=True)
+    )
+    b = (
+        vecmath.cogroup_topk_blocked(probe, corpus_int, ["cell"], 3)
+        .toPandas()
+        .sort_values(["qid", "cid"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) and len(a) > 0
+    assert (a["qid"].values == b["qid"].values).all()
+    assert (a["cid"].values == b["cid"].values).all()
+    assert (
+        a["cos"].values.view(np.int64) == b["cos"].values.view(np.int64)
+    ).all()
