@@ -196,60 +196,152 @@ def cosine_pairs_blocked(
     )
 
 
+def _tile_topk(ua, ub, A, B, diag: bool, k: int, ce: int):
+    """One tile's per-qid top-k candidate edges (qid, cid, cos arrays,
+    or None if the tile contributes nothing) -- the chunked body shared
+    by topk_edges_blocked and its dual-metric variant. Each chunk
+    pre-selects its own per-qid top-k (row-side qids are complete within
+    their chunk; column-side qids accumulate <= k per chunk), and a
+    final pass selects the tile-wide top-k from the <= chunks*k
+    survivors per qid -- the winners and their order are identical to
+    the unchunked selection because per-subset top-k under a total order
+    is a superset-safe prefilter."""
+    qs, cs, ss = [], [], []
+    for lo, hi in _row_chunks(len(ua), len(ub), ce):
+        C = pair_cos_matrix(A[lo:hi], B)
+        mask = _pair_mask(diag, ua[lo:hi], ub)
+        i, j = np.nonzero(mask)
+        if len(i) == 0:
+            continue
+        a, b, c = ua[lo:hi][i], ub[j], C[i, j]
+        # each unordered pair feeds BOTH endpoints' neighbor lists
+        qid = np.concatenate([a, b])
+        cid = np.concatenate([b, a])
+        cos = np.concatenate([c, c])
+        keep = _topk_select(qid, cid, cos, k)
+        qs.append(qid[keep])
+        cs.append(cid[keep])
+        ss.append(cos[keep])
+    if not qs:
+        return None
+    qid = np.concatenate(qs)
+    cid = np.concatenate(cs)
+    cos = np.concatenate(ss)
+    keep = _topk_select(qid, cid, cos, k)
+    return qid[keep], cid[keep], cos[keep]
+
+
 def topk_edges_blocked(
     n: DataFrame, k: int, blocks: int, chunk_elems: int | None = None
 ) -> DataFrame:
     """(qid, cid, cos): per-tile top-k directed neighbor candidates -- the
     first (per-tile) level of knn_edges_from's hierarchical top-k,
-    computed inside the tile kernel. Selection order is exactly the old
-    row_number window's ``ORDER BY cos DESC, cid`` (cos bits are
-    identical, so ties resolve identically); <= k*(tiles per vector)
-    candidate rows per query survive for the final global window.
-
-    Chunked like the threshold kernel; each chunk pre-selects its own
-    per-qid top-k (row-side qids are complete within their chunk;
-    column-side qids accumulate <= k per chunk), and a final pass selects
-    the tile-wide top-k from the <= chunks*k survivors per qid -- the
-    winners and their order are identical to the unchunked selection
-    because per-subset top-k under a total order is a superset-safe
-    prefilter."""
+    computed inside the tile kernel (_tile_topk). Selection order is
+    exactly the old row_number window's ``ORDER BY cos DESC, cid`` (cos
+    bits are identical, so ties resolve identically); <= k*(tiles per
+    vector) candidate rows per query survive for the final global
+    window."""
     ce = chunk_elems or CHUNK_ELEMS
 
     def tile(key, left, right):
-        empty = pd.DataFrame(_EMPTY_EDGES)
         if len(left) == 0 or len(right) == 0:
-            return empty
+            return pd.DataFrame(_EMPTY_EDGES)
         ua, ub, A, B = _tile_inputs(left, right)
-        diag = key[0] == key[1]
-        qs, cs, ss = [], [], []
-        for lo, hi in _row_chunks(len(ua), len(ub), ce):
-            C = pair_cos_matrix(A[lo:hi], B)
-            mask = _pair_mask(diag, ua[lo:hi], ub)
-            i, j = np.nonzero(mask)
-            if len(i) == 0:
-                continue
-            a, b, c = ua[lo:hi][i], ub[j], C[i, j]
-            # each unordered pair feeds BOTH endpoints' neighbor lists
-            qid = np.concatenate([a, b])
-            cid = np.concatenate([b, a])
-            cos = np.concatenate([c, c])
-            keep = _topk_select(qid, cid, cos, k)
-            qs.append(qid[keep])
-            cs.append(cid[keep])
-            ss.append(cos[keep])
-        if not qs:
-            return empty
-        qid = np.concatenate(qs)
-        cid = np.concatenate(cs)
-        cos = np.concatenate(ss)
-        keep = _topk_select(qid, cid, cos, k)
-        return pd.DataFrame({"qid": qid[keep], "cid": cid[keep], "cos": cos[keep]})
+        out = _tile_topk(ua, ub, A, B, key[0] == key[1], k, ce)
+        if out is None:
+            return pd.DataFrame(_EMPTY_EDGES)
+        qid, cid, cos = out
+        return pd.DataFrame({"qid": qid, "cid": cid, "cos": cos})
 
     left, right = tile_block_frames(n, blocks)
     return (
         left.groupBy("ba", "bb")
         .cogroup(right.groupBy("ba", "bb"))
         .applyInPandas(tile, "qid long, cid long, cos double")
+    )
+
+
+def topk_edges_blocked_dual(
+    n2: DataFrame, k: int, blocks: int, chunk_elems: int | None = None
+) -> DataFrame:
+    """(metric, qid, cid, cos): the per-tile top-k edge candidates of TWO
+    embedding variants of the same id space in ONE tile pass -- metric 0
+    rows are exactly ``topk_edges_blocked(n2[vec_id, nea])``, metric 1
+    rows exactly ``topk_edges_blocked(n2[vec_id, neb])`` (same
+    _tile_topk body per metric, bit-identical cos and selection).
+
+    The recall evaluations (_recall_vs_truth: PCA / MRL variants judged
+    against the full-dimension truth) previously ran two independent
+    tile passes over the same vectors: two scans, two tile shuffles, two
+    Python dispatches per tile, two windows. Fusing them halves every
+    fixed cost while shuffling the same total vector bytes (each row
+    carries both variants once instead of one variant twice)."""
+    ce = chunk_elems or CHUNK_ELEMS
+    empty = {
+        "metric": pd.Series([], dtype="int32"),
+        "qid": pd.Series([], dtype="int64"),
+        "cid": pd.Series([], dtype="int64"),
+        "cos": pd.Series([], dtype="float64"),
+    }
+
+    def tile(key, left, right):
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(empty)
+        ua = left["ua"].to_numpy()
+        ub = right["ub"].to_numpy()
+        diag = key[0] == key[1]
+        frames = []
+        for metric, (lcol, rcol) in enumerate((("la", "ra"), ("lb", "rb"))):
+            A = np.stack(left[lcol].to_numpy())
+            B = np.stack(right[rcol].to_numpy())
+            out = _tile_topk(ua, ub, A, B, diag, k, ce)
+            if out is None:
+                continue
+            qid, cid, cos = out
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "metric": np.full(len(qid), metric, dtype="int32"),
+                        "qid": qid,
+                        "cid": cid,
+                        "cos": cos,
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(empty)
+        return pd.concat(frames, ignore_index=True)
+
+    spark = n2.sparkSession
+    v = n2.select(
+        "vec_id", "nea", "neb",
+        F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int").alias("blk"),
+    )
+    tiles = [(i, j) for i in range(blocks) for j in range(i, blocks)]
+    tl = spark.createDataFrame(tiles, "ba int, bb int")
+    tr = spark.createDataFrame(tiles, "ba int, bb int")
+    left = v.join(F.broadcast(tl), F.col("blk") == F.col("ba")).select(
+        "ba", "bb",
+        F.col("vec_id").alias("ua"),
+        F.col("nea").alias("la"),
+        F.col("neb").alias("lb"),
+    )
+    vr = n2.select(
+        F.col("vec_id").alias("vid2"),
+        F.col("nea").alias("nea2"),
+        F.col("neb").alias("neb2"),
+        F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int").alias("blk2"),
+    )
+    right = vr.join(F.broadcast(tr), F.col("blk2") == F.col("bb")).select(
+        "ba", "bb",
+        F.col("vid2").alias("ub"),
+        F.col("nea2").alias("ra"),
+        F.col("neb2").alias("rb"),
+    )
+    return (
+        left.groupBy("ba", "bb")
+        .cogroup(right.groupBy("ba", "bb"))
+        .applyInPandas(tile, "metric int, qid long, cid long, cos double")
     )
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from doc2dataset_spark.queries.core import REGISTRY, query
-from doc2dataset_spark.queries.curation_extras import KNN_K, knn_edges_from
+from doc2dataset_spark.queries.curation_extras import KNN_K
 from doc2dataset_spark.queries.dedup import (
     _TOKS,
     NORM_EMB_DUCK,
@@ -349,16 +349,42 @@ def _recall_vs_truth(spark, sf_dir, nt):
     exact top-k judged against the full-dimension truth — THE recall
     definition shared by every compression-evaluation row (MRL prefix,
     PCA), so a tie-break or rounding fix cannot desynchronize rows that
-    are explicitly compared against each other."""
-    truth = knn_edges_from(spark, normalized_embeddings(spark, sf_dir))
-    appr = knn_edges_from(spark, nt)
-    hit = appr.select("qid", "cid", F.lit(1).alias("hit"))
+    are explicitly compared against each other.
+
+    Both graphs run in ONE fused tile pass
+    (vecmath.topk_edges_blocked_dual — per-metric arithmetic and top-k
+    selection bit-identical to two knn_edges_from calls): the old shape
+    paid two scans, two tile shuffles, two kernel dispatches per tile
+    and two windows over the same id space. One window partitioned by
+    (metric, qid) ranks both graphs; the per-(qid, cid) membership flags
+    then reduce to the identical left-join count: n_hits counts the
+    truth pairs the variant graph also found."""
+    from doc2dataset_spark.functions.vecmath import topk_edges_blocked_dual
+    from doc2dataset_spark.queries.dedup import N_EMB_BLOCKS
+
+    n = normalized_embeddings(spark, sf_dir)
+    both = n.select(
+        "vec_id", F.col("ne").alias("nea")
+    ).join(nt.select("vec_id", F.col("ne").alias("neb")), "vec_id")
+    edges = topk_edges_blocked_dual(both, KNN_K, N_EMB_BLOCKS)
+    w = W.partitionBy("metric", "qid").orderBy(F.desc("cos"), "cid")
+    top = (
+        edges.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("metric", "qid", "cid")
+    )
+    flags = top.groupBy("qid", "cid").agg(
+        F.max(F.col("metric") == 0).alias("in_t"),
+        F.max(F.col("metric") == 1).alias("in_v"),
+    )
     return (
-        truth.join(hit, ["qid", "cid"], "left")
+        flags.filter(F.col("in_t"))
         .groupBy("qid")
         .agg(
-            F.count("hit").cast("int").alias("n_hits"),
-            F.round(F.count("hit") / float(KNN_K), 4).alias("recall"),
+            F.sum(F.col("in_v").cast("int")).cast("int").alias("n_hits"),
+            F.round(
+                F.sum(F.col("in_v").cast("int")) / float(KNN_K), 4
+            ).alias("recall"),
         )
     )
 

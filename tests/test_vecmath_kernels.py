@@ -134,3 +134,39 @@ def test_cogroup_topk_key_type_mismatch(spark, sf_dir):
     assert (
         a["cos"].values.view(np.int64) == b["cos"].values.view(np.int64)
     ).all()
+
+def test_dual_kernel_matches_single_per_metric(spark, sf_dir):
+    """topk_edges_blocked_dual's metric-m rows must be byte-identical to
+    topk_edges_blocked over that metric's vectors alone (the fused
+    recall-eval pass rests on this), including under forced 1-row
+    chunks."""
+    n = normalized_embeddings(spark, sf_dir)
+    # variant = prefix-8 renormalized (an MRL-style second metric)
+    t = F.transform(F.slice("ne", 1, 8), lambda x: x.cast("double"))
+    nrm = F.sqrt(spark_dot(t, t))
+    nt = n.select("vec_id", F.transform(t, lambda x: x / nrm).alias("ne"))
+    both = n.select("vec_id", F.col("ne").alias("nea")).join(
+        nt.select("vec_id", F.col("ne").alias("neb")), "vec_id"
+    )
+    for ce in (None, 16):
+        dual = _collect_sorted(
+            vecmath.topk_edges_blocked_dual(
+                both, 3, N_EMB_BLOCKS, chunk_elems=ce
+            ),
+            ["metric", "qid", "cid"],
+        )
+        for metric, frame in ((0, n), (1, nt)):
+            single = _collect_sorted(
+                vecmath.topk_edges_blocked(
+                    frame, 3, N_EMB_BLOCKS, chunk_elems=ce
+                ),
+                ["qid", "cid"],
+            )
+            part = dual[dual["metric"] == metric].reset_index(drop=True)
+            assert len(part) == len(single)
+            assert (part["qid"].values == single["qid"].values).all()
+            assert (part["cid"].values == single["cid"].values).all()
+            assert (
+                part["cos"].values.view(np.int64)
+                == single["cos"].values.view(np.int64)
+            ).all()
