@@ -54,6 +54,16 @@ def get_spark(
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
+    # Scale-dependent overrides without code edits: semicolon-separated
+    # key=value pairs (e.g. a cluster profile raising
+    # advisoryPartitionSizeInBytes, or the optimization-round A/B harness
+    # toggling one conf per session). Applied last so they win over both
+    # the defaults above and extra_conf.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, _, v = pair.partition("=")
+        if k and v:
+            builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
