@@ -715,73 +715,153 @@ def dedup_cluster_cc(spark, sf_dir):
     dup cluster labeled with the cluster's minimal doc_id — the step that
     turns pairwise dedup output into keep/drop decisions.
 
-    Iterative min-label propagation with pointer jumping: each round every
-    node takes the min over its own label, its neighbors' labels, AND its
-    label's label's label (two-level path compression) — O(log diameter)
-    rounds instead of O(diameter); measured 13 → 8 → 6 rounds across the
-    1-hop → 2-hop jump variants, ~15% faster again at sf0.1 (the extra
-    join is on the node-sized labels frame, cheaper than a whole extra
-    round of edge-sized neighbor propagation). Convergence is a single
-    scalar: labels are monotonically non-increasing (each round takes a
-    min over a set containing the node's current label), so the label
-    sum strictly decreases until the fixpoint — an unchanged sum IS
-    convergence. That probe is one exact-decimal aggregate over the
-    already-checkpointed labels (no join, no second frame), cheap
-    enough to run every round and exit at the earliest stable round.
-    All data stays distributed, each round is shuffle-keyed by node, and
-    lineage is cut via localCheckpoint so plans don't grow with
-    iterations. The fixpoint (min id per component) is independent of the
-    propagation schedule, so DuckDB's recursive-CTE transitive closure
-    remains the exact oracle."""
+    Alternating large-star/small-star (see cc_labels_from_pairs): each
+    round restructures the pair graph toward min-rooted stars instead of
+    propagating labels along edges, so the round count is O(log² n) on
+    ANY component shape — measured 10 → 4 rounds and −28% wall at
+    sf0.5, where every label-propagation lever (Observation fusion,
+    edge pre-partitioning, deeper pointer jumping) had measured flat or
+    worse in round 15. All data stays distributed, each round is
+    edge-sized and shuffle-keyed by node with map-side-combined mins,
+    and lineage is cut via localCheckpoint so plans don't grow with
+    iterations. The fixpoint (min id per component) is independent of
+    the propagation schedule, so DuckDB's recursive-CTE transitive
+    closure remains the exact oracle."""
     pairs = dedup_simhash_pairs(spark, sf_dir).select("da", "db")
     return cc_labels_from_pairs(pairs)
 
 
 def cc_labels_from_pairs(pairs):
     """(doc_id, cluster_id = min doc_id of the connected component) from
-    an undirected (da, db) pair frame — the dedup_cluster_cc propagation
-    loop, factored so incremental cluster maintenance
+    an undirected (da, db) pair frame — the dedup_cluster_cc fixpoint,
+    factored so incremental cluster maintenance
     (operators/cluster_state.py) runs the IDENTICAL algorithm on its
-    affected subgraphs. Only docs appearing in pairs get a row."""
-    edges = pairs.union(
-        pairs.select(F.col("db").alias("da"), F.col("da").alias("db"))
-    ).toDF("src", "dst").localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    prev_sum = None
-    for _ in range(1, 21):  # log-diameter bound; exits on convergence
-        nbr = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "label"
+    affected subgraphs. Only docs appearing in pairs get a row.
+
+    Alternating large-star/small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014), replacing the
+    min-label propagation + 2-hop pointer jumping this function used
+    through round 15. Propagation rounds are bound by edge hops (the
+    round-15 measurement: deeper pointer jumping left 10 rounds at
+    10 at sf0.5 while doubling wall), whereas star alternation
+    restructures the graph itself each round and provably converges in
+    O(log² n) alternations — measured 10 → 4 rounds and 17.4 → 12.5 s
+    for the full query at sf0.5, identical label hashes at every SF.
+
+    Shape per alternation (everything edge-sized, mins map-side
+    combinable so a giant cluster's hot center never ships its degree
+    to one reducer before reduction):
+    - large-star: every node connects its LARGER neighbors to the min
+      of its neighborhood (incl. itself) — emits exactly one edge per
+      input edge, oriented src > dst.
+    - small-star: every node connects its smaller neighbors (and
+      itself) to the min of that set — then distinct.
+    - convergence: one aggregate proves the exact fixpoint — the edge
+      set is a min-rooted star forest iff every src has exactly one
+      edge and no node is both a src and a dst (both ops preserve the
+      component partition and the node set, and orientation makes each
+      star's center its component minimum, so the test passing IS
+      result correctness — no sum-collision risk, unlike a probe).
+    The fixpoint (min id per component) is schedule-independent, so
+    DuckDB's recursive-CTE transitive closure remains the exact oracle.
+    """
+    # orient (src = max, dst = min) in one pass; self-pairs drop out of
+    # the loop but their endpoints stay in the node universe below
+    ini = pairs.select(
+        F.greatest("da", "db").alias("src"), F.least("da", "db").alias("dst")
+    ).localCheckpoint(eager=True)
+    edges = ini.filter(F.col("src") != F.col("dst"))
+    converged = False
+    for _ in range(50):  # paper bound is O(log² n); observed 4 at sf0.5
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-        jump = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
-            .join(labels.alias("z"), F.col("y.label") == F.col("z.node"))
-            .select(F.col("x.node").alias("node"), F.col("z.label").alias("label"))
+        mins = sym.groupBy("src").agg(F.min("dst").alias("gmn"))
+        ls = (
+            sym.join(mins, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(
+                F.col("dst").alias("src"),
+                F.least("gmn", F.col("src")).alias("dst"),
+            )
         )
-        prop = (
-            nbr.union(labels)
-            .union(jump)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+        smins = ls.groupBy("src").agg(F.min("dst").alias("mn"))
+        ss = (
+            ls.join(smins, "src")
+            # one pass emits both the leaf edge (dst -> mn) and the
+            # center edge (src -> mn); src > dst > mn keeps orientation,
+            # and the src != dst filter drops the dst == mn self-loop
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("dst").alias("src"), F.col("mn").alias("dst")
+                        ),
+                        F.struct(
+                            F.col("src").alias("src"), F.col("mn").alias("dst")
+                        ),
+                    )
+                ).alias("e")
+            )
+            .select("e.src", "e.dst")
+            .where(F.col("src") != F.col("dst"))
         )
-        # decimal(38,0): exact at any node-count × id-magnitude, so the
-        # sum-equality probe can't be fooled by long overflow at scale
-        label_sum = prop.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        labels = prop
-        if label_sum == prev_sum:
+        edges = ss.distinct().localCheckpoint(eager=True)
+        if _is_min_star_forest(edges):
+            converged = True
             break
-        prev_sum = label_sum
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    if not converged:  # pragma: no cover - the paper's convergence bound
+        raise RuntimeError(
+            "large-star/small-star did not converge in 50 alternations"
+        )
+    nodes = (
+        ini.select(F.col("src").alias("node"))
+        .union(ini.select(F.col("dst").alias("node")))
+        .distinct()
     )
+    lab = edges.select(F.col("src").alias("node"), F.col("dst").alias("label"))
+    return nodes.join(lab, "node", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("label", "node").alias("cluster_id"),
+    )
+
+
+def _is_min_star_forest(edges):
+    """Exact convergence test for the star alternation: edges (oriented
+    src > dst) form a min-rooted star forest iff every src has exactly
+    one edge AND no node appears as both a src and a dst. One aggregate
+    job over the checkpointed frame: explode each edge into two
+    (node, role) rows, count roles per node (map-side combinable),
+    reduce to two scalars. Empty edge set = empty forest = converged."""
+    row = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("node"),
+                        F.lit(1).alias("s"),
+                        F.lit(0).alias("d"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("node"),
+                        F.lit(0).alias("s"),
+                        F.lit(1).alias("d"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .groupBy("node")
+        .agg(F.sum("s").alias("ns"), F.sum("d").alias("nd"))
+        .agg(
+            F.max("ns").alias("mx"),
+            F.max(
+                F.when((F.col("ns") > 0) & (F.col("nd") > 0), 1).otherwise(0)
+            ).alias("ov"),
+        )
+        .collect()[0]
+    )
+    return row["mx"] is None or (row["mx"] <= 1 and row["ov"] == 0)
 
 
 # ---------------------------------------------------------------------------
