@@ -245,9 +245,39 @@ def _wait_for_idle(threshold: float) -> float:
     return _loadavg1()
 
 
+def fill_compact_queries(
+    compact: dict, timings: dict[str, float], budget: int = 999
+) -> None:
+    """Per-query visibility (round-15 verdict, What's wrong #2): the full
+    "queries" map (~3 KB at 94 queries) outgrows the driver's stdout
+    tail window, so PERF_r15 recorded per_query:{} and an empty scaling
+    block. Put the most expensive per-query raw walls INTO the final
+    compact line, as many as fit while the line stays under the 1 KB
+    contract — the cheap rows it drops are the job-floor ones whose
+    round-over-round deltas are noise anyway; the full map is always in
+    the detail file."""
+    shown: dict[str, float] = {}
+    for q, t in sorted(timings.items(), key=lambda kv: (-kv[1], kv[0])):
+        trial = dict(compact)
+        trial["queries"] = {**shown, q: t}
+        trial["queries_shown"] = len(shown) + 1
+        if len(json.dumps(trial)) > budget:
+            break
+        shown[q] = t
+    compact["queries"] = shown
+    compact["queries_shown"] = len(shown)
+
+
 def main() -> None:
-    cores = os.cpu_count() or 1
-    contention_threshold = cores / 2
+    host_cores = os.cpu_count() or 1
+    # the EFFECTIVE core count: the driver also runs the bench at a lower
+    # SPARK_GRAFT_CPUS to measure scaling, and the r15 detail stamped
+    # os.cpu_count() for an 8-core run — stamp what Spark actually used
+    try:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "") or host_cores)
+    except ValueError:
+        cores = host_cores
+    contention_threshold = host_cores / 2
     # settle harder than the contention flag: even loadavg ~2-4 from
     # just-exited work inflates the first queries by 3-4x (measured:
     # q01 0.62s at loadavg 2.1 vs 0.14s idle); the flag threshold
@@ -331,6 +361,7 @@ def main() -> None:
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(load_end, 2),
         "cores": cores,
+        "host_cores": host_cores,
         "contended": contended,
         # host-side interference markers (loadavg-invisible):
         # steal% during the run + a fixed single-core calibration
@@ -362,7 +393,13 @@ def main() -> None:
         for f in os.listdir(repo_dir)
         if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
     ]
-    detail_name = f"BENCH_detail_r{(max(rounds) + 1) if rounds else 0:02d}.json"
+    # collision-proofing (round-15 verdict, What's wrong #3): a
+    # reduced-core scaling run gets its own _c{N} suffix so it can never
+    # shadow the round's main-core detail file
+    suffix = "" if cores == host_cores else f"_c{cores}"
+    detail_name = (
+        f"BENCH_detail_r{(max(rounds) + 1) if rounds else 0:02d}{suffix}.json"
+    )
     detail_written = detail_name
     try:
         with open(os.path.join(repo_dir, detail_name), "w") as fh:
@@ -387,8 +424,10 @@ def main() -> None:
         "loadavg_start": full["loadavg_start"],
         "steal_pct": steal_pct,
         "contended": contended,
+        "cores": cores,
         "detail": detail_written,
     }
+    fill_compact_queries(compact, timings)
     line = json.dumps(compact)
     if len(line) > 1000:  # pragma: no cover - contract guard
         line = json.dumps({k: compact[k] for k in
