@@ -43,6 +43,8 @@ Python crossing would cost more than the interpreted eval saves.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
@@ -345,8 +347,30 @@ def topk_edges_blocked_dual(
     )
 
 
+def _cell_blocks_default() -> int:
+    """Scale profile for the per-cell kernels (round-15 verdict, What's
+    wrong #5): by default a cell is one Python task, whose footprint is
+    the cell's vectors — the same bound the pre-kernel SHUFFLE_HASH
+    build side had, fine at the shipped SFs but unbounded in cell size
+    at the 100 TB design point (a hot IVF cell is O(n/K)). Setting
+    SPARK_GRAFT_CELL_BLOCKS=B > 1 (e.g. via SPARK_GRAFT_CONF profiles'
+    env companion) decomposes every cell into B sub-blocks and scans
+    block pairs as independent tasks, bounding per-task memory at two
+    cell/B slices + the chunked pair matrix, independent of cell size.
+    Outputs are pinned bit-identical across B (tests/test_vecmath_
+    kernels.py): same pairs, same cosine bits — only task granularity
+    changes, so the shipped default B=1 keeps the bench plan shape."""
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CELL_BLOCKS", "1")))
+    except ValueError:
+        return 1
+
+
 def cell_pairs_blocked(
-    assign: DataFrame, threshold: float, chunk_elems: int | None = None
+    assign: DataFrame,
+    threshold: float,
+    chunk_elems: int | None = None,
+    cell_blocks: int | None = None,
 ) -> DataFrame:
     """(va, vb, cell, cos): all within-cell ascending-id pairs with
     cos >= threshold of a (vec_id, ne, cent_id) assignment frame -- the
@@ -355,8 +379,15 @@ def cell_pairs_blocked(
     within-cell self-join + interpreted HOF fold: cell vectors cross the
     boundary once, only threshold survivors come back. Same fold order,
     same chunked memory bound, same per-task footprint (one cell's
-    vectors -- exactly what the cell equi-join's build side held)."""
+    vectors -- exactly what the cell equi-join's build side held).
+    ``cell_blocks`` > 1 (default: $SPARK_GRAFT_CELL_BLOCKS) splits each
+    cell into the tile decomposition instead -- per-task memory bounded
+    by two cell/B slices regardless of cell size (see
+    _cell_blocks_default)."""
     ce = chunk_elems or CHUNK_ELEMS
+    blocks = cell_blocks or _cell_blocks_default()
+    if blocks > 1:
+        return _cell_pairs_tiled(assign, threshold, ce, blocks)
 
     def cell(key, pdf):
         empty = pd.DataFrame(
@@ -400,11 +431,92 @@ def cell_pairs_blocked(
     )
 
 
+def _cell_pairs_tiled(
+    assign: DataFrame, threshold: float, ce: int, blocks: int
+) -> DataFrame:
+    """cell_pairs_blocked at cell_blocks > 1: the within-cell pair space
+    tiled exactly like cosine_pairs_blocked (upper-triangular block
+    pairs, diagonal tiles keep ascending ids, off-diagonal tiles keep
+    everything and emit (min, max)), with cent_id prefixed to the tile
+    key. Same per-pair fold order and threshold comparison, so the kept
+    pair set and every cosine bit are identical to the one-task path."""
+    spark = assign.sparkSession
+    tiles = [(i, j) for i in range(blocks) for j in range(i, blocks)]
+    tl = spark.createDataFrame(tiles, "ba int, bb int")
+    tr = spark.createDataFrame(tiles, "ba int, bb int")
+    v = assign.select(
+        "vec_id",
+        "ne",
+        "cent_id",
+        F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int").alias("blk"),
+    )
+    left = v.join(F.broadcast(tl), F.col("blk") == F.col("ba")).select(
+        "cent_id", "ba", "bb",
+        F.col("vec_id").alias("ua"), F.col("ne").alias("na"),
+    )
+    vr = assign.select(
+        F.col("vec_id").alias("vid2"),
+        F.col("ne").alias("ne2"),
+        F.col("cent_id").alias("cent2"),
+        F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int").alias("blk2"),
+    )
+    right = vr.join(F.broadcast(tr), F.col("blk2") == F.col("bb")).select(
+        F.col("cent2").alias("cent_id"), "ba", "bb",
+        F.col("vid2").alias("ub"), F.col("ne2").alias("nb"),
+    )
+
+    def tile(key, l, r):
+        empty = pd.DataFrame(
+            {
+                "va": pd.Series([], dtype="int64"),
+                "vb": pd.Series([], dtype="int64"),
+                "cell": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        ua = l["ua"].to_numpy()
+        ub = r["ub"].to_numpy()
+        A = np.stack(l["na"].to_numpy())
+        B = np.stack(r["nb"].to_numpy())
+        diag = key[1] == key[2]
+        va, vb, cs = [], [], []
+        for lo, hi in _row_chunks(len(ua), len(ub), ce):
+            C = pair_cos_matrix(A[lo:hi], B)
+            mask = _pair_mask(diag, ua[lo:hi], ub)
+            mask &= C >= threshold
+            i, j = np.nonzero(mask)
+            if len(i):
+                a, b = ua[lo:hi][i], ub[j]
+                va.append(np.minimum(a, b))
+                vb.append(np.maximum(a, b))
+                cs.append(C[i, j])
+        if not va:
+            return empty
+        va = np.concatenate(va)
+        return pd.DataFrame(
+            {
+                "va": va,
+                "vb": np.concatenate(vb),
+                "cell": np.full(len(va), key[0], dtype="int64"),
+                "cos": np.concatenate(cs),
+            }
+        )
+
+    return (
+        left.groupBy("cent_id", "ba", "bb")
+        .cogroup(right.groupBy("cent_id", "ba", "bb"))
+        .applyInPandas(tile, "va long, vb long, cell long, cos double")
+    )
+
+
 def group_topk_blocked(
     sig: DataFrame,
     group_cols: list[str],
     k: int,
     chunk_elems: int | None = None,
+    cell_blocks: int | None = None,
 ) -> DataFrame:
     """(qid, cid, cos): per-group directed top-k candidate edges of a
     (group_cols..., vec_id, ne) signature frame -- all ordered pairs
@@ -417,8 +529,21 @@ def group_topk_blocked(
     a pair beaten by >= k candidates inside its own group is beaten by
     >= k distinct candidates globally. Chunked like the other kernels
     (row-side qids are complete within their chunk; a final pass
-    re-selects across chunks)."""
+    re-selects across chunks).
+
+    ``cell_blocks`` > 1 (default: $SPARK_GRAFT_CELL_BLOCKS) tiles each
+    group into a B×B sub-block grid of independent tasks — per-task
+    memory two group/B slices regardless of group size (see
+    _cell_blocks_default). A tile emits its own per-qid top-k, so a
+    query returns <= B·k rows instead of <= k; that is the same
+    preselection-lossless contract (every consumer re-selects its
+    global top-k in a downstream window over these survivor rows, with
+    the identical (cos DESC, cid) order), pinned bit-identical at the
+    consumer level by tests."""
     ce = chunk_elems or CHUNK_ELEMS
+    blocks = cell_blocks or _cell_blocks_default()
+    if blocks > 1:
+        return _group_topk_tiled(sig, group_cols, k, ce, blocks)
 
     def grp(key, pdf):
         empty = pd.DataFrame(_EMPTY_EDGES)
@@ -449,6 +574,76 @@ def group_topk_blocked(
     return (
         sig.select(*group_cols, "vec_id", "ne")
         .groupBy(*group_cols)
+        .applyInPandas(grp, "qid long, cid long, cos double")
+    )
+
+
+def _group_topk_tiled(
+    sig: DataFrame, group_cols: list[str], k: int, ce: int, blocks: int
+) -> DataFrame:
+    """group_topk_blocked at cell_blocks > 1: the directed pair space of
+    each group tiled as a full B×B sub-block grid (query rows by their
+    block on the rows, candidate rows by theirs on the columns), each
+    tile an independent task emitting its own per-qid top-k survivors.
+    Union over a query's B tiles covers its full candidate set, so the
+    preselection-losslessness proof is unchanged."""
+    spark = sig.sparkSession
+    grid = [(i, j) for i in range(blocks) for j in range(blocks)]
+    gl = spark.createDataFrame(grid, "ba int, bb int")
+    gr = spark.createDataFrame(grid, "ba int, bb int")
+    v = sig.select(
+        *group_cols, "vec_id", "ne",
+        F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int").alias("blk"),
+    )
+    left = v.join(F.broadcast(gl), F.col("blk") == F.col("ba")).select(
+        *group_cols, "ba", "bb",
+        F.col("vec_id").alias("qid"), F.col("ne").alias("qne"),
+    )
+    vr = sig.select(
+        *[F.col(c).alias(f"{c}__r") for c in group_cols],
+        F.col("vec_id").alias("vid2"),
+        F.col("ne").alias("ne2"),
+        F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int").alias("blk2"),
+    )
+    right = vr.join(F.broadcast(gr), F.col("blk2") == F.col("bb")).select(
+        *[F.col(f"{c}__r").alias(c) for c in group_cols], "ba", "bb",
+        F.col("vid2").alias("cid"), F.col("ne2").alias("cne"),
+    )
+
+    def grp(key, l, r):
+        empty = pd.DataFrame(_EMPTY_EDGES)
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        qids = l["qid"].to_numpy()
+        cids = r["cid"].to_numpy()
+        Q = np.stack(l["qne"].to_numpy())
+        C_ = np.stack(r["cne"].to_numpy())
+        qs, cs, ss = [], [], []
+        for lo, hi in _row_chunks(len(qids), len(cids), ce):
+            C = pair_cos_matrix(Q[lo:hi], C_)
+            mask = qids[lo:hi][:, None] != cids[None, :]
+            i, j = np.nonzero(mask)
+            if len(i) == 0:
+                continue
+            qid, cid, cos = qids[lo:hi][i], cids[j], C[i, j]
+            keep = _topk_select(qid, cid, cos, k)
+            qs.append(qid[keep])
+            cs.append(cid[keep])
+            ss.append(cos[keep])
+        if not qs:
+            return empty
+        qid = np.concatenate(qs)
+        cid = np.concatenate(cs)
+        cos = np.concatenate(ss)
+        keep = _topk_select(qid, cid, cos, k)
+        return pd.DataFrame(
+            {"qid": qid[keep], "cid": cid[keep], "cos": cos[keep]}
+        )
+
+    keys = [*group_cols, "ba", "bb"]
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
         .applyInPandas(grp, "qid long, cid long, cos double")
     )
 

@@ -170,3 +170,97 @@ def test_dual_kernel_matches_single_per_metric(spark, sf_dir):
                 part["cos"].values.view(np.int64)
                 == single["cos"].values.view(np.int64)
             ).all()
+
+
+def test_cell_blocks_bit_identical_pairs(spark, sf_dir):
+    """The round-16 scale-safety lever: cell_pairs_blocked at
+    cell_blocks > 1 (sub-tiled cells, per-task memory bounded by two
+    cell/B slices) must return byte-identical pairs to the one-task
+    path — same pair set, same cell labels, same cosine bits."""
+    from doc2dataset_spark.queries.dedup import cell_assignments
+
+    assign = cell_assignments(spark, sf_dir)
+    # threshold -1 keeps EVERY within-cell pair: the strongest bit
+    # comparison the fixture can provide
+    one = _collect_sorted(
+        vecmath.cell_pairs_blocked(assign, -1.0, cell_blocks=1),
+        ["va", "vb"],
+    )
+    tiled = _collect_sorted(
+        vecmath.cell_pairs_blocked(assign, -1.0, cell_blocks=3),
+        ["va", "vb"],
+    )
+    assert len(one) == len(tiled) > 0
+    for k in ("va", "vb", "cell"):
+        assert (one[k].values == tiled[k].values).all(), k
+    assert (
+        one["cos"].values.view(np.int64)
+        == tiled["cos"].values.view(np.int64)
+    ).all()
+
+
+def test_cell_blocks_group_topk_preselect_lossless(spark, sf_dir):
+    """group_topk_blocked at cell_blocks > 1 emits up to B·k rows per
+    query (per-tile top-k), but the global per-qid top-k selected from
+    them — the thing every consumer computes downstream — must equal
+    the one-task kernel's output to the bit, and the one-task rows must
+    all be present among the tiled survivors."""
+    import pandas as pd
+
+    from doc2dataset_spark.queries.dedup import cell_assignments
+
+    k = 3
+    sig = cell_assignments(spark, sf_dir)
+    one = _collect_sorted(
+        vecmath.group_topk_blocked(sig, ["cent_id"], k, cell_blocks=1),
+        ["qid", "cid"],
+    )
+    tiled_raw = vecmath.group_topk_blocked(
+        sig, ["cent_id"], k, cell_blocks=3
+    ).toPandas()
+    # global re-selection with the consumers' exact order
+    sel = tiled_raw.sort_values(
+        ["qid", "cos", "cid"], ascending=[True, False, True]
+    )
+    sel = sel.groupby("qid", sort=True).head(k)
+    sel = sel.sort_values(["qid", "cid"]).reset_index(drop=True)
+    assert len(one) == len(sel)
+    for col in ("qid", "cid"):
+        assert (one[col].values == sel[col].values).all(), col
+    assert (
+        one["cos"].values.view(np.int64)
+        == sel["cos"].values.view(np.int64)
+    ).all()
+    # superset property: every one-task row is among the tiled survivors
+    key_one = set(zip(one["qid"], one["cid"]))
+    key_tiled = set(zip(tiled_raw["qid"], tiled_raw["cid"]))
+    assert key_one <= key_tiled
+    assert isinstance(tiled_raw, pd.DataFrame)
+
+
+def test_cell_blocks_env_consumer_identical(spark, sf_dir, monkeypatch):
+    """Consumer-level pin for the SPARK_GRAFT_CELL_BLOCKS profile: the
+    full sim_ann_ivf query (kernel preselect + final window) returns
+    identical rows whether cells run as one task or tiled."""
+    from doc2dataset_spark.queries import REGISTRY
+
+    base = _collect_sorted(
+        REGISTRY["sim_ann_ivf"].builder(spark, sf_dir).toDF(
+            "qid", "cid", "cos"
+        ),
+        ["qid", "cid"],
+    )
+    monkeypatch.setenv("SPARK_GRAFT_CELL_BLOCKS", "3")
+    tiled = _collect_sorted(
+        REGISTRY["sim_ann_ivf"].builder(spark, sf_dir).toDF(
+            "qid", "cid", "cos"
+        ),
+        ["qid", "cid"],
+    )
+    assert len(base) == len(tiled)
+    for col in ("qid", "cid"):
+        assert (base[col].values == tiled[col].values).all(), col
+    assert (
+        base["cos"].values.view(np.int64)
+        == tiled["cos"].values.view(np.int64)
+    ).all()
