@@ -398,8 +398,17 @@ _SIMHASH_ORACLE = _SIMHASH_CTE + "SELECT doc_id, simhash FROM fp"
 @query("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "documents"))
 def dedup_simhash(spark, sf_dir):
     """32-bit term-frequency-weighted SimHash fingerprint per document.
-    Linear in corpus size: token explode → (doc, bit) partial sums →
-    fingerprint assembly; all integer arithmetic, no UDFs."""
+    Linear in corpus size: token explode → per-doc bit sums →
+    fingerprint assembly; all integer arithmetic, no UDFs.
+
+    The 32 per-bit sums are 32 map-side-combinable aggregate
+    expressions in ONE groupBy(doc_id) (round 16; guide §2.3
+    "aggregate before you shuffle"): the previous shape exploded every
+    (doc, token) row ×32 through a (doc, bit) hash aggregate — 32× the
+    row volume through Generate + partial agg — then re-aggregated by
+    doc. Exact equivalence: v(doc,b) = Σ c·((bit<<1)−1) = 2·T_b − S
+    with T_b = Σ c·bit and S = Σ c, all integer sums, so the bit test
+    v > 0 ⟺ 2·T_b > S is the identical fingerprint."""
     d = load_table(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(F.expr(_TOKS)).alias("tok"))
@@ -409,22 +418,19 @@ def dedup_simhash(spark, sf_dir):
     h = tok.select(
         "doc_id", "c", F.expr(_H32_SPARK.format(s="tok")).alias("h32")
     )
-    bits = (
-        h.select(
-            "doc_id",
-            "c",
-            "h32",
-            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum(F.expr("c * (((h32 >> b) & 1) * 2 - 1)")).alias("v"))
+    aggs = [
+        F.sum(F.expr(f"c * ((h32 >> {b}) & 1)")).alias(f"t{b}")
+        for b in range(32)
+    ]
+    aggs.append(F.sum("c").alias("s"))
+    sums = h.groupBy("doc_id").agg(*aggs)
+    fp_expr = " + ".join(
+        f"(CASE WHEN 2 * t{b} > s THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b in range(32)
     )
-    fp = bits.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END"))
-        .cast("long")
-        .alias("simhash")
+    return sums.select(
+        "doc_id", F.expr(fp_expr).cast("long").alias("simhash")
     )
-    return fp
 
 
 # near-dup pairs: band the 32-bit fingerprint into 4×8-bit blocks; any
@@ -453,8 +459,20 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: 4×8-bit band blocking (exact for hamming ≤ 3
     by pigeonhole) + bit_count verification. The band join is the scale
-    path — candidates only, never all pairs."""
-    fp = dedup_simhash(spark, sf_dir)
+    path — candidates only, never all pairs.
+
+    Round-16 shape (same result set, pinned by the unchanged oracle):
+    the fingerprint frame is localCheckpointed — the plan previously
+    rebuilt the whole tokenize→hash→fingerprint pipeline on BOTH band
+    join sides (the broadcast side cannot share the other side's
+    exchanges), and every downstream consumer (the cluster/graph
+    family) re-derived it again; and the hamming filter runs BEFORE the
+    dedup, so the distinct shuffles (da, db, hamming) survivor rows
+    instead of 4-banded (da, ha, db, hb) candidates. Equivalence:
+    hamming is a row-local function of a candidate pair, so
+    distinct∘filter∘project ≡ project∘filter∘distinct, and (da, db)
+    determines (ha, hb)."""
+    fp = dedup_simhash(spark, sf_dir).localCheckpoint(eager=True)
     bands = fp.select(
         "doc_id",
         "simhash",
@@ -462,25 +480,17 @@ def dedup_simhash_pairs(spark, sf_dir):
     ).withColumn("bandval", F.expr("(simhash >> (k * 8)) & 255"))
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.bandval") == F.col("b.bandval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("da"),
-            F.col("a.simhash").alias("ha"),
-            F.col("b.doc_id").alias("db"),
-            F.col("b.simhash").alias("hb"),
-        )
-        .distinct()
+    cand = a.join(
+        b,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.bandval") == F.col("b.bandval"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("da"),
+        F.col("b.doc_id").alias("db"),
+        F.bit_count(F.expr("a.simhash ^ b.simhash")).alias("hamming"),
     )
-    hamming = F.bit_count(F.expr("ha ^ hb"))
-    return cand.filter(hamming <= 3).select(
-        "da", "db", hamming.alias("hamming")
-    )
+    return cand.filter(F.col("hamming") <= 3).distinct()
 
 
 # ---------------------------------------------------------------------------
